@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that builds the library's SparkSession so every main /
+  * test runs with identical session-level settings (the driver's
+  * environment contract: local[N], shuffle.partitions=N, UTC).
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong` lives here — NOT inside a
+  * table loader — so there is no order-dependent mutation of a running
+  * session (round-2 advice). It maps the fixtures' INT64 TIMESTAMP(NANOS)
+  * `events.ts` column to LongType; `Tables.events` then converts
+  * nanos→micros exactly the way DuckDB truncates (integer division).
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -12,12 +12,13 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks
-    * rows>0): revenue per nation — a 3-way fact join with broadcast
-    * dimensions, decimal-exact revenue.
+  /** Flagship query (driver smoke-checks rows>0): revenue per nation — a
+    * 3-way fact join with broadcast dimensions, decimal-exact revenue.
+    * Data dir is overridable via SPARK_GRAFT_ENTRY_DIR (defaults to the
+    * driver's smoke-check scale factor).
     */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001")
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)

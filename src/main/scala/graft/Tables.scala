@@ -14,17 +14,16 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark
-    * does not read natively; `spark.sql.legacy.parquet.nanosAsLong` maps
-    * it to LongType and we convert to a microsecond timestamp exactly the
-    * way DuckDB's reader truncates nanos → micros (integer division, no
-    * rounding), keeping oracle parity.
+    * does not read natively; `spark.sql.legacy.parquet.nanosAsLong`
+    * (set session-wide in [[GraftSession]]) maps it to LongType and we
+    * convert to a microsecond timestamp exactly the way DuckDB's reader
+    * truncates nanos → micros (integer division, no rounding), keeping
+    * oracle parity.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

@@ -32,14 +32,17 @@ object AuditAnalytics {
     df.filter(to_date(tsCol) === date).agg(count(lit(1)).as("cnt"))
 
   /** A1 variant used by the fixtures: count on the latest ingestion date.
-    * The scalar max is computed as a 1-row aggregate joined back with a
-    * broadcast hint — no driver round-trip, works at any scale.
+    * Single pass over the fact table: per-date partial counts (map-side
+    * combined), then a tiny all-to-one top-1 — no second scan, no driver
+    * round-trip. At 100 TB the post-aggregate is one row per distinct
+    * date, so the `limit(1)` sort is negligible.
     */
-  def countOnLatestDate(df: DataFrame, tsCol: Column): DataFrame = {
-    val latest = df.agg(max(to_date(tsCol)).as("latest_date"))
-    df.join(broadcast(latest), to_date(tsCol) === col("latest_date"))
+  def countOnLatestDate(df: DataFrame, tsCol: Column): DataFrame =
+    df.groupBy(to_date(tsCol).as("d"))
       .agg(count(lit(1)).as("cnt"))
-  }
+      .orderBy(desc("d"))
+      .limit(1)
+      .select("cnt")
 
   /** A2: MAX(ts::date) — latest run date. */
   def maxDate(df: DataFrame, tsCol: Column): DataFrame =
@@ -74,9 +77,13 @@ object AuditAnalytics {
       .agg(count(lit(1)))
       .na.fill(0, statuses)
 
-  /** A5: explode an array column and count value frequencies, descending. */
+  /** A5: explode an array column and count value frequencies, descending.
+    * The reference drops null arrays first (`dropna`,
+    * `ui/audit_dashboard.py:179`) — expressed as a null filter on the
+    * column itself, which works for qualified/computed columns too.
+    */
   def explodeFrequency(df: DataFrame, arrayCol: Column): DataFrame =
-    df.na.drop(Seq(arrayCol.toString))
+    df.filter(arrayCol.isNotNull)
       .select(explode(arrayCol).as("item"))
       .groupBy("item")
       .agg(count(lit(1)).as("cnt"))
@@ -112,6 +119,11 @@ object AuditAnalytics {
 
   /** A8: per-collection run counters — processed / errors / insert
     * failures / `successful = greatest(processed - errors, 0)`.
+    *
+    * Matches `reporting.py:19-25` exactly: `record_document` returns
+    * early on insert failure, so an insert-failed document is counted
+    * ONLY under `insert_failures` — it is excluded from both `processed`
+    * and `errors` even if it also had transform errors.
     */
   def runCounters(
       df: DataFrame,
@@ -120,8 +132,8 @@ object AuditAnalytics {
       insertFailureCond: Column): DataFrame =
     df.groupBy(collectionCol.as("collection"))
       .agg(
-        count(lit(1)).as("processed"),
-        count(when(errorCond, 1)).as("errors"),
+        count(when(!insertFailureCond, 1)).as("processed"),
+        count(when(!insertFailureCond && errorCond, 1)).as("errors"),
         count(when(insertFailureCond, 1)).as("insert_failures"))
       .withColumn("successful", greatest(col("processed") - col("errors"), lit(0L)))
 
@@ -138,7 +150,7 @@ object AuditAnalytics {
       sortAsc: String): DataFrame =
     left.join(right, keys, "full_outer")
       .na.fill(0, fillCols)
-      .orderBy(desc_nulls_last(sortDesc), asc(sortAsc))
+      .orderBy(desc_nulls_last(sortDesc), asc_nulls_last(sortAsc))
 
   /** J2: dimension-lookup remap with fallback — broadcast join against a
     * small lookup table, unmapped keys fall back to a derived name, then

@@ -7,13 +7,7 @@ import org.apache.spark.sql.SparkSession
   */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.get("graft-entry-smoke")
     val df = graft.SparkEntry.entry(spark)
     val n = df.count()
     println(s"ENTRY_ROWS=$n")
