@@ -1,0 +1,133 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.etl._
+
+/** Q11/Q12 fixture plumbing: a deterministic raw-JSON document corpus
+  * derived from the `orders` fixture table, constructed by string
+  * concatenation with the *same* arithmetic in Spark and in the DuckDB
+  * oracle — so the oracle can compute the transform's expected output
+  * directly from the base columns while Spark exercises the real
+  * variant-parsing ETL path.
+  *
+  * Per-document variation (k = o_orderkey):
+  *  - `order_date` rotates through 4 of the reference's 10 configured
+  *    formats (k%4) — exercises first-match multi-format parsing (T4)
+  *  - `event_time` is a naive ISO datetime (format 6)
+  *  - `amount_str` is a numeric string, or the unparseable `"junk"` when
+  *    k%7=0 — exercises cast-failure → NULL + error + status flip (T9)
+  *  - `is_priority` is a JSON boolean; `total`/`mixed` JSON numbers
+  *  - `comment` is ABSENT (not null) when k%5=0 — exercises
+  *    missing-vs-null tracking (T2); `extra_attr` is never present
+  *  - `mixed` has no mapping entry — exercises unmapped-attr drop (T1)
+  */
+object EtlQueries {
+
+  def rawOrdersDocs(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val kStr = k.cast("string")
+    val d = to_date(col("o_orderdate"))
+    val amtDec = col("o_totalprice").cast("decimal(12,2)")
+    val decStr = amtDec.cast("string")
+    def pad(c: Column) = lpad(c.cast("string"), 2, "0")
+    val fd = when(pmod(k, lit(4)) === 0, date_format(d, "yyyy-MM-dd"))
+      .when(pmod(k, lit(4)) === 1, date_format(d, "MM/dd/yyyy"))
+      .when(pmod(k, lit(4)) === 2, date_format(d, "dd-MM-yyyy"))
+      .otherwise(date_format(d, "yyyy/MM/dd"))
+    val et = concat(
+      date_format(d, "yyyy-MM-dd"), lit("T"),
+      pad(pmod(k, lit(24))), lit(":"), pad(pmod(k, lit(60))), lit(":"), pad(pmod(k * 7, lit(60))))
+    val amt = when(pmod(k, lit(7)) === 0, lit("junk")).otherwise(decStr)
+    val boolStr = when(pmod(k, lit(2)) === 0, lit("true")).otherwise(lit("false"))
+    val mixedStr = when(pmod(k, lit(3)) === 0, kStr).otherwise(decStr)
+    val commentPart = when(pmod(k, lit(5)) === 0, lit(""))
+      .otherwise(concat(lit(",\"comment\":\"note "), kStr, lit("\"")))
+    Tables.orders(s, dir).select(concat(
+      lit("{\"_id\":"), kStr,
+      lit(",\"order_date\":\""), fd,
+      lit("\",\"event_time\":\""), et,
+      lit("\",\"total\":"), decStr,
+      lit(",\"amount_str\":\""), amt,
+      lit("\",\"is_priority\":"), boolStr,
+      lit(",\"priority\":\""), col("o_orderpriority"),
+      lit("\",\"mixed\":"), mixedStr,
+      commentPart,
+      lit("}")).as("raw"))
+  }
+
+  /** The q11 mapping config (SURVEY Q11): every logical-type family, a
+    * renamed projection, an always-absent attribute, an error-prone one.
+    */
+  val ordersMapping: CollectionMapping = CollectionMapping(
+    targetTable = "public.orders_t",
+    rawJsonColumn = "raw_json",
+    objectIdAttribute = "_id",
+    mappings = ListMap(
+      "_id" -> AttributeMapping("order_id", "integer"),
+      "order_date" -> AttributeMapping("order_date", "date"),
+      "event_time" -> AttributeMapping("event_ts", "datetime"),
+      "total" -> AttributeMapping("amount", "numeric"),
+      "amount_str" -> AttributeMapping("amount2", "numeric"),
+      "is_priority" -> AttributeMapping("is_priority", "boolean"),
+      "priority" -> AttributeMapping("priority_label", "text"),
+      "comment" -> AttributeMapping("comment", "text"),
+      "extra_attr" -> AttributeMapping("extra_col", "text")))
+
+  private val docSql =
+    """WITH src AS (
+         SELECT o_orderkey AS k,
+                CAST(o_orderdate AS DATE) AS d,
+                CAST(o_totalprice AS DECIMAL(12,2)) AS amt_dec,
+                o_orderpriority AS pri
+         FROM orders),
+       doc AS (
+         SELECT k, d, amt_dec, pri,
+           CASE k%4 WHEN 0 THEN strftime(d,'%Y-%m-%d')
+                    WHEN 1 THEN strftime(d,'%m/%d/%Y')
+                    WHEN 2 THEN strftime(d,'%d-%m-%Y')
+                    ELSE strftime(d,'%Y/%m/%d') END AS fd,
+           strftime(d,'%Y-%m-%d')||'T'||lpad(CAST(k%24 AS VARCHAR),2,'0')||':'||
+             lpad(CAST(k%60 AS VARCHAR),2,'0')||':'||lpad(CAST((k*7)%60 AS VARCHAR),2,'0') AS et,
+           CASE WHEN k%7=0 THEN 'junk' ELSE CAST(amt_dec AS VARCHAR) END AS amt,
+           CASE WHEN k%2=0 THEN 'true' ELSE 'false' END AS boolstr,
+           CASE WHEN k%3=0 THEN CAST(k AS VARCHAR) ELSE CAST(amt_dec AS VARCHAR) END AS mixedstr
+         FROM src)"""
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q11 (T1-T10): the full ETL transform as one oracle query — the
+    // oracle recomputes the expected post-transform values from the base
+    // columns while Spark runs the real parse_json/variant path.
+    "q11_etl_transform" -> QuerySpec(
+      (s, dir) =>
+        Transform.transformFlat(
+          rawOrdersDocs(s, dir), "raw", ordersMapping,
+          EtlDefaults.runtime, EtlDefaults.audit)
+          .orderBy("order_id"),
+      docSql + """
+         SELECT CAST(k AS INTEGER) AS order_id,
+                strftime(d,'%Y-%m-%d') AS order_date,
+                et AS event_ts,
+                CAST(amt_dec AS DECIMAL(38,18)) AS amount,
+                CASE WHEN k%7=0 THEN NULL ELSE CAST(amt_dec AS DECIMAL(38,18)) END AS amount2,
+                (k%2=0) AS is_priority,
+                pri AS priority_label,
+                CASE WHEN k%5=0 THEN NULL ELSE 'note '||CAST(k AS VARCHAR) END AS comment,
+                CAST(NULL AS VARCHAR) AS extra_col,
+                '{"_id":'||CAST(k AS VARCHAR)||',"order_date":"'||fd||'","event_time":"'||et||
+                  '","total":'||CAST(amt_dec AS VARCHAR)||',"amount_str":"'||amt||
+                  '","is_priority":'||boolstr||',"priority":"'||pri||'","mixed":'||mixedstr||
+                  (CASE WHEN k%5=0 THEN '' ELSE ',"comment":"note '||CAST(k AS VARCHAR)||'"' END)||
+                  '}' AS raw_json,
+                CASE WHEN k%5=0 THEN '["comment","extra_col"]' ELSE '["extra_col"]' END AS missing_columns,
+                CASE WHEN k%7=0 THEN 1 ELSE 0 END AS n_errors,
+                CASE WHEN k%7=0 THEN 'error' ELSE 'success' END AS status,
+                CAST(k AS VARCHAR) AS object_id
+         FROM doc ORDER BY order_id""")
+  )
+}
