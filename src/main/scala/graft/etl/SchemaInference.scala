@@ -1,0 +1,117 @@
+package graft.etl
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema-inference operators I1–I4 (reference
+  * `ui/run_pipeline.py:261-355`), as ONE distributed aggregation:
+  *
+  *   parse_json → cast to map<string,variant> → explode →
+  *   per-value type label (I3) → groupBy(attribute) collect_set (I2) →
+  *   vote resolution + object-id pick (I4).
+  *
+  * The reference scans ALL documents (not a sample) — so does this; at
+  * scale the labeling is map-side and the shuffle carries one row per
+  * (attribute, distinct-label), i.e. tiny.
+  *
+  * Vote resolution (`_infer_type`, `run_pipeline.py:278-299`): no
+  * observed types → text; a single type wins; {integer,numeric} →
+  * numeric; any other mix → text. String sniffing (`_infer_value_type`,
+  * `:302-319`) probes datetime formats BEFORE date formats, then
+  * integer, then float, else text. JSON null values don't vote but keep
+  * the attribute in the union (I1).
+  */
+object SchemaInference {
+
+  /** `DATE_ONLY_FORMATS` (`run_pipeline.py:18-24`). */
+  val dateOnlyFormats: Seq[String] =
+    Seq("%Y-%m-%d", "%m/%d/%Y", "%d-%m-%Y", "%Y/%m/%d", "%Y.%m.%d")
+
+  /** `DATETIME_FORMATS` (`run_pipeline.py:26-32`). */
+  val datetimeFormats: Seq[String] = Seq(
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S.%fZ",
+    "%d-%m-%Y %H:%M:%S",
+    "%m/%d/%Y %I:%M %p")
+
+  private def firstMatch(s: Column, formats: Seq[String]): Column =
+    coalesce(formats.map(f =>
+      try_to_timestamp(s, lit(StrptimeFormats.toParsePattern(f)))): _*)
+
+  /** I3 — the per-value type label for a variant value (null for JSON
+    * nulls, which must not vote).
+    */
+  def valueTypeLabel(vv: Column): Column = {
+    val vt = schema_of_variant(vv)
+    val s = vv.try_cast("string")
+    when(is_variant_null(vv), lit(null).cast("string"))
+      .when(vt === "BOOLEAN", "boolean")
+      .when(vt === "BIGINT", "integer")
+      .when(vt === "DOUBLE" || vt.startsWith("DECIMAL"), "numeric")
+      .when(vt === "STRING",
+        when(firstMatch(s, datetimeFormats).isNotNull, "datetime")
+          .when(firstMatch(s, dateOnlyFormats).isNotNull, "date")
+          // int(s): integral strings only (DuckDB's try_cast would round,
+          // so both engines sniff integers with this regex)
+          .when(s.rlike("^[+-]?[0-9]+$"), "integer")
+          .when(s.try_cast("double").isNotNull, "numeric")
+          .otherwise("text"))
+      .otherwise("text") // lists/objects stringify to text in the reference
+  }
+
+  /** I2 resolution over the distinct observed labels. */
+  def resolveVotes(votes: Column): Column =
+    when(size(votes) === 0, "text")
+      .when(size(votes) === 1, element_at(votes, 1))
+      .when(size(filter(votes, v => !v.isin("integer", "numeric"))) === 0, "numeric")
+      .otherwise("text")
+
+  /** I1+I2+I3+I4 — infer the schema of a raw-JSON document DataFrame.
+    * Returns (attribute, inferred_type, is_object_id), sorted by
+    * attribute (the reference's `_collect_attributes` sorts).
+    */
+  def inferSchema(raw: DataFrame, rawCol: String): DataFrame = {
+    val exploded = raw
+      .select(explode(parse_json(col(rawCol)).try_cast("map<string,variant>"))
+        .as(Seq("attribute", "vv")))
+    val votes = exploded
+      .groupBy("attribute")
+      .agg(array_sort(collect_set(valueTypeLabel(col("vv")))).as("votes"))
+      .select(col("attribute"), resolveVotes(col("votes")).as("inferred_type"))
+    // I4: _id > id > first (alphabetically first = the sorted head).
+    val chosen = votes.agg(
+      coalesce(
+        max(when(col("attribute") === "_id", "_id")),
+        max(when(col("attribute") === "id", "id")),
+        min(col("attribute"))).as("__chosen"))
+    votes
+      .crossJoin(broadcast(chosen))
+      .select(
+        col("attribute"),
+        col("inferred_type"),
+        (col("attribute") === col("__chosen")).as("is_object_id"))
+      .orderBy("attribute")
+  }
+
+  /** `_build_mapping_config` (`run_pipeline.py:240-258`): turn an
+    * inferred schema into a placeholder CollectionMapping (identity
+    * column names, inferred types, `<schema>.<collection>` target).
+    */
+  def inferMapping(
+      raw: DataFrame,
+      rawCol: String,
+      collectionName: String,
+      targetSchema: String = "public"): CollectionMapping = {
+    val rows = inferSchema(raw, rawCol).collect()
+    val attrs = rows.map(r => r.getString(0) -> r.getString(1))
+    val objectId = rows.find(_.getBoolean(2)).map(_.getString(0)).getOrElse("id")
+    CollectionMapping(
+      targetTable = s"$targetSchema.$collectionName",
+      rawJsonColumn = "raw_json",
+      objectIdAttribute = objectId,
+      mappings = ListMap(attrs.map { case (a, t) => a -> AttributeMapping(a, t) }: _*))
+  }
+}

@@ -128,6 +128,55 @@ object EtlQueries {
                 CASE WHEN k%7=0 THEN 1 ELSE 0 END AS n_errors,
                 CASE WHEN k%7=0 THEN 'error' ELSE 'success' END AS status,
                 CAST(k AS VARCHAR) AS object_id
-         FROM doc ORDER BY order_id""")
+         FROM doc ORDER BY order_id"""),
+
+    // Q12 (I1-I4): type-vote schema inference over the same corpus. The
+    // oracle rebuilds the per-value label stream (JSON-native types are
+    // structural; string attrs re-sniffed with the same datetime→date→
+    // int-regex→float→text ladder) and applies the identical vote
+    // resolution + _id>id>first object-id pick.
+    "q12_schema_inference" -> QuerySpec(
+      (s, dir) =>
+        SchemaInference.inferSchema(rawOrdersDocs(s, dir), "raw"),
+      docSql + """,
+         sniffed AS (
+           SELECT attribute, CASE
+             WHEN try_strptime(v, ['%Y-%m-%dT%H:%M:%S','%Y-%m-%dT%H:%M:%S%z',
+                                   '%Y-%m-%dT%H:%M:%S.%fZ','%d-%m-%Y %H:%M:%S',
+                                   '%m/%d/%Y %I:%M %p']) IS NOT NULL THEN 'datetime'
+             WHEN try_strptime(v, ['%Y-%m-%d','%m/%d/%Y','%d-%m-%Y','%Y/%m/%d',
+                                   '%Y.%m.%d']) IS NOT NULL THEN 'date'
+             WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN 'integer'
+             WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'numeric'
+             ELSE 'text' END AS label
+           FROM (
+             SELECT 'order_date' AS attribute, fd AS v FROM doc
+             UNION ALL SELECT 'event_time', et FROM doc
+             UNION ALL SELECT 'amount_str', amt FROM doc
+             UNION ALL SELECT 'priority', pri FROM doc
+             UNION ALL SELECT 'comment', 'note '||CAST(k AS VARCHAR) FROM doc WHERE k%5<>0)),
+         labels AS (
+           SELECT attribute, label FROM sniffed
+           UNION ALL SELECT '_id', 'integer' FROM doc
+           UNION ALL SELECT 'total', 'numeric' FROM doc
+           UNION ALL SELECT 'is_priority', 'boolean' FROM doc
+           UNION ALL SELECT 'mixed', CASE WHEN k%3=0 THEN 'integer' ELSE 'numeric' END FROM doc),
+         votes AS (
+           SELECT attribute, list_sort(list_distinct(list(label))) AS vs
+           FROM labels GROUP BY 1),
+         resolved AS (
+           SELECT attribute, CASE
+             WHEN len(vs) = 0 THEN 'text'
+             WHEN len(vs) = 1 THEN vs[1]
+             WHEN len(list_filter(vs, v -> v NOT IN ('integer','numeric'))) = 0 THEN 'numeric'
+             ELSE 'text' END AS inferred_type
+           FROM votes),
+         chosen AS (
+           SELECT coalesce(max(CASE WHEN attribute = '_id' THEN '_id' END),
+                           max(CASE WHEN attribute = 'id' THEN 'id' END),
+                           min(attribute)) AS c
+           FROM resolved)
+         SELECT r.attribute, r.inferred_type, (r.attribute = chosen.c) AS is_object_id
+         FROM resolved r CROSS JOIN chosen ORDER BY r.attribute""")
   )
 }
