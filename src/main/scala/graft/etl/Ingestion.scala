@@ -1,0 +1,75 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.JsonNodeType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1/S7 — the collection-envelope JSON source, reference
+  * `etl_pipeline/ingestion.py:7-30`: one JSON object keyed by collection
+  * name, each value a list of document objects; anything else is an
+  * InputError naming the offending collection/index.
+  *
+  * The envelope format is inherently whole-file (the reference
+  * materializes it in driver memory too), so the split happens on the
+  * driver and each collection becomes a Dataset of per-document JSON
+  * strings. For 100 TB-scale ingestion use [[fromJsonLines]]: one
+  * JSONL directory per collection, read distributed by `spark.read.text`
+  * with no driver materialization — the transform plane accepts either.
+  */
+object Ingestion {
+
+  private val mapper = new ObjectMapper()
+    .configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+
+  /** Parse + shape-validate an envelope string into per-collection lists
+    * of document-JSON strings (declaration order preserved).
+    */
+  def parseEnvelope(content: String): ListMap[String, Seq[String]] = {
+    val root =
+      try mapper.readTree(content)
+      catch {
+        case e: Exception => throw new InputError(s"Input is not valid JSON: ${e.getMessage}")
+      }
+    if (root == null || root.getNodeType != JsonNodeType.OBJECT)
+      throw new InputError("Input JSON must be an object keyed by collection name.")
+    var result = ListMap.empty[String, Seq[String]]
+    for (name <- root.fieldNames.asScala) {
+      val docs = root.get(name)
+      if (!docs.isArray)
+        throw new InputError(s"Collection '$name' must map to a list of documents.")
+      val rendered = docs.elements.asScala.zipWithIndex.map { case (doc: JsonNode, i) =>
+        if (!doc.isObject)
+          throw new InputError(
+            s"Document at index $i in collection '$name' must be an object.")
+        mapper.writeValueAsString(doc)
+      }.toSeq
+      result = result + (name -> rendered)
+    }
+    result
+  }
+
+  /** `load_input_json` + distribution: envelope file → one DataFrame of
+    * raw-document strings (column `raw`) per collection.
+    */
+  def loadEnvelope(spark: SparkSession, inputPath: String): ListMap[String, DataFrame] = {
+    val path = Paths.get(inputPath)
+    if (!Files.exists(path))
+      throw new InputError(s"Input file not found: $inputPath")
+    import spark.implicits._
+    parseEnvelope(Files.readString(path)).map { case (name, docs) =>
+      name -> docs.toDF("raw")
+    }
+  }
+
+  /** Scale path: a directory of JSONL files per collection (one document
+    * per line), read distributed — no driver materialization, shape
+    * errors surface per-row in the transform (absent keys / parse_json
+    * failures).
+    */
+  def fromJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).withColumnRenamed("value", "raw")
+}

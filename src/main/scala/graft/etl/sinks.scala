@@ -1,0 +1,127 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import java.util.Properties
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The sink plane (K1–K5). The pipeline writes through this interface so
+  * tests run against Parquet while production targets Postgres over
+  * JDBC — replacing the reference's row-at-a-time INSERT + per-document
+  * COMMIT (`postgres_loader.py:63-77`, `pipeline.py:265-266`) with
+  * partition-parallel batched appends (SURVEY §7.4.1: the documented
+  * granularity change).
+  */
+trait TableSink {
+  def tableExists(tableName: String): Boolean
+  def createSchema(schemaName: String): Unit
+  def createTable(tableName: String, columns: Seq[ColumnDef]): Unit
+  def append(df: DataFrame, tableName: String): Unit
+}
+
+/** Test/local sink: one parquet directory per table under `baseDir`
+  * (`schema.table` → `schema.table/`). Array columns (the audit table's
+  * `missing_columns`) are stored as JSON strings to mirror the JSONB
+  * wire format.
+  */
+final class ParquetSink(baseDir: String) extends TableSink {
+
+  private def dir(tableName: String) =
+    Paths.get(baseDir, SchemaScript.normalizeTableName(tableName))
+
+  override def tableExists(tableName: String): Boolean =
+    Files.exists(dir(tableName))
+
+  override def createSchema(schemaName: String): Unit = {
+    val _ = Files.createDirectories(Paths.get(baseDir))
+  }
+
+  override def createTable(tableName: String, columns: Seq[ColumnDef]): Unit = {
+    val _ = Files.createDirectories(dir(tableName))
+  }
+
+  override def append(df: DataFrame, tableName: String): Unit = {
+    val jsonified = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          acc.withColumn(f.name, to_json(col(f.name)))
+        case _ => acc
+      }
+    }
+    jsonified.write.mode("append").parquet(dir(tableName).toString)
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, tableName: String): DataFrame =
+    spark.read.parquet(dir(tableName).toString)
+}
+
+/** Production sink: PostgreSQL over Spark's JDBC writer. K1 appends are
+  * partition-parallel with `batchsize` batching; K2/K3 DDL goes through
+  * one driver-side JDBC connection (`IF NOT EXISTS` keeps the
+  * check-then-act race benign, SURVEY §7.4.7). JSON-typed columns ride
+  * as text with `stringtype=unspecified` so Postgres coerces them into
+  * the JSONB target columns.
+  */
+final class JdbcPostgresSink(db: DatabaseConfig, batchSize: Int = 10000)
+    extends TableSink {
+
+  HostGuard.requireLocal(db.host) // F5
+
+  private def url =
+    s"jdbc:postgresql://${db.host}:${db.port}/${db.name}?stringtype=unspecified" +
+      (if (db.sslmode.nonEmpty) s"&sslmode=${db.sslmode}" else "")
+
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("user", db.user)
+    p.setProperty("password", db.password)
+    p.setProperty("driver", "org.postgresql.Driver")
+    p
+  }
+
+  private def withStatement[A](f: java.sql.Statement => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try f(st)
+      finally st.close()
+    } finally conn.close()
+  }
+
+  override def tableExists(tableName: String): Boolean = {
+    val (schema, table) = SchemaScript.splitTableName(tableName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.prepareStatement(
+        "SELECT 1 FROM information_schema.tables WHERE table_schema = ? AND table_name = ?")
+      st.setString(1, schema)
+      st.setString(2, table)
+      val rs = st.executeQuery()
+      try rs.next()
+      finally { rs.close(); st.close() }
+    } finally conn.close()
+  }
+
+  override def createSchema(schemaName: String): Unit =
+    withStatement { st => val _ = st.execute(SchemaManager.createSchemaSql(schemaName)) }
+
+  override def createTable(tableName: String, columns: Seq[ColumnDef]): Unit =
+    withStatement { st =>
+      val _ = st.execute(SchemaManager.createTableSql(tableName, columns))
+    }
+
+  override def append(df: DataFrame, tableName: String): Unit = {
+    val jsonified = df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          acc.withColumn(f.name, to_json(col(f.name)))
+        case _ => acc
+      }
+    }
+    jsonified.write
+      .mode("append")
+      .option("batchsize", batchSize)
+      .jdbc(url, tableName, props)
+  }
+}
