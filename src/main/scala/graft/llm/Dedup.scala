@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Document deduplication for training-data pipelines: exact (hash
+  * group), MinHash+LSH banding (near-dup at scale), n-gram Jaccard
+  * (exact verify), SimHash. Everything is signature-bucketed — candidate
+  * generation is an equi-join on band/shingle keys, NEVER an all-pairs
+  * cross join, so the plans survive a 100 TB corpus (pairs are bounded
+  * by bucket co-membership, and the heavy shuffle key is the band
+  * signature).
+  */
+object Dedup {
+
+  /** Space-split word array with empties dropped. */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Distinct word n-gram shingles (documents shorter than n words get
+    * their single full-text shingle).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      j => concat_ws(" ", (0 until n).map(o => element_at(w, j + lit(o + 1))): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** Exact dedup: group by content hash, keep the smallest id. Returns
+    * (text_hash, kept_doc_id, dup_count) for groups with duplicates.
+    * One shuffle on the 128-bit hash; map-side partial aggregation.
+    */
+  def exactDuplicates(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(md5(textCol).as("text_hash"))
+      .agg(min(idCol).as("kept_doc_id"), count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Shingle hashes in the MinHash domain. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => hashMod(s))
+
+  /** MinHash signature: for permutation i, `min((a_i*h + b_i) mod P)`
+    * over the document's shingle hashes.
+    */
+  def minhashSignature(hashes: Column, coefficients: Seq[(Long, Long)]): Column =
+    array(coefficients.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(Prime))))
+    }: _*)
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `rowsPerBand`, each rendered `band_h1_..._hr`. Two documents
+    * sharing any band key become a candidate pair.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      concat_ws("_",
+        lit(b) +: (1 to rowsPerBand).map(r =>
+          element_at(signature, b * rowsPerBand + r)): _*)
+    }: _*)
+
+  /** Candidate pairs from banded signatures: explode band keys, equi-join
+    * on the key (id1 < id2), distinct. The join key is the band
+    * signature — bucket-local work only.
+    */
+  def candidatePairs(docs: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+    val a = docs.select(col(idCol).as("id1"), explode(col(bandsCol)).as("band"))
+    val b = docs.select(col(idCol).as("id2"), explode(col(bandsCol)).as("band"))
+    a.join(b, Seq("band"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (the verify stage): join
+    * the shingle sets back and intersect. `sets` must carry
+    * (id, shingle-array).
+    */
+  def jaccardVerify(
+      pairs: DataFrame,
+      sets: DataFrame,
+      idCol: String,
+      setCol: String): DataFrame = {
+    val s1 = sets.select(col(idCol).as("id1"), col(setCol).as("__s1"))
+    val s2 = sets.select(col(idCol).as("id2"), col(setCol).as("__s2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("__inter", size(array_intersect(col("__s1"), col("__s2"))))
+      .select(
+        col("id1"), col("id2"),
+        (col("__inter").cast("double") /
+          (size(col("__s1")) + size(col("__s2")) - col("__inter")))
+          .as("jaccard"))
+  }
+
+  /** Inverted-index n-gram Jaccard: pairs sharing at least one shingle
+    * via a self-join ON the shingle (the classic scale pattern — work is
+    * proportional to posting-list sizes, not to the pair matrix).
+    */
+  def jaccardIndex(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      threshold: Double = 0.2): DataFrame = {
+    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    val posting = sets.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val a = posting.select(col("shingle"), col("id").as("id1"), col("n_sh").as("n1"))
+    val b = posting.select(col("shingle"), col("id").as("id2"), col("n_sh").as("n2"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("inter"), first("n1").as("n1"), first("n2").as("n2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash (default 32-bit): per token-occurrence hash, sum ±1 per bit
+    * position, set the bit where the sum is positive. One explode + one
+    * aggregation with `bits` sum expressions (all map-side combinable).
+    */
+  def simhash(df: DataFrame, idCol: Column, textCol: Column, bits: Int = 32): DataFrame = {
+    val tokens = df.select(idCol.as("id"), explode(words(textCol)).as("w"))
+      .withColumn("h", hash32(col("w")))
+    val sums = (0 until bits).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
+    val sig = (0 until bits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    tokens.groupBy("id")
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), sig.as("simhash"))
+  }
+}

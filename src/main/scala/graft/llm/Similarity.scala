@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search: brute-force cosine top-k as the
+  * baseline and a random-hyperplane LSH-bucketed variant as the scale
+  * path (candidates come from an equi-join on the bucket id, never a
+  * full cross join).
+  *
+  * Determinism note: components are quantized to integers
+  * (`round(x*1000)`), so dot products and norms are EXACT integer
+  * aggregates — order-independent — and the final cosine is the same
+  * double expression over identical integers in any engine. That makes
+  * ranked output oracle-checkable bit-for-bit, which float-accumulation
+  * cosine is not (summation order changes low bits).
+  */
+object Similarity {
+
+  /** Quantize a float embedding to milli-units. */
+  def quantize(embedding: Column): Column =
+    transform(embedding, x => round(x * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from integer dot + integer squared norms. */
+  def cosine(dot: Column, normA: Column, normB: Column): Column =
+    dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))
+
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol),
+      quantize(col(vecCol)).as("__q"))
+      .withColumn("__n", intDot(col("__q"), col("__q")))
+
+  /** Brute-force top-k: every query against every candidate, ranked by
+    * (cosine desc, candidate id). The query side is broadcast — at scale
+    * this is a broadcast nested-loop over the candidate scan, the
+    * correct baseline plan for a small query set.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qv"), col("__n").as("__qn"))
+    val c = prepared(candidates, idCol, vecCol)
+      .select(col(idCol).as("candidate_id"), col("__q").as("__cv"), col("__n").as("__cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        cosine(intDot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("candidate_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "candidate_id", "rank", "cosine")
+  }
+
+  /** Hyperplane LSH bucket id: bit p set when the (quantized) vector's
+    * dot with plane p is positive. Planes are deterministic literals
+    * from [[TextHash.hyperplanes]].
+    */
+  def bucketId(quantized: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeLit = array(plane.map(s => lit(s.toLong)): _*)
+      val dot = aggregate(
+        zip_with(quantized, planeLit, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: queries join candidates sharing their bucket id
+    * (equi-join ⇒ bucket-pruned work), then exact integer-cosine ranking
+    * within the bucket. Queries whose bucket holds no candidate yield no
+    * rows — the standard recall/cost trade, measured in the spec against
+    * the brute-force baseline.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Seq[Seq[Int]]): DataFrame = {
+    val q = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qv"), col("__n").as("__qn"),
+        bucketId(col("__q"), planes).as("__bucket"))
+    val c = prepared(candidates, idCol, vecCol)
+      .select(col(idCol).as("candidate_id"), col("__q").as("__cv"), col("__n").as("__cn"),
+        bucketId(col("__q"), planes).as("__bucket"))
+    c.join(broadcast(q), Seq("__bucket"))
+      .withColumn("cosine",
+        cosine(intDot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("candidate_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "candidate_id", "rank", "cosine")
+  }
+}

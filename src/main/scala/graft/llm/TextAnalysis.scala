@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + subword-ish regex), language-ID by marker-token
+  * scoring, quality features, and shingle-hash document fingerprints.
+  * All pure column expressions — single pass, codegen-friendly, no UDFs.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = Dedup.words(text)
+
+  /** Default marker-token lists (the fixtures' vocabulary clusters);
+    * real deployments supply per-language stopword lists the same way.
+    */
+  val markerLists: Seq[(String, Seq[String])] = Seq(
+    "struct" -> Seq("table", "row", "scan", "filter", "sort"),
+    "flow" -> Seq("join", "merge", "batch", "group", "hash"),
+    "core" -> Seq("data", "stream", "query", "window", "spark"))
+
+  /** Whitespace token count + a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCounts(text: Column): (Column, Column) = (
+    size(words(text)),
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+
+  /** Marker-token language scoring: count token occurrences from each
+    * marker list; the guess is the first list with the maximal score
+    * (ties resolve in list order). Lists default to [[markerLists]].
+    */
+  def languageScores(text: Column, lists: Seq[(String, Seq[String])]): Seq[Column] =
+    lists.map { case (_, markers) =>
+      size(filter(words(text), w => w.isin(markers: _*)))
+    }
+
+  def languageGuess(scores: Seq[Column], names: Seq[String]): Column =
+    names.zip(scores).zipWithIndex.foldRight(lit(names.last)) {
+      case (((name, score), i), acc) =>
+        val rest = scores.drop(i + 1)
+        if (rest.isEmpty) acc
+        else when(rest.map(score >= _).reduce(_ && _), name).otherwise(acc)
+    }
+
+  /** Quality features: token counts, long-token count, digit/punct
+    * counts, and two derived ratios (double expressions over exact
+    * integers — deterministic across engines).
+    */
+  def qualityFeatures(text: Column, nChars: Column): Seq[(String, Column)] = {
+    val w = words(text)
+    val nTokens = size(w)
+    val nLong = size(filter(w, x => length(x) > 4))
+    val nDigits = length(text) - length(regexp_replace(text, "[0-9]", ""))
+    val nPunct = length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))
+    Seq(
+      "n_tokens" -> nTokens,
+      "n_long_tokens" -> nLong,
+      "n_digits" -> nDigits,
+      "n_punct" -> nPunct,
+      "long_ratio" -> nLong.cast("double") / nTokens,
+      "chars_per_token" -> nChars.cast("double") / nTokens)
+  }
+
+  /** Document fingerprint over shingle hashes: min/max/xor + distinct
+    * shingle count (a winnowing-style content signature; identical for
+    * identical content, robust to re-ordering of duplicated shingles).
+    */
+  def fingerprint(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame =
+    df.select(idCol.as("doc_id"), explode(Dedup.shingles(textCol, n)).as("sh"))
+      .withColumn("h", hashMod(col("sh")))
+      .groupBy("doc_id")
+      .agg(
+        min(col("h")).as("fp_min"),
+        max(col("h")).as("fp_max"),
+        bit_xor(col("h")).as("fp_xor"),
+        count(lit(1)).as("n_shingles"))
+}

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm._
+import graft.llm.TextHash._
+
+/** The training-data-pipeline operator surface (dedup, similarity
+  * search, text analysis) as oracle-checked queries. Oracles replicate
+  * the exact arithmetic in DuckDB: the shared md5-prefix hash, integer-
+  * quantized embeddings (so dot products are exact and cosine is the
+  * identical double expression), and literal MinHash/hyperplane
+  * coefficients generated once on the JVM and embedded in both plans.
+  */
+object LlmQueries {
+
+  private val MinhashN = 16
+  private val Bands = 4
+  private val RowsPerBand = 4
+  private val coeffs = minhashCoefficients(MinhashN)
+  // 6 hyperplanes → 64 buckets: at the fixtures' 500 vectors each query
+  // bucket holds candidates with high probability; production tunes
+  // bits-per-bucket to corpus size (and multi-probes for recall).
+  private val Planes = 6
+  private val Dim = 64
+  private val planes = hyperplanes(Planes, Dim)
+
+  /** Near-dup test corpus: the documents plus exact copies (every 5th)
+    * and tail-perturbed near copies (every 7th), id-shifted — identical
+    * construction in the oracle.
+    */
+  def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" graft extra tail")).as("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL SELECT doc_id+10000, text FROM documents WHERE doc_id%5=0
+         UNION ALL SELECT doc_id+20000, text || ' graft extra tail'
+           FROM documents WHERE doc_id%7=0)"""
+
+  /** Shared shingle CTEs over a corpus relation (3-word shingles,
+    * distinct, with the short-document fallback mirroring
+    * `Dedup.shingles`).
+    */
+  private val shingleSql =
+    """w AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS ws
+            FROM corpus),
+       sh0 AS (SELECT doc_id,
+                 unnest(CASE WHEN len(ws) >= 3
+                             THEN list_transform(generate_series(1, len(ws)-2),
+                                                 j -> ws[j]||' '||ws[j+1]||' '||ws[j+2])
+                             ELSE [array_to_string(ws, ' ')] END) AS s
+               FROM w),
+       sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       shh AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647 AS h
+               FROM sh),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
+  private val coefSql =
+    coeffs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString("coef(i, a, b) AS (SELECT * FROM (VALUES ", ", ", "))")
+
+  private val planesSql =
+    s"""planes AS (
+          SELECT p, d,
+                 CASE WHEN ('0x'||substr(md5(CAST(p AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,15))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END AS sg
+          FROM generate_series(0, ${Planes - 1}) t(p),
+               generate_series(1, $Dim) u(d))"""
+
+  private def quantSql(rel: String, pred: String) =
+    s"""(SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+         FROM $rel WHERE $pred)"""
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // --- dedup --------------------------------------------------------------
+
+    // Exact dedup: content-hash group, keep smallest id (one shuffle on
+    // the md5 key, map-side combined).
+    "q20_exact_dedup" -> QuerySpec(
+      (s, dir) =>
+        Dedup.exactDuplicates(nearDupCorpus(s, dir), col("doc_id"), col("text"))
+          .orderBy("text_hash"),
+      s"""WITH $corpusSql
+          SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id,
+                 count(*) AS dup_count
+          FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""),
+
+    // MinHash + LSH banding near-dup pipeline: signatures → band-key
+    // equi-join candidates → exact-Jaccard verify ≥ 0.5. Never a cross
+    // join; candidates are bounded by band-bucket co-membership.
+    "q21_minhash_lsh" -> QuerySpec(
+      (s, dir) => {
+        val sets = nearDupCorpus(s, dir)
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+        val banded = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+        val pairs = Dedup.candidatePairs(banded, "doc_id", "bands")
+        Dedup.jaccardVerify(pairs, sets, "doc_id", "sh")
+          .filter(col("jaccard") >= 0.5)
+          .orderBy("id1", "id2")
+      },
+      s"""WITH $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                    FROM bandt a JOIN bandt b USING (band)
+                    WHERE a.doc_id < b.doc_id),
+          inter AS (SELECT p.id1, p.id2, count(*) AS i
+                    FROM pairs p
+                    JOIN sh s1 ON s1.doc_id = p.id1
+                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
+                    GROUP BY 1, 2)
+          SELECT i.id1, i.id2,
+                 i.i / (n1.n + n2.n - i.i) AS jaccard
+          FROM inter i
+          JOIN sizes n1 ON n1.doc_id = i.id1
+          JOIN sizes n2 ON n2.doc_id = i.id2
+          WHERE i.i / (n1.n + n2.n - i.i) >= 0.5
+          ORDER BY id1, id2"""),
+
+    // Inverted-index n-gram Jaccard: pairs sharing a shingle via
+    // posting-list self-join (work ∝ posting sizes, not the pair matrix).
+    "q22_ngram_jaccard" -> QuerySpec(
+      (s, dir) =>
+        Dedup.jaccardIndex(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          col("doc_id"), col("text"), n = 3, threshold = 0.02)
+          .orderBy("id1", "id2"),
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+          $shingleSql,
+          inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+                    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT i.id1, i.id2, i.i / (n1.n + n2.n - i.i) AS jaccard
+          FROM inter i
+          JOIN sizes n1 ON n1.doc_id = i.id1
+          JOIN sizes n2 ON n2.doc_id = i.id2
+          WHERE i.i / (n1.n + n2.n - i.i) >= 0.02
+          ORDER BY id1, id2"""),
+
+    // SimHash signatures (32-bit): one explode + one aggregation with 32
+    // map-side-combinable bit sums.
+    "q23_simhash" -> QuerySpec(
+      (s, dir) =>
+        Dedup.simhash(Tables.documents(s, dir), col("doc_id"), col("text"))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      """WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+                      FROM documents),
+          th AS (SELECT doc_id, ('0x'||substr(md5(word),1,8))::BIGINT AS h FROM tok),
+          bits AS (SELECT doc_id, j, sum(((h >> j) & 1)*2 - 1) AS s
+                   FROM th, generate_series(0, 31) g(j) GROUP BY 1, 2)
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY 1 ORDER BY 1"""),
+
+    // --- similarity search --------------------------------------------------
+
+    // Brute-force cosine top-10 baseline: broadcast the (tiny) query set
+    // over the candidate scan; integer-quantized dot products make the
+    // ranking engine-exact.
+    "q24_ann_bruteforce" -> QuerySpec(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+          "vec_id", "embedding", k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH qv AS ${quantSql("embeddings", "vec_id < 5")},
+          cv AS ${quantSql("embeddings", "vec_id >= 5")},
+          qn AS (SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM qv),
+          cn AS (SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM cv),
+          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                       CAST(CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                         / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE))) AS cosine
+                     FROM cn c CROSS JOIN qn q),
+          ranked AS (SELECT query_id, candidate_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, candidate_id) AS rank
+                     FROM scored)
+          SELECT query_id, candidate_id, rank, cosine
+          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""),
+
+    // LSH-bucketed ANN (scale path): 16 deterministic hyperplane sign
+    // bits → bucket id → equi-join prunes candidates to the query's
+    // bucket → exact ranking within.
+    "q25_ann_lsh" -> QuerySpec(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+          "vec_id", "embedding", k = 3, planes = planes)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH $planesSql,
+          av AS ${quantSql("embeddings", "TRUE")},
+          an AS (SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM av),
+          dots AS (SELECT vec_id, p, sum(sg * e[d]) AS s
+                   FROM av CROSS JOIN planes GROUP BY 1, 2),
+          buck AS (SELECT vec_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                   FROM dots GROUP BY 1),
+          qn AS (SELECT an.vec_id, e, n, bucket FROM an JOIN buck USING (vec_id) WHERE an.vec_id < 5),
+          cn AS (SELECT an.vec_id, e, n, bucket FROM an JOIN buck USING (vec_id) WHERE an.vec_id >= 5),
+          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                       CAST(CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                         / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE))) AS cosine
+                     FROM cn c JOIN qn q ON c.bucket = q.bucket),
+          ranked AS (SELECT query_id, candidate_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, candidate_id) AS rank
+                     FROM scored)
+          SELECT query_id, candidate_id, rank, cosine
+          FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // --- text analysis ------------------------------------------------------
+
+    // Marker-token language scoring with deterministic tie order.
+    "q26_lang_id" -> QuerySpec(
+      (s, dir) => {
+        val lists = TextAnalysis.markerLists
+        val scores = TextAnalysis.languageScores(col("text"), lists)
+        Tables.documents(s, dir).select(
+          col("doc_id") +:
+            TextAnalysis.languageGuess(scores, lists.map(_._1)).as("lang_guess") +:
+            scores.zip(lists).map { case (sc, (n, _)) =>
+              sc.cast("bigint").as(s"s_$n")
+            }: _*)
+          .orderBy("doc_id")
+      },
+      """WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents),
+          sc AS (SELECT doc_id,
+                   len(list_filter(ws, x -> x IN ('table','row','scan','filter','sort'))) AS s1,
+                   len(list_filter(ws, x -> x IN ('join','merge','batch','group','hash'))) AS s2,
+                   len(list_filter(ws, x -> x IN ('data','stream','query','window','spark'))) AS s3
+                 FROM w)
+          SELECT doc_id,
+                 CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'struct'
+                      WHEN s2 >= s3 THEN 'flow' ELSE 'core' END AS lang_guess,
+                 s1 AS s_struct, s2 AS s_flow, s3 AS s_core
+          FROM sc ORDER BY doc_id"""),
+
+    // Quality features: exact integer counts + ratio doubles over them.
+    "q27_quality_score" -> QuerySpec(
+      (s, dir) => {
+        val feats = TextAnalysis.qualityFeatures(col("text"), col("n_chars"))
+        Tables.documents(s, dir).select(
+          col("doc_id") +: feats.map { case (name, c) =>
+            (if (name.startsWith("n_")) c.cast("bigint") else c).as(name)
+          }: _*)
+          .orderBy("doc_id")
+      },
+      """WITH w AS (SELECT doc_id, n_chars, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                    FROM documents)
+          SELECT doc_id,
+                 len(ws) AS n_tokens,
+                 len(list_filter(ws, x -> length(x) > 4)) AS n_long_tokens,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                 length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS n_punct,
+                 CAST(len(list_filter(ws, x -> length(x) > 4)) AS DOUBLE) / len(ws) AS long_ratio,
+                 CAST(n_chars AS DOUBLE) / len(ws) AS chars_per_token
+          FROM w ORDER BY doc_id"""),
+
+    // Token counting: whitespace + BPE-ish regex tokens.
+    "q28_token_count" -> QuerySpec(
+      (s, dir) => {
+        val (ws, sub) = TextAnalysis.tokenCounts(col("text"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          ws.cast("bigint").as("ws_tokens"),
+          sub.cast("bigint").as("subword_tokens"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS subword_tokens
+         FROM documents ORDER BY doc_id"""),
+
+    // Shingle-hash document fingerprints.
+    "q29_fingerprint" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.fingerprint(
+          Tables.documents(s, dir), col("doc_id"), col("text"))
+          .orderBy("doc_id"),
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $shingleSql
+          SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
+                 bit_xor(h) AS fp_xor, count(*) AS n_shingles
+          FROM shh GROUP BY 1 ORDER BY 1""")
+  )
+}

@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class LlmSpec extends AnyFunSuite with SparkTestSession {
+  import TextHash._
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: 3-gram windows, distinct, short-text fallback") {
+    val r = df(1L -> "a b c d c d", 2L -> "x y")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getSeq[String](1).toSet == Set("a b c", "b c d", "c d c", "d c d"))
+    assert(r(1).getSeq[String](1).toList == List("x y"))
+  }
+
+  test("exact dedup groups by content hash") {
+    val r = Dedup.exactDuplicates(
+      df(1L -> "same text here", 2L -> "same text here", 3L -> "different"),
+      col("doc_id"), col("text")).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getLong(2) == 2L)
+  }
+
+  test("minhash: identical texts → identical signatures; banding pairs them") {
+    val coeffs = minhashCoefficients(16)
+    val sets = df(1L -> "w1 w2 w3 w4 w5 w6", 2L -> "w1 w2 w3 w4 w5 w6", 3L -> "q r s t u v")
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val banded = sets
+      .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+      .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+      .withColumn("bands", Dedup.bandKeys(col("sig"), 4, 4))
+    val sigs = banded.select("doc_id", "sig").orderBy("doc_id").collect()
+    assert(sigs(0).getSeq[Long](1) == sigs(1).getSeq[Long](1))
+    assert(sigs(0).getSeq[Long](1) != sigs(2).getSeq[Long](1))
+    val pairs = Dedup.candidatePairs(banded, "doc_id", "bands").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val j = Dedup.jaccardVerify(
+      Dedup.candidatePairs(banded, "doc_id", "bands"), sets, "doc_id", "sh").head()
+    assert(j.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical equal; near-identical closer than unrelated") {
+    val r = Dedup.simhash(
+      df(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+        2L -> "alpha beta gamma delta epsilon zeta eta iota",
+        3L -> "one two three four five six seven eight"),
+      col("doc_id"), col("text")).orderBy("id").collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val Seq(s1, s2, s3) = r.map(_.getLong(1)).toSeq
+    assert(ham(s1, s2) < ham(s1, s3))
+  }
+
+  test("integer-quantized cosine: self=1, orthogonal=0, topK ranks correctly") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (10L, Array(2f, 0f, 0f)),   // same direction as query → cos 1
+      (11L, Array(0f, 3f, 0f)),   // orthogonal → cos 0
+      (12L, Array(1f, 1f, 0f)))   // cos ≈ 0.707
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" === 0), emb.filter($"vec_id" > 0),
+      "vec_id", "embedding", k = 3).orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(10L, 12L, 11L))
+    assert(math.abs(top(0).getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(top(1).getDouble(3) - math.sqrt(0.5)) < 1e-3)
+    assert(math.abs(top(2).getDouble(3)) < 1e-12)
+  }
+
+  test("lsh topK scores agree with brute force for returned pairs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val planes = hyperplanes(6, 64)
+    val q = emb.filter($"vec_id" < 5)
+    val c = emb.filter($"vec_id" >= 5)
+    val brute = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 1000)
+      .select($"query_id", $"candidate_id", $"cosine".as("bcos"))
+    val lsh = Similarity.lshTopK(q, c, "vec_id", "embedding", 3, planes)
+    val joined = lsh.join(brute, Seq("query_id", "candidate_id"))
+    assert(lsh.count() == joined.filter($"cosine" === $"bcos").count())
+  }
+
+  test("language guess ties resolve in list order; token counts match") {
+    val lists = TextAnalysis.markerLists
+    val scores = TextAnalysis.languageScores(col("text"), lists)
+    val r = df(1L -> "table join data", 2L -> "join merge table", 3L -> "stream query data x!")
+      .select(col("doc_id"),
+        TextAnalysis.languageGuess(scores, lists.map(_._1)).as("g"),
+        TextAnalysis.tokenCounts(col("text"))._1.as("ws"),
+        TextAnalysis.tokenCounts(col("text"))._2.as("sub"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "struct") // 1-1-1 tie → first list
+    assert(r(1).getString(1) == "flow")
+    assert(r(2).getString(1) == "core")
+    assert(r(2).getInt(2) == 4 && r(2).getInt(3) == 5) // "x!" → 2 subword tokens
+  }
+
+  test("fingerprint is content-determined and permutation-sensitive") {
+    val fp = TextAnalysis.fingerprint(
+      df(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "f e d c b a"),
+      col("doc_id"), col("text")).orderBy("doc_id").collect()
+    assert(fp(0).getLong(1) == fp(1).getLong(1) && fp(0).getLong(3) == fp(1).getLong(3))
+    assert(fp(0).getLong(1) != fp(2).getLong(1) || fp(0).getLong(3) != fp(2).getLong(3))
+  }
+
+  test("jvm hash matches the Spark-side md5 prefix hash") {
+    import spark.implicits._
+    val s = "graft determinism probe"
+    val sparkVal = Seq(s).toDF("x").select(hash60(col("x"))).head().getLong(0)
+    assert(sparkVal == jvmHash60(s))
+  }
+}
