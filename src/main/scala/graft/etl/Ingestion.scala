@@ -72,4 +72,22 @@ object Ingestion {
     */
   def fromJsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumnRenamed("value", "raw")
+
+  /** K6 — filtered-input re-write (reference `ui/run_pipeline.py:56-61`,
+    * `386-392`): subset an envelope to selected collections and persist
+    * it (2-space indented, like the reference's `json.dumps(indent=2)`).
+    */
+  def writeFilteredEnvelope(
+      envelope: ListMap[String, Seq[String]],
+      collections: Seq[String],
+      outPath: String): Unit = {
+    val selected = envelope.filter { case (k, _) => collections.contains(k) }
+    val writer = mapper.writerWithDefaultPrettyPrinter()
+    val root = mapper.createObjectNode()
+    for ((name, docs) <- selected) {
+      val arr = root.putArray(name)
+      docs.foreach(d => arr.add(mapper.readTree(d)))
+    }
+    Files.writeString(Paths.get(outPath), writer.writeValueAsString(root))
+  }
 }

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.HostGuard
+
+/** S2/S3 — MongoDB collection source (reference `ui/mongo_ingest.py:94-105`
+  * / preview `ui/mapping_editor.py:391-409`).
+  *
+  * Uses the mongo-spark-connector's `format("mongodb")` (string-bound, so
+  * this compiles without the connector jar; deployments add it to the
+  * classpath). The BSON→JSON normalization the reference applies
+  * (ObjectId→str, datetime→ISO) happens on read: `_id` is cast to
+  * string and the full document is re-serialized with `to_json`, which
+  * renders timestamps in ISO form — feeding the same raw-doc transform
+  * path as the file source.
+  */
+object MongoSource {
+
+  def read(
+      spark: SparkSession,
+      uri: String,
+      database: String,
+      collection: String): DataFrame = {
+    requireLocalUri(uri)
+    spark.read
+      .format("mongodb")
+      .option("spark.mongodb.read.connection.uri", uri)
+      .option("spark.mongodb.read.database", database)
+      .option("spark.mongodb.read.collection", collection)
+      .load()
+  }
+
+  /** The collection as raw-JSON document strings (column `raw`) — the
+    * transform plane's input contract, with `_id` stringified first the
+    * way the reference's serializer does.
+    */
+  def readRaw(
+      spark: SparkSession,
+      uri: String,
+      database: String,
+      collection: String): DataFrame = {
+    val df = read(spark, uri, database, collection)
+    val normalized =
+      if (df.columns.contains("_id")) df.withColumn("_id", col("_id").cast("string"))
+      else df
+    normalized.select(to_json(struct(normalized.columns.map(col).toSeq: _*)).as("raw"))
+  }
+
+  /** S3 — 1-document preview per collection for mapping inference. */
+  def preview(
+      spark: SparkSession,
+      uri: String,
+      database: String,
+      collection: String): DataFrame =
+    readRaw(spark, uri, database, collection).limit(1)
+
+  /** F5 — the reference rejects non-local Mongo hosts
+    * (`ui/mongo_ingest.py:27-29`).
+    */
+  private[sources] def requireLocalUri(uri: String): Unit = {
+    val host = uri.stripPrefix("mongodb://").stripPrefix("mongodb+srv://")
+      .takeWhile(c => c != ':' && c != '/' && c != '?')
+      .split('@').last
+    HostGuard.requireLocal(host, "MongoDB")
+  }
+}
