@@ -106,8 +106,11 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.2): DataFrame = {
     val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    // both sides of the self-join scan this relation — persist it once
+    // (at cluster scale: checkpoint the posting list)
     val posting = sets.select(col("id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = posting.select(col("shingle"), col("id").as("id1"), col("n_sh").as("n1"))
     val b = posting.select(col("shingle"), col("id").as("id2"), col("n_sh").as("n2"))
     a.join(b, Seq("shingle"))

@@ -105,12 +105,20 @@ object LlmQueries {
     // join; candidates are bounded by band-bucket co-membership.
     "q21_minhash_lsh" -> QuerySpec(
       (s, dir) => {
+        // The shingle/signature relation feeds BOTH sides of the band
+        // self-join and both probes of the verify join — persist it once
+        // or the md5-heavy subtree re-evaluates per consumer (measured
+        // 498s vs ~8s at sf0.1; at cluster scale this is where you
+        // checkpoint signatures).
         val sets = nearDupCorpus(s, dir)
           .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val banded = sets
           .withColumn("hs", transform(col("sh"), h => hashMod(h)))
           .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
           .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select(col("doc_id"), col("bands"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = Dedup.candidatePairs(banded, "doc_id", "bands")
         Dedup.jaccardVerify(pairs, sets, "doc_id", "sh")
           .filter(col("jaccard") >= 0.5)
