@@ -137,6 +137,20 @@ object AuditAnalytics {
         count(when(insertFailureCond, 1)).as("insert_failures"))
       .withColumn("successful", greatest(col("processed") - col("errors"), lit(0L)))
 
+  /** A9: per-object set-union of missing-column names plus the count of
+    * docs with any missing (`reporting.py:30-34`). `array_sort` pins the
+    * element order so output is deterministic.
+    */
+  def missingColumnsUnion(
+      df: DataFrame,
+      objectCol: Column,
+      missingCol: Column): DataFrame =
+    df.groupBy(objectCol.as("object_name"))
+      .agg(
+        array_sort(array_distinct(flatten(collect_list(missingCol))))
+          .as("missing_columns"),
+        count(when(size(missingCol) > 0, 1)).as("docs_with_missing"))
+
   /** J1: full-outer join of two aggregates on shared keys, missing counts
     * zero-filled, sorted date-desc-nulls-last then key-asc (reference
     * `sort_values([date desc, collection asc], na_position="last")`).

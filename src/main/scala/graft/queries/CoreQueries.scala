@@ -171,11 +171,7 @@ object CoreQueries {
             "mc",
             when(col("doc_id") % 10 === 0, lit(null))
               .otherwise(slice(split(col("text"), " "), 1, 3)))
-          .groupBy(col("source").as("object_name"))
-          .agg(
-            array_sort(array_distinct(flatten(collect_list(col("mc")))))
-              .as("missing_columns"),
-            count(when(size(col("mc")) > 0, 1)).as("docs_with_missing"))
+          .transform(d => missingColumnsUnion(d, col("source"), col("mc")))
           .orderBy("object_name"),
       """SELECT source AS object_name,
                 list_sort(list_distinct(COALESCE(flatten(list(mc) FILTER (WHERE mc IS NOT NULL)),
