@@ -247,6 +247,59 @@ object LlmQueries {
           SELECT query_id, candidate_id, rank, cosine
           FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
 
+    // Embedding-cosine near-dup: planted exact copies + first-component-
+    // zeroed near copies, candidates from LSH bucket co-membership
+    // (equi-join), cosine ≥ 0.98 verify — the vector analog of q21.
+    "q30_embedding_neardup" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val corpus = e
+          .unionByName(e.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+          .unionByName(e.filter(col("vec_id") % 13 === 0)
+            .select((col("vec_id") + 20000).as("vec_id"),
+              concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding")))
+        val prepped = corpus
+          .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+          .withColumn("n", Similarity.intDot(col("q"), col("q")))
+          .withColumn("bucket", Similarity.bucketId(col("q"), planes))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val a = prepped.select(col("bucket"), col("vec_id").as("id1"),
+          col("q").as("q1"), col("n").as("n1"))
+        val b = prepped.select(col("bucket"), col("vec_id").as("id2"),
+          col("q").as("q2"), col("n").as("n2"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id1") < col("id2"))
+          .withColumn("cosine",
+            Similarity.cosine(Similarity.intDot(col("q1"), col("q2")), col("n1"), col("n2")))
+          .filter(col("cosine") >= 0.98)
+          .select("id1", "id2", "cosine")
+          .orderBy("id1", "id2")
+      },
+      s"""WITH $planesSql,
+          corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id+10000, embedding FROM embeddings WHERE vec_id%10=0
+            UNION ALL SELECT vec_id+20000, [CAST(0.0 AS FLOAT)] || embedding[2:64]
+              FROM embeddings WHERE vec_id%13=0),
+          av AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+                 FROM corpus),
+          an AS (SELECT vec_id, e,
+                   CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM av),
+          dots AS (SELECT vec_id, p, sum(sg * e[d]) AS s
+                   FROM av CROSS JOIN planes GROUP BY 1, 2),
+          buck AS (SELECT vec_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                   FROM dots GROUP BY 1),
+          pr AS (SELECT an.vec_id, e, n, bucket FROM an JOIN buck USING (vec_id)),
+          pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                      CAST(CAST(list_sum(list_transform(list_zip(a.e, b.e), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                        / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cosine
+                    FROM pr a JOIN pr b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.98
+          ORDER BY id1, id2"""),
+
     // --- text analysis ------------------------------------------------------
 
     // Marker-token language scoring with deterministic tie order.
