@@ -1,0 +1,43 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot grouping keys: two-stage salted aggregation.
+  *
+  * Stage 1 groups by (key, salt) — the hot key's rows spread over
+  * `saltBuckets` reducers; stage 2 merges the per-salt partials. The
+  * stage-2 shuffle carries at most `saltBuckets` rows per key, so a key
+  * holding 50% of a 100 TB table no longer lands on one executor.
+  *
+  * Use for algebraic aggregates (count/sum/min/max — anything with a
+  * merge step). AQE's skew handling covers joins; this covers the
+  * aggregation path AQE doesn't split.
+  */
+object SkewedAgg {
+
+  /** Salted count per key: equivalent to
+    * `df.groupBy(key).agg(count(*))` under any skew.
+    */
+  def saltedCount(df: DataFrame, key: Column, saltBuckets: Int = 32): DataFrame =
+    df.groupBy(key.as("key"), (rand(seed = 7) * saltBuckets).cast("int").as("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("__partial")).as("cnt"))
+
+  /** General salted aggregation: `partials` computes stage-1 aggregates
+    * over (key, salt); `merges` combines them per key — e.g.
+    * `saltedAgg(df, $"k", Seq(count(lit(1)).as("c"), sum($"x").as("s")),
+    *            Seq(sum($"c").as("cnt"), sum($"s").as("total")))`.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: Column,
+      partials: Seq[Column],
+      merges: Seq[Column],
+      saltBuckets: Int = 32): DataFrame =
+    df.groupBy(key.as("key"), (rand(seed = 7) * saltBuckets).cast("int").as("__salt"))
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(col("key"))
+      .agg(merges.head, merges.tail: _*)
+}

@@ -1,0 +1,69 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The two scale techniques that can't show up in the oracle queries:
+  * salted aggregation (skewed keys) and bucketed co-located joins
+  * (shuffle-free repeated joins).
+  */
+class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
+
+  test("salted aggregation equals plain aggregation under heavy skew") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail
+    val skewed = (Seq.fill(10000)("hot") ++ (1 to 500).map(i => s"k$i"))
+      .toDF("k").withColumn("x", lit(1L))
+    val plain = skewed.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = SkewedAgg.saltedCount(skewed, col("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    val general = SkewedAgg.saltedAgg(skewed, col("k"),
+      partials = Seq(count(lit(1)).as("c"), sum(col("x")).as("s")),
+      merges = Seq(sum(col("c")).as("cnt"), sum(col("s")).as("total")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(general.forall { case (k, cnt, total) => plain(k) == cnt && cnt == total })
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val warehouse = Files.createTempDirectory("graft-warehouse")
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.Tables.orders(spark, dir)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$warehouse/b_orders").saveAsTable("b_orders")
+    graft.Tables.lineitem(spark, dir)
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$warehouse/b_lineitem").saveAsTable("b_lineitem")
+
+    // force the sort-merge path (AQE would broadcast these tiny tables
+    // and hide the bucketing effect this test demonstrates)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket-local sort-merge: the join inputs need no shuffle — the
+      // only exchange in the plan belongs to the post-join aggregation
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join input shuffled:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join input shuffled:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+}
