@@ -73,6 +73,44 @@ object Similarity {
       when(dot > 0, lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF-style ANN: assign every vector to its nearest centroid (argmax
+    * cosine over a broadcast centroid set), probe the query's own
+    * centroid cell, rank exactly within it. The inverted-file analog of
+    * [[lshTopK]] — candidate work is pruned to one cell's posting list;
+    * production probes `nprobe > 1` cells for recall.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val cents = prepared(centroids, idCol, vecCol)
+      .select(col(idCol).as("__cent_id"), col("__q").as("__centv"), col("__n").as("__centn"))
+    def assign(df: DataFrame, id: String): DataFrame =
+      prepared(df, idCol, vecCol)
+        .select(col(idCol).as(id), col("__q"), col("__n"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__ccos",
+          cosine(intDot(col("__q"), col("__centv")), col("__n"), col("__centn")))
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(id).orderBy(desc("__ccos"), col("__cent_id"))))
+        .filter(col("__r") === 1)
+        .select(col(id), col("__q"), col("__n"), col("__cent_id").as("__cell"))
+    val q = assign(queries, "query_id")
+      .select(col("query_id"), col("__q").as("__qv"), col("__n").as("__qn"), col("__cell"))
+    val c = assign(candidates, "candidate_id")
+      .select(col("candidate_id"), col("__q").as("__cv"), col("__n").as("__cn"), col("__cell"))
+    c.join(broadcast(q), Seq("__cell"))
+      .withColumn("cosine",
+        cosine(intDot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("candidate_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "candidate_id", "rank", "cosine")
+  }
+
   /** LSH-bucketed ANN: queries join candidates sharing their bucket id
     * (equi-join ⇒ bucket-pruned work), then exact integer-cosine ranking
     * within the bucket. Queries whose bucket holds no candidate yield no

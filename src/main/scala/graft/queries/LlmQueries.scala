@@ -247,6 +247,51 @@ object LlmQueries {
           SELECT query_id, candidate_id, rank, cosine
           FROM ranked WHERE rank <= 3 ORDER BY query_id, rank"""),
 
+    // IVF-style ANN: nearest-centroid assignment (deterministic centroid
+    // subset), probe the query's cell, exact ranking within — the
+    // inverted-file scale path next to q25's hyperplane buckets.
+    "q31_ann_ivf" -> QuerySpec(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+          emb.filter(col("vec_id") % 50 === 0 && col("vec_id") >= 5),
+          "vec_id", "embedding", k = 5)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      s"""WITH cents AS (
+            SELECT vec_id AS cent_id,
+                   list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+            FROM embeddings WHERE vec_id % 50 = 0 AND vec_id >= 5),
+          cn0 AS (SELECT cent_id, e,
+                    CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM cents),
+          av AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+                 FROM embeddings),
+          an AS (SELECT vec_id, e,
+                   CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM av),
+          assigned AS (
+            SELECT vec_id, e, n, cent_id AS cell FROM (
+              SELECT a.vec_id, a.e, a.n, c.cent_id,
+                     row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                       CAST(CAST(list_sum(list_transform(list_zip(a.e, c.e), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                         / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE))) DESC,
+                       c.cent_id) AS r
+              FROM an a CROSS JOIN cn0 c) WHERE r = 1),
+          qn AS (SELECT vec_id, e, n, cell FROM assigned WHERE vec_id < 5),
+          cn AS (SELECT vec_id, e, n, cell FROM assigned WHERE vec_id >= 5),
+          scored AS (SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                       CAST(CAST(list_sum(list_transform(list_zip(q.e, c.e), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                         / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE))) AS cosine
+                     FROM cn c JOIN qn q ON c.cell = q.cell),
+          ranked AS (SELECT query_id, candidate_id, cosine,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, candidate_id) AS rank
+                     FROM scored)
+          SELECT query_id, candidate_id, rank, cosine
+          FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""),
+
     // Embedding-cosine near-dup: planted exact copies + first-component-
     // zeroed near copies, candidates from LSH bucket co-membership
     // (equi-join), cosine ≥ 0.98 verify — the vector analog of q21.

@@ -88,6 +88,21 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(lsh.count() == joined.filter($"cosine" === $"bcos").count())
   }
 
+  test("ivf topK scores agree with brute force for returned pairs") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" < 5)
+    val c = emb.filter($"vec_id" >= 5)
+    val cents = emb.filter($"vec_id" % 50 === 0 && $"vec_id" >= 5)
+    val brute = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 100000)
+      .select($"query_id", $"candidate_id", $"cosine".as("bcos"))
+    val ivf = Similarity.ivfTopK(q, c, cents, "vec_id", "embedding", 5)
+    val joined = ivf.join(brute, Seq("query_id", "candidate_id"))
+    assert(ivf.count() > 0)
+    assert(ivf.count() == joined.filter($"cosine" === $"bcos").count())
+  }
+
   test("language guess ties resolve in list order; token counts match") {
     val lists = TextAnalysis.markerLists
     val scores = TextAnalysis.languageScores(col("text"), lists)
