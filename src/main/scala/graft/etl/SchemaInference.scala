@@ -43,22 +43,30 @@ object SchemaInference {
 
   /** I3 — the per-value type label for a variant value (null for JSON
     * nulls, which must not vote).
+    *
+    * `sniffNumericStrings=false` selects the reference's second
+    * inferrer variant (`ui/mapping_editor.py:315-350`), which probes
+    * datetime/date formats but treats numeric strings as text.
     */
-  def valueTypeLabel(vv: Column): Column = {
+  def valueTypeLabel(vv: Column, sniffNumericStrings: Boolean = true): Column = {
     val vt = schema_of_variant(vv)
     val s = vv.try_cast("string")
+    val stringLabel = {
+      val base = when(firstMatch(s, datetimeFormats).isNotNull, "datetime")
+        .when(firstMatch(s, dateOnlyFormats).isNotNull, "date")
+      if (sniffNumericStrings)
+        // int(s): integral strings only (DuckDB's try_cast would round,
+        // so both engines sniff integers with this regex)
+        base.when(s.rlike("^[+-]?[0-9]+$"), "integer")
+          .when(s.try_cast("double").isNotNull, "numeric")
+          .otherwise("text")
+      else base.otherwise("text")
+    }
     when(is_variant_null(vv), lit(null).cast("string"))
       .when(vt === "BOOLEAN", "boolean")
       .when(vt === "BIGINT", "integer")
       .when(vt === "DOUBLE" || vt.startsWith("DECIMAL"), "numeric")
-      .when(vt === "STRING",
-        when(firstMatch(s, datetimeFormats).isNotNull, "datetime")
-          .when(firstMatch(s, dateOnlyFormats).isNotNull, "date")
-          // int(s): integral strings only (DuckDB's try_cast would round,
-          // so both engines sniff integers with this regex)
-          .when(s.rlike("^[+-]?[0-9]+$"), "integer")
-          .when(s.try_cast("double").isNotNull, "numeric")
-          .otherwise("text"))
+      .when(vt === "STRING", stringLabel)
       .otherwise("text") // lists/objects stringify to text in the reference
   }
 
@@ -73,13 +81,17 @@ object SchemaInference {
     * Returns (attribute, inferred_type, is_object_id), sorted by
     * attribute (the reference's `_collect_attributes` sorts).
     */
-  def inferSchema(raw: DataFrame, rawCol: String): DataFrame = {
+  def inferSchema(
+      raw: DataFrame,
+      rawCol: String,
+      sniffNumericStrings: Boolean = true): DataFrame = {
     val exploded = raw
       .select(explode(parse_json(col(rawCol)).try_cast("map<string,variant>"))
         .as(Seq("attribute", "vv")))
     val votes = exploded
       .groupBy("attribute")
-      .agg(array_sort(collect_set(valueTypeLabel(col("vv")))).as("votes"))
+      .agg(array_sort(collect_set(
+        valueTypeLabel(col("vv"), sniffNumericStrings))).as("votes"))
       .select(col("attribute"), resolveVotes(col("votes")).as("inferred_type"))
     // I4: _id > id > first (alphabetically first = the sorted head).
     val chosen = votes.agg(

@@ -39,6 +39,18 @@ object Dedup {
       .agg(min(idCol).as("kept_doc_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
+  /** The dedup operation itself: keep the smallest-id row per content
+    * hash, drop the rest. One shuffle on the hash key; at 100 TB the
+    * Window's per-key state is the duplicate-group size, bounded by
+    * construction.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.withColumn("__rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(textCol)).orderBy(idCol)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
   /** Shingle hashes in the MinHash domain. */
   def shingleHashes(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => hashMod(s))

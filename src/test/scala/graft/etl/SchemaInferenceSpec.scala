@@ -50,6 +50,16 @@ class SchemaInferenceSpec extends AnyFunSuite with SparkTestSession {
     assert(m("aa")._2 && !m("z")._2) // sorted head
   }
 
+  test("mapping_editor variant: numeric strings stay text") {
+    import spark.implicits._
+    val m = SchemaInference.inferSchema(
+      Seq("""{"n": "42", "d": "2025-01-02"}""").toDF("raw"), "raw",
+      sniffNumericStrings = false)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("n") == "text") // run_pipeline variant says integer; editor variant says text
+    assert(m("d") == "date")
+  }
+
   test("lists and objects vote text") {
     val m = infer(Seq("""{"arr": [1,2], "obj": {"x": 1}}"""))
     assert(m("arr")._1 == "text" && m("obj")._1 == "text")

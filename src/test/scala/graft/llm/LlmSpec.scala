@@ -28,6 +28,13 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(r.length == 1 && r(0).getLong(1) == 1L && r(0).getLong(2) == 2L)
   }
 
+  test("dropExactDuplicates keeps the smallest id per content group") {
+    val kept = Dedup.dropExactDuplicates(
+      df(5L -> "dup text", 2L -> "dup text", 3L -> "unique"),
+      col("doc_id"), col("text")).orderBy("doc_id").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("minhash: identical texts → identical signatures; banding pairs them") {
     val coeffs = minhashCoefficients(16)
     val sets = df(1L -> "w1 w2 w3 w4 w5 w6", 2L -> "w1 w2 w3 w4 w5 w6", 3L -> "q r s t u v")
