@@ -16,6 +16,7 @@ import graft.functions.Md5Prefix60
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectOptimizerRule(_ => graft.plans.RewriteMd5PrefixChain)
     extensions.injectFunction((
       FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(
