@@ -68,14 +68,17 @@ object TextAnalysis {
   /** Document fingerprint over shingle hashes: min/max/xor + distinct
     * shingle count (a winnowing-style content signature; identical for
     * identical content, robust to re-ordering of duplicated shingles).
+    *
+    * Pure per-row array aggregation — no explode, no shuffle: at 100 TB
+    * this is a map-only pass over the corpus.
     */
-  def fingerprint(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame =
-    df.select(idCol.as("doc_id"), explode(Dedup.shingles(textCol, n)).as("sh"))
-      .withColumn("h", hashMod(col("sh")))
-      .groupBy("doc_id")
-      .agg(
-        min(col("h")).as("fp_min"),
-        max(col("h")).as("fp_max"),
-        bit_xor(col("h")).as("fp_xor"),
-        count(lit(1)).as("n_shingles"))
+  def fingerprint(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
+    val hs = transform(Dedup.shingles(textCol, n), s => hashMod(s))
+    df.select(
+      idCol.as("doc_id"),
+      array_min(hs).as("fp_min"),
+      array_max(hs).as("fp_max"),
+      aggregate(hs, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
+      size(hs).cast("bigint").as("n_shingles"))
+  }
 }
