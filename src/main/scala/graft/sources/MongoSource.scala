@@ -40,8 +40,14 @@ object MongoSource {
       spark: SparkSession,
       uri: String,
       database: String,
-      collection: String): DataFrame = {
-    val df = read(spark, uri, database, collection)
+      collection: String): DataFrame =
+    normalizeRaw(read(spark, uri, database, collection))
+
+  /** The BSON→raw-JSON normalization on its own (testable without a
+    * live connector): `_id` stringified, whole document re-serialized
+    * to one `raw` string column.
+    */
+  def normalizeRaw(df: DataFrame): DataFrame = {
     val normalized =
       if (df.columns.contains("_id")) df.withColumn("_id", col("_id").cast("string"))
       else df
