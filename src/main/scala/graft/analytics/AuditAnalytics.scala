@@ -77,6 +77,26 @@ object AuditAnalytics {
       .agg(count(lit(1)))
       .na.fill(0, statuses)
 
+  /** A4 discovery overload, drop-in for the reference's `pivot_table`
+    * semantics when statuses aren't known a priori
+    * (`ui/audit_dashboard.py:106-113`): one tiny distinct scan collects
+    * the status values to the driver (they are a handful by definition —
+    * this is the same plan Spark's own value-less `pivot` runs), then the
+    * pinned single-pass pivot. Prefer [[pivotCounts]] with pinned values
+    * when the caller knows them.
+    */
+  def pivotCountsDynamic(df: DataFrame, keyCol: String, statusCol: String): DataFrame = {
+    val statuses = df
+      .filter(col(statusCol).isNotNull)
+      .select(col(statusCol).cast("string"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .toSeq
+    pivotCounts(df, keyCol, statusCol, statuses)
+  }
+
   /** A5: explode an array column and count value frequencies, descending.
     * The reference drops null arrays first (`dropna`,
     * `ui/audit_dashboard.py:179`) — expressed as a null filter on the

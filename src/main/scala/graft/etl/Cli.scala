@@ -31,7 +31,10 @@ object Cli {
     val spark = GraftSession.get("graft-etl")
     val sink: TableSink = opts.get("parquet-sink") match {
       case Some(dir) => new ParquetSink(dir)
-      case None => new JdbcPostgresSink(app.database)
+      case None =>
+        val s = new JdbcPostgresSink(app.database)
+        s.ensureDatabase() // K3: fresh deployment → CREATE DATABASE first
+        s
     }
     val result = Pipeline.run(spark, Ingestion.loadEnvelope(spark, input), app, mapping, sink)
 

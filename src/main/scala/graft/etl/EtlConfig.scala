@@ -23,7 +23,7 @@ final case class DatabaseConfig(
     user: String,
     password: String,
     sslmode: String = "disable",
-    createIfMissing: Boolean = false,
+    createIfMissing: Boolean = true,
     adminDb: String = "postgres")
 
 final case class RuntimeConfig(
@@ -188,12 +188,18 @@ object EtlConfig {
     AppConfig(
       database = DatabaseConfig(
         host = str(db, "host", "Missing database config key: host"),
-        port = String.valueOf(db("port")).toInt,
+        port =
+          try String.valueOf(db("port")).toInt
+          catch {
+            case _: NumberFormatException => throw new ConfigError(
+              s"Invalid database config value for 'port': '${db("port")}' is not a number.")
+          },
         name = str(db, "name", "Missing database config key: name"),
         user = str(db, "user", "Missing database config key: user"),
         password = str(db, "password", "Missing database config key: password"),
         sslmode = db.get("sslmode").map(String.valueOf(_)).getOrElse("disable"),
-        createIfMissing = db.get("create_if_missing").exists(v => String.valueOf(v).toBoolean),
+        // absent → true, matching the reference's .get("create_if_missing", True)
+        createIfMissing = db.get("create_if_missing").forall(v => String.valueOf(v).toBoolean),
         adminDb = db.get("admin_db").map(String.valueOf(_)).getOrElse("postgres")),
       runtime = RuntimeConfig(
         dateFormats = dateFormats,

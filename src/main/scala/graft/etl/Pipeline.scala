@@ -4,6 +4,7 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** The batch ETL pipeline (reference `etl_pipeline/pipeline.py:21-297`,
   * lifecycle traced in SURVEY §3.1), re-expressed as dataflow:
@@ -27,6 +28,10 @@ object Pipeline {
 
   /** The run report — sets from the planning phase plus the audit rows
     * and the per-collection counters (A8) derived from them.
+    *
+    * The per-collection audit frames stay persisted (they back `audit`,
+    * `counters` and the report tables without re-running the transform);
+    * call [[PipelineResult.release]] when done with them.
     */
   final case class PipelineResult(
       ingestionDate: String,
@@ -36,7 +41,19 @@ object Pipeline {
       missingTablesDb: Set[String],
       objectStatuses: Map[String, String],
       audit: Option[DataFrame],
-      counters: Option[DataFrame])
+      counters: Option[DataFrame],
+      private[etl] val persisted: Seq[DataFrame] = Nil) {
+    /** Unpersist the cached audit frames held by this result. */
+    def release(): Unit = persisted.foreach(_.unpersist())
+  }
+
+  /** Pinned run timestamp: ONE driver-side instant, so `ingested_at` is
+    * identical across the target append, the audit append, and any later
+    * evaluation of the returned frames (`current_timestamp()` would
+    * re-evaluate at each action's query time).
+    */
+  private def pinnedClock(): Column =
+    lit(java.sql.Timestamp.from(java.time.Instant.now()))
 
   def run(
       spark: SparkSession,
@@ -44,9 +61,10 @@ object Pipeline {
       app: AppConfig,
       mapping: MappingConfig,
       sink: TableSink,
-      clock: Column = current_timestamp(),
+      clock: Column = null,
       ingestionDate: String = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString)
       : PipelineResult = {
+    val runClock = Option(clock).getOrElse(pinnedClock())
 
     EtlConfig.validateMappingTypes(mapping, app.runtime.typeMappings)
     val audit = app.audit
@@ -86,6 +104,7 @@ object Pipeline {
     var unmapped = Set.empty[String]
     var auditFrames = List.empty[DataFrame]
     var counterFrames = List.empty[DataFrame]
+    var persistedFrames = List.empty[DataFrame]
 
     // MISSING rows for schema tables absent from the input (pipeline.py:103-126)
     if (missingInputTables.nonEmpty) {
@@ -94,7 +113,7 @@ object Pipeline {
         (tableToCollection.get(t).orNull, tableLookup.getOrElse(t, t))
       }
       val missingDf = rows.toDF("__coll", "__obj").select(
-        clock.as(ac("ingested_at")),
+        runClock.as(ac("ingested_at")),
         lit(null).cast("string").as(ac("object_id")),
         col("__coll").as(ac("source_collection")),
         col("__obj").as(ac("object_name")),
@@ -137,7 +156,7 @@ object Pipeline {
 
           val tc = Transform.transformCollection(
             rawDf, "raw", collectionName, cc, app.runtime, audit,
-            objectStatus = objectStatus, clock = clock)
+            objectStatus = objectStatus, clock = runClock)
 
           val auditRows =
             if (tableExists) tc.audit
@@ -146,8 +165,17 @@ object Pipeline {
               tc.audit.withColumn(
                 ac("processing_status"), lit(audit.statusValues("missing")))
 
-          if (tableExists) sink.append(tc.target, cc.targetTable)
-          sink.append(auditRows, audit.auditTable)
+          // One materialization of the scan+parse+cast projection feeds
+          // the target append, the audit append, and (via the persisted
+          // audit rows) the report derivation — at 100 TB the unpersisted
+          // plan would re-run the dominant scan+parse per consumer.
+          tc.shared.persist(StorageLevel.MEMORY_AND_DISK)
+          auditRows.persist(StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (tableExists) sink.append(tc.target, cc.targetTable)
+            sink.append(auditRows, audit.auditTable) // also fills auditRows' cache
+          } finally tc.shared.unpersist()
+          persistedFrames ::= auditRows
           auditFrames ::= auditRows
           counterFrames ::= auditRows.select(
             lit(collectionName).as("collection"),
@@ -196,7 +224,8 @@ object Pipeline {
       missingTablesDb = missingTablesDb,
       objectStatuses = objectStatuses,
       audit = auditFrames.reverse.reduceOption(_ unionByName _),
-      counters = counters)
+      counters = counters,
+      persisted = persistedFrames.reverse)
   }
 
   /** File-based overload — the reference's single-function contract

@@ -33,15 +33,23 @@ import org.apache.spark.sql.types._
   * (`+0000`) instead of preserving the original offset; `%f` needs
   * exactly 6 digits; Python `str()` of dicts/lists renders here as JSON;
   * integral overflow beyond the target width is an error rather than
-  * Python's unbounded int.
+  * Python's unbounded int; and for TEXT-typed attributes holding JSON
+  * numbers, the rendering is Spark's cast-to-string, not Python `repr`
+  * — variant decimals keep their scale's trailing zeros (`5.50` where
+  * Python str(Decimal) may print `5.5`) and large doubles render as
+  * `1.0E20` where Python prints `1e+20`.
   */
 object Transform {
 
-  /** Target rows + audit rows for one collection (both derived from the
-    * same single-pass transformed plan; callers writing both should
-    * `persist` the input or rely on parquet scan reuse).
+  /** Target rows + audit rows for one collection, both derived from the
+    * single-pass `shared` projection (scan + parse_json + all casts).
+    * Callers writing both MUST persist `shared` around the two actions —
+    * Spark's CacheManager substitutes the cached relation into both
+    * children by plan match — or the dominant scan+parse cost runs once
+    * per consumer. `Pipeline.run` does this.
     */
-  final case class TransformedCollection(target: DataFrame, audit: DataFrame)
+  final case class TransformedCollection(
+      target: DataFrame, audit: DataFrame, shared: DataFrame)
 
   private val V = "__graft_variant"
 
@@ -255,7 +263,7 @@ object Transform {
       col("__missing_columns").as(ac("missing_columns")),
       col("__status").as(ac("processing_status")))
 
-    TransformedCollection(target, auditDf)
+    TransformedCollection(target, auditDf, base)
   }
 
   /** Diagnostic variant used by the oracle query: target columns plus

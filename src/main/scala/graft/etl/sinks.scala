@@ -56,6 +56,50 @@ final class ParquetSink(baseDir: String) extends TableSink {
     spark.read.parquet(dir(tableName).toString)
 }
 
+/** K3's ensure-database half (reference
+  * `etl_pipeline/postgres_loader.py:110-168`, driven by the
+  * `create_if_missing`/`admin_db` config knobs): probe the target
+  * database; if the connect error says it does not exist, connect to the
+  * admin database, check `pg_database`, and `CREATE DATABASE`. Factored
+  * against [[EnsureDatabase.AdminOps]] so the DDL sequence is
+  * spec-testable without a live server; [[JdbcPostgresSink.ensureDatabase]]
+  * binds the live JDBC implementation.
+  */
+object EnsureDatabase {
+
+  /** The minimal admin-connection surface the ensure flow needs. */
+  trait AdminOps {
+    /** Try connecting to `dbName`; `Left(message)` on failure. */
+    def tryConnect(dbName: String): Either[String, Unit]
+    /** Against the ADMIN db: `SELECT 1 FROM pg_database WHERE datname = ?`. */
+    def databaseExists(dbName: String): Boolean
+    /** Against the ADMIN db, autocommit: `CREATE DATABASE "dbName"`. */
+    def createDatabase(dbName: String): Unit
+  }
+
+  def apply(db: DatabaseConfig, ops: AdminOps): Unit = {
+    if (!db.createIfMissing) return // guard clause, postgres_loader.py:111-112
+    ops.tryConnect(db.name) match {
+      case Right(_) => // target exists — nothing to do (py:124-127)
+      case Left(msg) if msg != null && msg.contains("does not exist") =>
+        try {
+          if (!ops.databaseExists(db.name)) ops.createDatabase(db.name)
+        } catch {
+          case e: EtlException => throw e
+          case e: Throwable => throw new LoadError(
+            s"Failed to create database '${db.name}': ${e.getMessage}")
+        }
+      case Left(msg) =>
+        throw new LoadError(s"Failed to connect to PostgreSQL: $msg")
+    }
+  }
+
+  def createDatabaseSql(dbName: String): String = {
+    if (dbName.isEmpty) throw new LoadError("Database name is required.")
+    "CREATE DATABASE \"" + dbName + "\""
+  }
+}
+
 /** Production sink: PostgreSQL over Spark's JDBC writer. K1 appends are
   * partition-parallel with `batchsize` batching; K2/K3 DDL goes through
   * one driver-side JDBC connection (`IF NOT EXISTS` keeps the
@@ -68,9 +112,11 @@ final class JdbcPostgresSink(db: DatabaseConfig, batchSize: Int = 10000)
 
   HostGuard.requireLocal(db.host) // F5
 
-  private def url =
-    s"jdbc:postgresql://${db.host}:${db.port}/${db.name}?stringtype=unspecified" +
+  private def urlFor(dbName: String) =
+    s"jdbc:postgresql://${db.host}:${db.port}/$dbName?stringtype=unspecified" +
       (if (db.sslmode.nonEmpty) s"&sslmode=${db.sslmode}" else "")
+
+  private def url = urlFor(db.name)
 
   private def props: Properties = {
     val p = new Properties()
@@ -101,6 +147,39 @@ final class JdbcPostgresSink(db: DatabaseConfig, batchSize: Int = 10000)
       try rs.next()
       finally { rs.close(); st.close() }
     } finally conn.close()
+  }
+
+  /** K3 ensure-database: create `db.name` via the admin database when
+    * `create_if_missing` is on. Call once before the first pipeline run
+    * against a fresh deployment (the Cli does).
+    */
+  def ensureDatabase(): Unit = EnsureDatabase(db, new JdbcAdminOps)
+
+  private final class JdbcAdminOps extends EnsureDatabase.AdminOps {
+    override def tryConnect(dbName: String): Either[String, Unit] =
+      try {
+        java.sql.DriverManager.getConnection(urlFor(dbName), props).close()
+        Right(())
+      } catch {
+        case e: java.sql.SQLException => Left(String.valueOf(e.getMessage))
+      }
+    private def onAdmin[A](f: java.sql.Connection => A): A = {
+      val conn = java.sql.DriverManager.getConnection(urlFor(db.adminDb), props)
+      try { conn.setAutoCommit(true); f(conn) }
+      finally conn.close()
+    }
+    override def databaseExists(dbName: String): Boolean = onAdmin { conn =>
+      val st = conn.prepareStatement("SELECT 1 FROM pg_database WHERE datname = ?")
+      st.setString(1, dbName)
+      val rs = st.executeQuery()
+      try rs.next()
+      finally { rs.close(); st.close() }
+    }
+    override def createDatabase(dbName: String): Unit = onAdmin { conn =>
+      val st = conn.createStatement()
+      try { val _ = st.execute(EnsureDatabase.createDatabaseSql(dbName)) }
+      finally st.close()
+    }
   }
 
   override def createSchema(schemaName: String): Unit =

@@ -119,10 +119,12 @@ object Dedup {
       threshold: Double = 0.2): DataFrame = {
     val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
     // both sides of the self-join scan this relation — persist it once
-    // (at cluster scale: checkpoint the posting list)
-    val posting = sets.select(col("id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (at cluster scale: checkpoint the posting list). CacheScope-
+    // registered so a scoped runner releases it after the query's
+    // actions; long-lived callers outside a scope manage it themselves.
+    val posting = graft.CacheScope.persist(
+      sets.select(col("id"), size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("shingle")))
     val a = posting.select(col("shingle"), col("id").as("id1"), col("n_sh").as("n1"))
     val b = posting.select(col("shingle"), col("id").as("id2"), col("n_sh").as("n2"))
     a.join(b, Seq("shingle"))

@@ -144,6 +144,21 @@ object CoreQueries {
                          - count(*) FILTER (WHERE NOT l_discount > 0.09 AND l_quantity > 45), 0) AS successful
          FROM lineitem GROUP BY 1 ORDER BY 1"""),
 
+    // Q19 (A4 dynamic): pivot with runtime status discovery — the
+    // reference's pivot_table discovers columns from the data
+    // (ui/audit_dashboard.py:106-113). Discovery is a tiny distinct
+    // scan collected to the driver, then the same single-pass pinned
+    // pivot as q04. (Also closes the q19 numbering gap noted in r03.)
+    "q19_pivot_dynamic" -> QuerySpec(
+      (s, dir) =>
+        pivotCountsDynamic(Tables.orders(s, dir), "o_orderpriority", "o_orderstatus")
+          .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+                count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1 ORDER BY 1"""),
+
     // Q13 (A5,F4): explode a REAL array column (with null arrays dropped)
     // → frequency → sort desc. Closes the round-2 gap where A5 was only
     // tested via an inline string split and `size(arr)` never on an
@@ -162,8 +177,11 @@ object CoreQueries {
          GROUP BY 1 ORDER BY cnt DESC, item"""),
 
     // Q14 (A9): per-object set-union of missing columns + count of docs
-    // with any missing. `array_sort` pins element order for the oracle
-    // hash. Reference: etl_pipeline/reporting.py:30-34.
+    // with any missing. The operator keeps its array<string> output;
+    // the GATE serializes it with to_json on both sides because the
+    // driver's pandas comparator cannot sort array cells
+    // (CORRECTNESS_r03 q14 `unhashable type: numpy.ndarray`).
+    // Reference: etl_pipeline/reporting.py:30-34.
     "q14_missing_union" -> QuerySpec(
       (s, dir) =>
         Tables.documents(s, dir)
@@ -172,10 +190,12 @@ object CoreQueries {
             when(col("doc_id") % 10 === 0, lit(null))
               .otherwise(slice(split(col("text"), " "), 1, 3)))
           .transform(d => missingColumnsUnion(d, col("source"), col("mc")))
+          .withColumn("missing_columns", to_json(col("missing_columns")))
           .orderBy("object_name"),
       """SELECT source AS object_name,
-                list_sort(list_distinct(COALESCE(flatten(list(mc) FILTER (WHERE mc IS NOT NULL)),
-                                                 CAST([] AS VARCHAR[])))) AS missing_columns,
+                CAST(to_json(list_sort(list_distinct(
+                  COALESCE(flatten(list(mc) FILTER (WHERE mc IS NOT NULL)),
+                           CAST([] AS VARCHAR[]))))) AS VARCHAR) AS missing_columns,
                 count(*) FILTER (WHERE len(mc) > 0) AS docs_with_missing
          FROM (SELECT source,
                       CASE WHEN doc_id % 10 = 0 THEN NULL

@@ -103,18 +103,27 @@ object EtlQueries {
     // Q11 (T1-T10): the full ETL transform as one oracle query — the
     // oracle recomputes the expected post-transform values from the base
     // columns while Spark runs the real parse_json/variant path.
+    // The engine keeps numeric attributes as DecimalType(38,18)
+    // (Transform.scala); the GATE casts them to double on both sides
+    // because the driver's comparator materializes Spark decimals as
+    // java Decimal objects but DuckDB decimals as float64, so any hash
+    // over the frame diverges on representation even when every value
+    // is exact (CORRECTNESS_r03 q11). decimal(12,2)->double is the
+    // identical correctly-rounded conversion in both engines.
     "q11_etl_transform" -> QuerySpec(
       (s, dir) =>
         Transform.transformFlat(
           rawOrdersDocs(s, dir), "raw", ordersMapping,
           EtlDefaults.runtime, EtlDefaults.audit)
+          .withColumn("amount", col("amount").cast("double"))
+          .withColumn("amount2", col("amount2").cast("double"))
           .orderBy("order_id"),
       docSql + """
          SELECT CAST(k AS INTEGER) AS order_id,
                 strftime(d,'%Y-%m-%d') AS order_date,
                 et AS event_ts,
-                CAST(amt_dec AS DECIMAL(38,18)) AS amount,
-                CASE WHEN k%7=0 THEN NULL ELSE CAST(amt_dec AS DECIMAL(38,18)) END AS amount2,
+                CAST(amt_dec AS DOUBLE) AS amount,
+                CASE WHEN k%7=0 THEN NULL ELSE CAST(amt_dec AS DOUBLE) END AS amount2,
                 (k%2=0) AS is_priority,
                 pri AS priority_label,
                 CASE WHEN k%5=0 THEN NULL ELSE 'note '||CAST(k AS VARCHAR) END AS comment,

@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.llm.Multimodal
+import graft.streaming.StreamingEtl
+
+/** Gate queries for the two components that were spec-only in round 3
+  * (r03 verdict stretch item): the streaming dedup path and the
+  * multimodal binary plumbing. Both are made oracle-checkable by
+  * deriving deterministic inputs from the fixture tables and emitting
+  * outputs DuckDB can recompute from the same base columns.
+  */
+object ExtQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q32: streaming exact dedup, end to end through a REAL stream —
+    // stage documents plus re-deliveries (every 7th doc re-sent 1s
+    // later) as parquet, drain readStream → dropDuplicatesWithinWatermark
+    // → parquet sink with Trigger.AvailableNow, read the sink back. If
+    // dedup drops nothing the re-delivered ids appear twice and the row
+    // count goes red. Output is doc_id only, so WHICH delivery survives
+    // (batch-order dependent) can't perturb the hash.
+    "q32_streaming_dedup" -> QuerySpec(
+      (s, dir) => {
+        val tmp = Files.createTempDirectory("graft-q32").toString
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"),
+          timestamp_seconds(lit(1767225600L) + pmod(col("doc_id"), lit(3600)))
+            .as("ts"))
+        val staged = docs.unionByName(
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND")))
+        staged.write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
+        val q = StreamingEtl.dedupStream(stream, "doc_id", "ts", "1 hour")
+          .select("doc_id")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/checkpoint")
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+      },
+      "SELECT doc_id FROM documents ORDER BY doc_id"),
+
+    // Q33: multimodal binary plumbing without codecs — synthesize each
+    // asset's payload as a StubCodec header from doc_id arithmetic
+    // (every 13th doc gets undecodable bytes), push it through resize
+    // (binary-in/binary-out, maxDim 32) then the partition-batched
+    // decode. The oracle recomputes the header ints and the resize
+    // arithmetic (same double ops: scale = 32/max(w,h), trunc) straight
+    // from doc_id.
+    "q33_multimodal_decode" -> QuerySpec(
+      (s, dir) => {
+        val mkPayload = udf { id: Long =>
+          if (id % 13 == 0) Array[Byte](1, 2, 3)
+          else Multimodal.StubCodec.encodeHeader(
+            (16 + id % 64).toInt, (16 + (id * 3) % 64).toInt, (1 + id % 10).toInt)
+        }
+        val assets = Tables.documents(s, dir).select(
+          col("doc_id").as("asset_id"),
+          mkPayload(col("doc_id")).as("payload"),
+          lit("image/x-graft").as("mime"),
+          concat(lit("mem://assets/"), col("doc_id")).as("uri"))
+        Multimodal.decodeAssets(Multimodal.resize(assets, maxDim = 32))
+          .orderBy("asset_id")
+      },
+      """WITH hdr AS (
+           SELECT doc_id AS asset_id,
+                  CASE WHEN doc_id%13=0 THEN NULL ELSE 16 + doc_id%64 END AS w0,
+                  CASE WHEN doc_id%13=0 THEN NULL ELSE 16 + (doc_id*3)%64 END AS h0,
+                  CASE WHEN doc_id%13=0 THEN NULL ELSE 1 + doc_id%10 END AS f0
+           FROM documents),
+         scaled AS (
+           SELECT asset_id, w0, h0, f0,
+                  CASE WHEN w0 IS NULL THEN NULL
+                       WHEN greatest(w0, h0) <= 32 THEN 1.0
+                       ELSE 32.0 / greatest(w0, h0) END AS scale
+           FROM hdr)
+         SELECT asset_id,
+                CASE WHEN w0 IS NULL THEN NULL
+                     ELSE CAST(greatest(1, trunc(w0 * scale)) AS INTEGER) END AS width,
+                CASE WHEN h0 IS NULL THEN NULL
+                     ELSE CAST(greatest(1, trunc(h0 * scale)) AS INTEGER) END AS height,
+                CAST(f0 AS INTEGER) AS n_frames,
+                (w0 IS NOT NULL) AS decode_ok
+         FROM scaled ORDER BY asset_id""")
+  )
+}

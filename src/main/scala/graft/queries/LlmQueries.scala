@@ -112,13 +112,13 @@ object LlmQueries {
         // checkpoint signatures).
         val sets = nearDupCorpus(s, dir)
           .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.persist)
         val banded = sets
           .withColumn("hs", transform(col("sh"), h => hashMod(h)))
           .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
           .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
           .select(col("doc_id"), col("bands"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.persist)
         val pairs = Dedup.candidatePairs(banded, "doc_id", "bands")
         Dedup.jaccardVerify(pairs, sets, "doc_id", "sh")
           .filter(col("jaccard") >= 0.5)
@@ -308,7 +308,7 @@ object LlmQueries {
           .select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
           .withColumn("n", Similarity.intDot(col("q"), col("q")))
           .withColumn("bucket", Similarity.bucketId(col("q"), planes))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.CacheScope.persist)
         val a = prepped.select(col("bucket"), col("vec_id").as("id1"),
           col("q").as("q1"), col("n").as("n1"))
         val b = prepped.select(col("bucket"), col("vec_id").as("id2"),

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.HostGuard
+import graft.etl.{ConfigError, HostGuard}
 
 /** S2/S3 — MongoDB collection source (reference `ui/mongo_ingest.py:94-105`
   * / preview `ui/mapping_editor.py:391-409`).
@@ -64,11 +64,30 @@ object MongoSource {
 
   /** F5 — the reference rejects non-local Mongo hosts
     * (`ui/mongo_ingest.py:27-29`).
+    *
+    * RFC 3986 authority parsing: the host is what follows the LAST '@'
+    * of the authority (userinfo may contain ':' — a naive first-colon
+    * cut would let `mongodb://localhost:pw@evil.example.com/db` pass as
+    * 'localhost'). Multi-host seed lists are rejected outright: every
+    * seed would have to be vetted and the guard's policy is one local
+    * host.
     */
   private[sources] def requireLocalUri(uri: String): Unit = {
-    val host = uri.stripPrefix("mongodb://").stripPrefix("mongodb+srv://")
-      .takeWhile(c => c != ':' && c != '/' && c != '?')
-      .split('@').last
+    val rest =
+      if (uri.startsWith("mongodb+srv://")) uri.stripPrefix("mongodb+srv://")
+      else if (uri.startsWith("mongodb://")) uri.stripPrefix("mongodb://")
+      else throw new ConfigError(s"Unsupported MongoDB URI scheme in '$uri'")
+    val authority = rest.takeWhile(c => c != '/' && c != '?')
+    val hostList = authority.substring(authority.lastIndexOf('@') + 1)
+    val seeds = hostList.split(',')
+    if (seeds.length != 1 || hostList.isEmpty)
+      throw new ConfigError(
+        s"Exactly one MongoDB host is required (got '$hostList'); " +
+          "multi-host seed lists are not allowed")
+    val hp = seeds.head.trim
+    val host =
+      if (hp.startsWith("[")) hp.drop(1).takeWhile(_ != ']') // IPv6 literal
+      else hp.takeWhile(_ != ':')
     HostGuard.requireLocal(host, "MongoDB")
   }
 }

@@ -79,6 +79,12 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(e.getMessage == "Missing database config key: user")
   }
 
+  test("non-numeric database port rejected via the ConfigError taxonomy") {
+    val broken = validAppYaml.replace("  port: 5432", "  port: abc")
+    val e = intercept[ConfigError](EtlConfig.appConfig(EtlConfig.loadRaw(write(broken, ".yaml"))))
+    assert(e.getMessage.contains("Invalid database config value for 'port'"))
+  }
+
   test("empty date_formats rejected") {
     val broken = validAppYaml.replace("""date_formats: ["%Y-%m-%d", "%m/%d/%Y"]""", "date_formats: []")
     val e = intercept[ConfigError](EtlConfig.appConfig(EtlConfig.loadRaw(write(broken, ".yaml"))))

@@ -29,19 +29,21 @@ def run_verify():
 
 
 def norm(v):
+    # EXACT comparison, no rounding: the driver hashes raw values, so a
+    # Spark Decimal vs a DuckDB float64 must FAIL here too (r03 q11
+    # lesson — 9-dp rounding hid a representation mismatch).
     if v is None:
         return None
-    if isinstance(v, float):
-        return round(v, 9)
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except Exception:
-        pass
     return v
+
+
+def array_cols(tbl):
+    import pyarrow as pa
+    return [c for c in tbl.column_names
+            if pa.types.is_list(tbl.schema.field(c).type)
+            or pa.types.is_large_list(tbl.schema.field(c).type)]
 
 
 def table_rows(tbl):
@@ -72,6 +74,14 @@ def main():
             want = con.execute(oracle[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        arr = array_cols(got) + array_cols(want)
+        if arr:
+            # the driver's pandas sort_values dies on array columns
+            # (r03 q14) — treat as failure so local predicts driver
+            print(f"FAIL {name}: array-typed output columns {sorted(set(arr))} "
+                  "(driver comparator cannot sort these; serialize with to_json)")
+            n_fail += 1
+            continue
         gc, gr = table_rows(got)
         wc, wr = table_rows(want)
         if gc != wc:
