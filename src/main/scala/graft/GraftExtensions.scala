@@ -4,19 +4,21 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.Md5Prefix60
+import graft.functions.{LongDotProduct, Md5Prefix60}
 
 /** Session extensions for the graft engine — the Catalyst plug-in point
   * (`spark.sql.extensions=graft.GraftExtensions`, or
   * `builder.withExtensions(new GraftExtensions)` as [[GraftSession]]
-  * does). Currently injects the native [[Md5Prefix60]] content-hash
-  * function; optimizer rules / strategies would register here the same
-  * way.
+  * does). Injects the native [[Md5Prefix60]] content-hash and
+  * [[LongDotProduct]] similarity primitives plus the optimizer rules
+  * that collapse their portable composed forms; further rules /
+  * strategies would register here the same way.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => graft.plans.RewriteMd5PrefixChain)
+    extensions.injectOptimizerRule(_ => graft.plans.RewriteLongDotChain)
     extensions.injectFunction((
       FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(
@@ -26,5 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "md5_prefix60(str) - first 60 bits of md5(str) as a non-negative bigint",
         ""),
       (children: Seq[Expression]) => Md5Prefix60(children.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("long_dot"),
+      new ExpressionInfo(
+        classOf[LongDotProduct].getName,
+        null,
+        "long_dot",
+        "long_dot(array<bigint>, array<bigint>) - exact integer dot product",
+        ""),
+      (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
   }
 }

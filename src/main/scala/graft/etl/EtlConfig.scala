@@ -188,12 +188,15 @@ object EtlConfig {
     AppConfig(
       database = DatabaseConfig(
         host = str(db, "host", "Missing database config key: host"),
-        port =
-          try String.valueOf(db("port")).toInt
+        port = {
+          val raw = db.getOrElse("port",
+            throw new ConfigError("Missing database config key: port"))
+          try String.valueOf(raw).toInt
           catch {
             case _: NumberFormatException => throw new ConfigError(
-              s"Invalid database config value for 'port': '${db("port")}' is not a number.")
-          },
+              s"Invalid database config value for 'port': '$raw' is not a number.")
+          }
+        },
         name = str(db, "name", "Missing database config key: name"),
         user = str(db, "user", "Missing database config key: user"),
         password = str(db, "password", "Missing database config key: password"),

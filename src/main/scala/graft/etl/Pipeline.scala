@@ -106,6 +106,14 @@ object Pipeline {
     var counterFrames = List.empty[DataFrame]
     var persistedFrames = List.empty[DataFrame]
 
+    // Everything below runs under a failure handler: when an exception
+    // propagates, every cache registered in persistedFrames so far is
+    // released — otherwise MEMORY_AND_DISK entries accumulate across
+    // failed runs in a long-lived session and the caller never gets a
+    // PipelineResult to call release() on (round-4 advice). On success
+    // the caller owns the frames via [[PipelineResult.release]].
+    def body(): PipelineResult = {
+
     // MISSING rows for schema tables absent from the input (pipeline.py:103-126)
     if (missingInputTables.nonEmpty) {
       import spark.implicits._
@@ -171,11 +179,13 @@ object Pipeline {
           // plan would re-run the dominant scan+parse per consumer.
           tc.shared.persist(StorageLevel.MEMORY_AND_DISK)
           auditRows.persist(StorageLevel.MEMORY_AND_DISK)
+          // Registered BEFORE the appends: if one throws, the failure
+          // handler below still releases this frame's cache.
+          persistedFrames ::= auditRows
           try {
             if (tableExists) sink.append(tc.target, cc.targetTable)
             sink.append(auditRows, audit.auditTable) // also fills auditRows' cache
           } finally tc.shared.unpersist()
-          persistedFrames ::= auditRows
           auditFrames ::= auditRows
           counterFrames ::= auditRows.select(
             lit(collectionName).as("collection"),
@@ -226,6 +236,15 @@ object Pipeline {
       audit = auditFrames.reverse.reduceOption(_ unionByName _),
       counters = counters,
       persisted = persistedFrames.reverse)
+    }
+
+    try body()
+    catch {
+      case e: Throwable =>
+        persistedFrames.foreach(df =>
+          try df.unpersist() catch { case _: Throwable => () })
+        throw e
+    }
   }
 
   /** File-based overload — the reference's single-function contract

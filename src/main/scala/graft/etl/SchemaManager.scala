@@ -84,6 +84,7 @@ object SchemaManager {
 
   def createSchemaSql(schemaName: String): String = {
     if (schemaName.isEmpty) throw new LoadError("Schema name is required.")
-    "CREATE SCHEMA IF NOT EXISTS \"" + schemaName + "\""
+    // Same identifier escaping as EnsureDatabase.createDatabaseSql.
+    "CREATE SCHEMA IF NOT EXISTS \"" + schemaName.replace("\"", "\"\"") + "\""
   }
 }

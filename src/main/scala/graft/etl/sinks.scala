@@ -96,7 +96,10 @@ object EnsureDatabase {
 
   def createDatabaseSql(dbName: String): String = {
     if (dbName.isEmpty) throw new LoadError("Database name is required.")
-    "CREATE DATABASE \"" + dbName + "\""
+    // Double embedded quotes, as psycopg2's sql.Identifier does
+    // (postgres_loader.py:119) — a '"' in a config-supplied name must
+    // not break out of the quoted identifier.
+    "CREATE DATABASE \"" + dbName.replace("\"", "\"\"") + "\""
   }
 }
 

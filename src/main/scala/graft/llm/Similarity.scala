@@ -96,31 +96,44 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val centRows: Seq[(Any, Seq[Long], Long)] =
-      prepared(centroids, idCol, vecCol).collect().toSeq.map { r =>
-        (r.get(0), r.getSeq[Long](1), r.getLong(2))
-      }
+    // Centroids sorted by id so array INDEX order == id order: the
+    // argmax fold below keeps the first maximum it sees, which is then
+    // exactly "highest cosine, then lowest centroid id" — the same
+    // tiebreak as the round-3 window ranking. Cells join on the index;
+    // the centroid id itself never reaches the output.
+    val centRows: Seq[(Int, Seq[Long], Long)] =
+      prepared(centroids, idCol, vecCol).orderBy(col(idCol)).collect().toSeq
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1), r.getLong(2)) }
     require(centRows.nonEmpty, "ivfTopK requires a non-empty centroid set")
+    // ONE array<struct<idx,vec,norm>> literal for the whole centroid
+    // table. (Building per-centroid `array(lit, lit, …)` columns instead
+    // puts C×D separate literal nodes in the tree — at 40 centroids ×
+    // 64 dims that tree took Catalyst ~20 s to re-analyze per run,
+    // measured in BENCH_r04. A single Literal is O(1) tree nodes; the
+    // per-row work is the same C×D multiply-adds either way.)
+    val centLit = typedlit(centRows)
     def assign(df: DataFrame, id: String): DataFrame = {
-      val scored = centRows.map { case (centId, vec, n2) =>
-        val cv = array(vec.map(lit(_)): _*)
+      val scored = transform(centLit, c =>
         struct(
-          cosine(intDot(col("__q"), cv), col("__n"), lit(n2)).as("c"),
-          lit(centId).as("i"))
-      }
-      // Linear argmax via a higher-order aggregate: each centroid's
-      // expression appears ONCE in the tree. (A naive
-      // `reduce(when(...).otherwise(...))` duplicates the accumulator
-      // per step — a 3^n expression blowup that OOMs the analyzer.)
-      val pairs = array(scored: _*)
+          cosine(intDot(col("__q"), c("_2")), col("__n"), c("_3")).as("c"),
+          c("_1").as("i")))
+      // Sentinel zero (cosine ∈ [-1,1] > -2 always) rather than
+      // element_at(scored, 1), which would evaluate the whole transform
+      // a second time per row just to read its head.
       val best = aggregate(
-        pairs,
-        element_at(pairs, 1),
-        (acc, x) =>
-          when(x("c") > acc("c") || (x("c") === acc("c") && x("i") < acc("i")), x)
-            .otherwise(acc))
-      prepared(df, idCol, vecCol)
-        .select(col(idCol).as(id), col("__q"), col("__n"), best("i").as("__cell"))
+        scored,
+        struct(lit(-2.0).as("c"), lit(-1).as("i")),
+        (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))
+      // Materialize the assignment ONCE (CacheScope-registered): the
+      // cell column feeds the join key and the join re-projects the
+      // row, and an unpersisted argmax-fold subtree re-evaluates per
+      // consumer (measured 6× the whole query's runtime at sf0.1). At
+      // cluster scale this is the IVF posting-list build you would
+      // checkpoint — assignment is computed once per corpus, never
+      // inline in a probe join.
+      graft.CacheScope.persist(
+        prepared(df, idCol, vecCol)
+          .select(col(idCol).as(id), col("__q"), col("__n"), best("i").as("__cell")))
     }
     val q = assign(queries, "query_id")
       .select(col("query_id"), col("__q").as("__qv"), col("__n").as("__qn"), col("__cell"))

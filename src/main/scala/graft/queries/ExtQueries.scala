@@ -17,6 +17,19 @@ import graft.streaming.StreamingEtl
   */
 object ExtQueries {
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+
+  private val exitReaper = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  sys.addShutdownHook(exitReaper.forEach(p =>
+    try deleteRecursively(p) catch { case _: Throwable => () }))
+
+  private def deleteOnExit(p: java.nio.file.Path): Unit = exitReaper.add(p)
+
   val specs: Map[String, QuerySpec] = Map(
 
     // Q32: streaming exact dedup, end to end through a REAL stream —
@@ -28,7 +41,8 @@ object ExtQueries {
     // (batch-order dependent) can't perturb the hash.
     "q32_streaming_dedup" -> QuerySpec(
       (s, dir) => {
-        val tmp = Files.createTempDirectory("graft-q32").toString
+        val tmpPath = Files.createTempDirectory("graft-q32")
+        val tmp = tmpPath.toString
         val docs = Tables.documents(s, dir).select(
           col("doc_id"),
           timestamp_seconds(lit(1767225600L) + pmod(col("doc_id"), lit(3600)))
@@ -36,7 +50,11 @@ object ExtQueries {
         val staged = docs.unionByName(
           docs.filter(pmod(col("doc_id"), lit(7)) === 0)
             .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND")))
-        staged.write.parquet(s"$tmp/staging")
+        // One staged file ⇒ AvailableNow processes everything in a single
+        // microbatch regardless of maxFilesPerTrigger/file ordering — a
+        // multi-batch split could advance the watermark past originals
+        // staged behind it and drop them as late rows (round-4 advice).
+        staged.coalesce(1).write.parquet(s"$tmp/staging")
         val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
         val q = StreamingEtl.dedupStream(stream, "doc_id", "ts", "1 hour")
           .select("doc_id")
@@ -47,6 +65,13 @@ object ExtQueries {
           .option("path", s"$tmp/out")
           .start()
         q.awaitTermination()
+        // The drained stream never reads staging/checkpoint again —
+        // drop them now; `out` must outlive the returned (lazy) frame,
+        // so the whole tempdir is reaped at JVM exit instead of leaking
+        // across warmup+timed bench passes (round-4 advice).
+        deleteRecursively(tmpPath.resolve("staging"))
+        deleteRecursively(tmpPath.resolve("checkpoint"))
+        deleteOnExit(tmpPath)
         s.read.parquet(s"$tmp/out").orderBy("doc_id")
       },
       "SELECT doc_id FROM documents ORDER BY doc_id"),
