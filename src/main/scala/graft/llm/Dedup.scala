@@ -137,6 +137,63 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Connected components over an undirected pair list (near-dup
+    * CLUSTERING — the step after pair detection that training-data
+    * dedup actually needs: keep one document per duplicate cluster, not
+    * per pair). Iterative min-label propagation: every node starts
+    * labeled with its own id; each round a node takes the minimum of
+    * its label and its neighbors' labels; at fixpoint the label is the
+    * component's smallest member id.
+    *
+    * Scale notes: rounds needed = graph diameter, and near-dup graphs
+    * are dense small clusters (diameter 2–3 in practice); `maxIter`
+    * bounds the worst case. Each round is one equi-join on the edge
+    * list + one min-aggregation — both shuffle on node id, map-side
+    * combined; labels persist per round (cluster scale: checkpoint
+    * every few rounds to truncate lineage). The production refinement
+    * for adversarial long-chain graphs is large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce"), same
+    * join-per-round shape.
+    *
+    * Returns (id, cluster_id) for every node on an edge; singleton
+    * documents are absent by construction (no edge ⇒ no dup).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      id1: String,
+      id2: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = graft.CacheScope.persist(
+      pairs.select(col(id1).as("src"), col(id2).as("dst"))
+        .unionByName(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
+    // Per-round lineage CUT, not just cache: `next` references `labels`
+    // twice (union + convergence join), so an uncut logical plan doubles
+    // every round and Catalyst re-analysis dominates the loop
+    // (measured: 27 s → 3 s at sf0.001). localCheckpoint materializes
+    // the round and replaces the plan with its blocks; on a cluster use
+    // reliable checkpoint() so rounds survive executor loss.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      // One action per round: count of nodes whose label still moved.
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash (default 32-bit): per token-occurrence hash, sum ±1 per bit
     * position, set the bit where the sum is positive. One explode + one
     * aggregation with `bits` sum expressions (all map-side combinable).

@@ -65,6 +65,50 @@ object TextAnalysis {
       "chars_per_token" -> nChars.cast("double") / nTokens)
   }
 
+  /** PII detection patterns — deliberately restricted to syntax shared
+    * by Java regex and RE2 (no lookaround, no backreferences) so the
+    * same pattern runs verbatim in any engine, including the DuckDB
+    * oracle.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** PII scan: match counts per category, a has_pii flag, and a
+    * redacted copy with every match replaced by a category placeholder.
+    * Pure column expressions — the standard pre-training privacy pass
+    * runs map-only over the corpus; real deployments extend the
+    * pattern list (SSNs, IBANs, street addresses) the same way.
+    */
+  def piiFeatures(text: Column): Seq[(String, Column)] = {
+    val emails = size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+    val phones = size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+    Seq(
+      "n_emails" -> emails,
+      "n_phones" -> phones,
+      "has_pii" -> (emails + phones > 0),
+      "redacted" -> regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"))
+  }
+
+  /** Corpus vocabulary: the k most frequent whitespace tokens with
+    * deterministic tie order (count desc, then token). One shuffle on
+    * the token (map-side combined counts); the global top-k is a
+    * TakeOrderedAndProject over the aggregated vocabulary — per-
+    * partition top-k then a driver merge of k-row sets, never a full
+    * sort — so it holds at any corpus size whose VOCABULARY the driver's
+    * k bounds. The rank window runs on k rows post-limit.
+    */
+  def topKTokens(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(words(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("cnt"), col("token"))).cast("bigint"))
+  }
+
   /** Document fingerprint over shingle hashes: min/max/xor + distinct
     * shingle count (a winnowing-style content signature; identical for
     * identical content, robust to re-ordering of duplicated shingles).

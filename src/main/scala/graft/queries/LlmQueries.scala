@@ -421,6 +421,120 @@ object LlmQueries {
           $shingleSql
           SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max,
                  bit_xor(h) AS fp_xor, count(*) AS n_shingles
-          FROM shh GROUP BY 1 ORDER BY 1""")
+          FROM shh GROUP BY 1 ORDER BY 1"""),
+
+    // PII scan: deterministic PII injected from doc_id arithmetic
+    // (every 4th doc an email, every 6th a phone), then detect + count +
+    // redact with engine-portable regexes (no lookaround/backrefs, so
+    // Java regex and DuckDB's RE2 match identically). Map-only pass.
+    "q34_pii_scan" -> QuerySpec(
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com for details")))
+            .when(pmod(col("doc_id"), lit(6)) === 0,
+              concat(col("text"), lit(" or call 555-"),
+                lpad(pmod(col("doc_id"), lit(10000)), 4, "0")))
+            .otherwise(col("text")).as("text"))
+        val feats = TextAnalysis.piiFeatures(col("text"))
+        injected.select(
+          col("doc_id") +: feats.map { case (name, c) =>
+            (if (name.startsWith("n_")) c.cast("bigint") else c).as(name)
+          }: _*)
+          .orderBy("doc_id")
+      },
+      """WITH injected AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id%4=0
+                         THEN text || ' contact user' || doc_id || '@example.com for details'
+                       WHEN doc_id%6=0
+                         THEN text || ' or call 555-' || lpad(CAST(doc_id%10000 AS VARCHAR), 4, '0')
+                       ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+                len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS n_phones,
+                len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                  + len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) > 0 AS has_pii,
+                regexp_replace(
+                  regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                  '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM injected ORDER BY doc_id"""),
+
+    // Corpus vocabulary: top-50 tokens by frequency with deterministic
+    // tie order. One token shuffle (map-side combined), global top-k as
+    // TakeOrderedAndProject, rank window on the 50 surviving rows.
+    "q35_vocab_topk" -> QuerySpec(
+      (s, dir) =>
+        TextAnalysis.topKTokens(Tables.documents(s, dir), col("text"), 50)
+          .orderBy("rank"),
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                    FROM documents),
+          v AS (SELECT token, count(*) AS cnt FROM w GROUP BY 1),
+          r AS (SELECT token, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                FROM v)
+          SELECT token, cnt, rank FROM r WHERE rank <= 50 ORDER BY rank"""),
+
+    // Near-dup CLUSTERING: the q21 verified pairs become an undirected
+    // graph; iterative min-label propagation finds connected components
+    // (cluster_id = smallest member id, is_canonical = the kept doc).
+    // The oracle recomputes the closure with a recursive CTE.
+    "q36_neardup_clusters" -> QuerySpec(
+      (s, dir) => {
+        val sets = nearDupCorpus(s, dir)
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .transform(graft.CacheScope.persist)
+        val banded = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select(col("doc_id"), col("bands"))
+          .transform(graft.CacheScope.persist)
+        // Persisted: the edge list reads this twice (both directions)
+        // and every propagation round joins it — without the persist the
+        // whole LSH pipeline re-evaluates per consumer per round.
+        val verified = Dedup.jaccardVerify(
+          Dedup.candidatePairs(banded, "doc_id", "bands"), sets, "doc_id", "sh")
+          .filter(col("jaccard") >= 0.5)
+          .select("id1", "id2")
+          .transform(graft.CacheScope.persist)
+        Dedup.connectedComponents(verified, "id1", "id2")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bandt a JOIN bandt b USING (band)
+                   WHERE a.doc_id < b.doc_id),
+          inter AS (SELECT p.id1, p.id2, count(*) AS i
+                    FROM cand p
+                    JOIN sh s1 ON s1.doc_id = p.id1
+                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
+                    GROUP BY 1, 2),
+          vp AS (SELECT i.id1, i.id2
+                 FROM inter i
+                 JOIN sizes n1 ON n1.doc_id = i.id1
+                 JOIN sizes n2 ON n2.doc_id = i.id2
+                 WHERE i.i / (n1.n + n2.n - i.i) >= 0.5),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM vp
+                    UNION ALL SELECT id2, id1 FROM vp),
+          reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+          SELECT id AS doc_id, min(lab) AS cluster_id,
+                 id = min(lab) AS is_canonical
+          FROM reach GROUP BY id ORDER BY doc_id""")
   )
 }

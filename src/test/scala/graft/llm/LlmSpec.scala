@@ -133,6 +133,39 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(fp(0).getLong(1) != fp(2).getLong(1) || fp(0).getLong(3) != fp(2).getLong(3))
   }
 
+  test("pii scan counts, flags, and redacts with portable patterns") {
+    val r = df(
+      1L -> "mail me at bob.smith@corp-mail.io today",
+      2L -> "call 555-0199 or 555-1234 now",
+      3L -> "nothing sensitive here 5555-12345")
+      .select(col("doc_id") +: TextAnalysis.piiFeatures(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 0 && r(0).getBoolean(3))
+    assert(r(0).getString(4) == "mail me at <EMAIL> today")
+    assert(r(1).getInt(2) == 2 && r(1).getString(4) == "call <PHONE> or <PHONE> now")
+    // \b guards: digits glued to more digits are not a phone
+    assert(r(2).getInt(1) == 0 && r(2).getInt(2) == 0 && !r(2).getBoolean(3))
+    assert(r(2).getString(4) == "nothing sensitive here 5555-12345")
+  }
+
+  test("topKTokens ranks by count desc then token asc, bounded by k") {
+    val r = TextAnalysis.topKTokens(
+      df(1L -> "b b b a a c", 2L -> "a c d"), col("text"), 3).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toList ==
+      List(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
+  }
+
+  test("connected components: min-label over chains and separate clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter forces multiple rounds) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val r = Dedup.connectedComponents(pairs, "id1", "id2")
+      .orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toList
+    assert(r == List(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("jvm hash matches the Spark-side md5 prefix hash") {
     import spark.implicits._
     val s = "graft determinism probe"
