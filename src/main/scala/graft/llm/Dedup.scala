@@ -194,6 +194,25 @@ object Dedup {
     labels
   }
 
+  /** The end-to-end near-dup DROP: cluster the verified pairs, keep
+    * each cluster's smallest id, anti-join the rest out of the corpus.
+    * Documents on no edge pass through untouched (no shuffle applies to
+    * them beyond the anti-join's broadcast — the non-canonical id set
+    * is duplicates-only, orders of magnitude smaller than the corpus,
+    * so at 100 TB this is a broadcast anti-join over the scan).
+    */
+  def dropNearDuplicates(
+      corpus: DataFrame,
+      idCol: String,
+      verifiedPairs: DataFrame,
+      id1: String = "id1",
+      id2: String = "id2"): DataFrame = {
+    val losers = connectedComponents(verifiedPairs, id1, id2)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    corpus.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
   /** SimHash (default 32-bit): per token-occurrence hash, sum ±1 per bit
     * position, set the bit where the sum is positive. One explode + one
     * aggregation with `bits` sum expressions (all map-side combinable).

@@ -535,6 +535,88 @@ object LlmQueries {
             SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
           SELECT id AS doc_id, min(lab) AS cluster_id,
                  id = min(lab) AS is_canonical
-          FROM reach GROUP BY id ORDER BY doc_id""")
+          FROM reach GROUP BY id ORDER BY doc_id"""),
+
+    // The near-dup DROP end to end: cluster q36's verified pairs, keep
+    // one canonical doc per cluster, anti-join the rest out of the
+    // corpus. 661 corpus docs → kept set (sf0.01); singletons pass
+    // through untouched.
+    "q37_drop_neardups" -> QuerySpec(
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val sets = corpus
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .transform(graft.CacheScope.persist)
+        val banded = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select(col("doc_id"), col("bands"))
+          .transform(graft.CacheScope.persist)
+        val verified = Dedup.jaccardVerify(
+          Dedup.candidatePairs(banded, "doc_id", "bands"), sets, "doc_id", "sh")
+          .filter(col("jaccard") >= 0.5)
+          .select("id1", "id2")
+          .transform(graft.CacheScope.persist)
+        Dedup.dropNearDuplicates(corpus, "doc_id", verified)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bandt a JOIN bandt b USING (band)
+                   WHERE a.doc_id < b.doc_id),
+          inter AS (SELECT p.id1, p.id2, count(*) AS i
+                    FROM cand p
+                    JOIN sh s1 ON s1.doc_id = p.id1
+                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
+                    GROUP BY 1, 2),
+          vp AS (SELECT i.id1, i.id2
+                 FROM inter i
+                 JOIN sizes n1 ON n1.doc_id = i.id1
+                 JOIN sizes n2 ON n2.doc_id = i.id2
+                 WHERE i.i / (n1.n + n2.n - i.i) >= 0.5),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM vp
+                    UNION ALL SELECT id2, id1 FROM vp),
+          reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+          losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(lab))
+          SELECT doc_id FROM corpus
+          WHERE doc_id NOT IN (SELECT id FROM losers)
+          ORDER BY doc_id"""),
+
+    // Corpus token statistics: exact counts, mean, and exact
+    // interpolated median — Spark's percentile() and DuckDB's
+    // quantile_cont() share the (n-1)*q linear-interpolation formula
+    // over exact integers, so the doubles agree bit-for-bit.
+    "q38_corpus_stats" -> QuerySpec(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(size(Dedup.words(col("text"))).cast("bigint").as("n_tokens"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("total_tokens"),
+            avg("n_tokens").as("mean_tokens"),
+            min("n_tokens").as("min_tokens"),
+            max("n_tokens").as("max_tokens"),
+            expr("percentile(n_tokens, 0.5)").as("median_tokens")),
+      """WITH t AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+                    FROM documents)
+         SELECT count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                avg(n_tokens) AS mean_tokens,
+                min(n_tokens) AS min_tokens,
+                max(n_tokens) AS max_tokens,
+                quantile_cont(n_tokens, 0.5) AS median_tokens
+         FROM t""")
   )
 }

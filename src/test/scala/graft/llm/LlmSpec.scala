@@ -166,6 +166,15 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(r == List(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dropNearDuplicates keeps cluster minima and all singletons") {
+    import spark.implicits._
+    val corpus = df(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 10L -> "e")
+    val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toList
+    assert(kept == List(1L, 2L, 10L)) // 3,4 fold into cluster min 2
+  }
+
   test("jvm hash matches the Spark-side md5 prefix hash") {
     import spark.implicits._
     val s = "graft determinism probe"
