@@ -21,9 +21,12 @@ object Bench {
 
     // Per query: one CacheScope holding a warmup pass (absorbs JVM/
     // codegen/scan-cache warmup AND materializes any operator-internal
-    // persists) and the timed pass, then every cache registered by the
-    // query is released — a full bench run leaves zero cache entries
-    // behind (round-3 advice).
+    // persists) and TWO timed passes whose minimum is reported — a
+    // single timed pass is exposed to GC/JIT pauses from neighboring
+    // queries (BENCH_r04 showed 2–8× phantom regressions that never
+    // reproduced in isolation; min-of-2 suppresses them). Afterwards
+    // every cache registered by the query is released — a full bench
+    // run leaves zero cache entries behind (round-3 advice).
     val results = queries.map { case (name, fn) =>
       CacheScope.scoped {
         try { fn(spark, sfDir).count(); () }
@@ -32,12 +35,15 @@ object Bench {
         }
         if (errors.contains(name)) name -> -1.0
         else {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); () }
-          catch { case e: Throwable =>
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          val times = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count(); () }
+            catch { case e: Throwable =>
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+            }
+            (System.nanoTime() - t0) / 1e9
           }
-          name -> (if (errors.contains(name)) -1.0 else (System.nanoTime() - t0) / 1e9)
+          name -> (if (errors.contains(name)) -1.0 else times.min)
         }
       }
     }

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHash._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * train/val/test splitting, within-document repetition scoring (the
+  * classic repeated-n-gram quality filter), and benchmark
+  * decontamination (n-gram overlap against a held-out eval set). All
+  * map-only or broadcast-joined — nothing here shuffles the corpus.
+  */
+object Curation {
+
+  /** Deterministic split bucket in [0, buckets): the engine-portable
+    * content hash of a salted key. Stable across runs, engines, and
+    * cluster layouts — the property `df.randomSplit` does NOT give you
+    * (it reshuffles with the partitioning). Salting the key decouples
+    * this split from any other hash use of the same id.
+    */
+  def splitBucket(key: Column, buckets: Int = 100): Column =
+    pmod(hash60(concat(lit("split:"), key.cast("string"))), lit(buckets.toLong))
+
+  /** Bucket → split label with train/val percentages (rest = test). */
+  def splitLabel(bucket: Column, trainPct: Int, valPct: Int): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+
+  /** Within-document repetition: 1 − distinct/total word n-grams.
+    * 0 = no repeated n-gram; →1 = the document loops. Short documents
+    * (< n words) count as a single gram (ratio 0). Pure per-row
+    * expressions — map-only over the corpus, the shape of the
+    * repeated-line/paragraph filters used by production quality
+    * pipelines.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val w = Dedup.words(text)
+    val total = when(size(w) >= n, size(w) - (n - 1)).otherwise(lit(1))
+    lit(1.0) - size(Dedup.shingles(text, n)).cast("double") / total.cast("double")
+  }
+
+  /** Benchmark decontamination: per corpus document, the count and
+    * ratio of its distinct n-gram shingles that appear in the (distinct)
+    * shingle set of a benchmark corpus. Returns only contaminated docs
+    * (n_overlap > 0): (id, n_shingles, n_overlap, overlap_ratio).
+    *
+    * The benchmark side is broadcast — eval suites are tiny next to a
+    * training corpus, so the corpus-side work is an explode plus a
+    * broadcast hash probe and a map-side-combined count; the corpus is
+    * never shuffled by content. Both sides probe on the 60-bit content
+    * hash (the portable md5 chain → native `md5_prefix60` under
+    * [[graft.GraftExtensions]]) rather than the shingle string: long
+    * join keys, and the broadcast ships 8-byte hashes instead of
+    * n-gram text.
+    */
+  def contamination(
+      corpus: DataFrame,
+      corpusId: Column,
+      corpusText: Column,
+      benchmarkText: DataFrame,
+      benchTextCol: Column,
+      n: Int = 3): DataFrame = {
+    val bench = benchmarkText
+      .select(explode(Dedup.shingleHashes(benchTextCol, n)).as("__h"))
+      .distinct()
+    // The cache boundary is load-bearing, not just a re-use cache:
+    // without it, CollapseProject inlines the shingle+hash chain into
+    // the generator AND the filters Catalyst infers around the explode
+    // (`size(..)>0`, join-key `isnotnull`), evaluating the interpreted
+    // HOF chain ~4× per row (measured 10 s → 1 s at sf0.1). Cached, the
+    // inferred filters run against the materialized attribute.
+    val hashed = graft.CacheScope.persist(
+      corpus.select(corpusId.as("id"), Dedup.shingleHashes(corpusText, n).as("__hs")))
+    val posting = hashed
+      .select(col("id"), size(col("__hs")).as("n_shingles"),
+        explode(col("__hs")).as("__h"))
+    posting.join(broadcast(bench), "__h")
+      .groupBy("id")
+      .agg(
+        first("n_shingles").as("n_shingles"),
+        count(lit(1)).as("n_overlap"))
+      .withColumn("overlap_ratio",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+  }
+}

@@ -617,6 +617,73 @@ object LlmQueries {
                 min(n_tokens) AS min_tokens,
                 max(n_tokens) AS max_tokens,
                 quantile_cont(n_tokens, 0.5) AS median_tokens
-         FROM t""")
+         FROM t"""),
+
+    // Deterministic train/val/test split: the salted content hash puts
+    // every doc in a stable bucket regardless of run, engine, or
+    // cluster layout — the reproducibility property randomSplit lacks.
+    "q39_hash_split" -> QuerySpec(
+      (s, dir) => {
+        val bucket = Curation.splitBucket(col("doc_id"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          bucket.as("bucket"),
+          Curation.splitLabel(bucket, trainPct = 80, valPct = 10).as("split"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+                ('0x'||substr(md5('split:'||doc_id),1,15))::BIGINT % 100 AS bucket,
+                CASE WHEN ('0x'||substr(md5('split:'||doc_id),1,15))::BIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x'||substr(md5('split:'||doc_id),1,15))::BIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id"""),
+
+    // Within-document repetition (repeated-3-gram ratio): the classic
+    // looping-text quality filter, map-only per row.
+    "q40_repetition" -> QuerySpec(
+      (s, dir) => {
+        val w = Dedup.words(col("text"))
+        val total = when(size(w) >= 3, size(w) - 2).otherwise(lit(1))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          total.cast("bigint").as("n_grams_total"),
+          size(Dedup.shingles(col("text"))).cast("bigint").as("n_grams_distinct"),
+          Curation.repetitionRatio(col("text")).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $shingleSql,
+          tot AS (SELECT doc_id,
+                    CASE WHEN len(ws) >= 3 THEN len(ws)-2 ELSE 1 END AS n_grams_total
+                  FROM w)
+          SELECT t.doc_id, t.n_grams_total, n.n AS n_grams_distinct,
+                 1.0 - CAST(n.n AS DOUBLE)/CAST(t.n_grams_total AS DOUBLE) AS rep_ratio
+          FROM tot t JOIN sizes n USING (doc_id) ORDER BY doc_id"""),
+
+    // Benchmark decontamination: distinct-3-gram overlap of each corpus
+    // doc (doc_id >= 5) against the benchmark set (doc_id < 5),
+    // benchmark side broadcast — the corpus never shuffles by content.
+    "q41_decontamination" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.contamination(
+          docs.filter(col("doc_id") >= 5), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") < 5), col("text"))
+          .select(
+            col("id").as("doc_id"),
+            col("n_shingles").cast("bigint").as("n_shingles"),
+            col("n_overlap"),
+            col("overlap_ratio"))
+          .orderBy("doc_id")
+      },
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $shingleSql,
+          bench AS (SELECT DISTINCT h FROM shh WHERE doc_id < 5),
+          ov AS (SELECT shh.doc_id, count(*) AS n_overlap
+                 FROM shh JOIN bench USING (h)
+                 WHERE shh.doc_id >= 5 GROUP BY 1)
+          SELECT o.doc_id, n.n AS n_shingles, o.n_overlap,
+                 CAST(o.n_overlap AS DOUBLE)/CAST(n.n AS DOUBLE) AS overlap_ratio
+          FROM ov o JOIN sizes n USING (doc_id) ORDER BY doc_id""")
   )
 }
