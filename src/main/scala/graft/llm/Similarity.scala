@@ -89,6 +89,96 @@ object Similarity {
     * Tiebreak matches the old window order: highest cosine, then lowest
     * centroid id.
     */
+  /** Map-side nearest-centroid expression over the `__q`/`__n` columns
+    * of a [[prepared]] frame: argmax of per-centroid cosine, ties to
+    * the LOWEST index (the fold keeps the first maximum; callers order
+    * `centRows` so index order is their tiebreak order). The whole
+    * centroid table rides as ONE array<struct<idx,vec,norm>> literal —
+    * per-centroid `array(lit, lit, …)` columns instead put C×D literal
+    * nodes in the tree (at 40×64 that took Catalyst ~20 s to re-analyze
+    * per run, BENCH_r04); a single Literal is O(1) tree nodes and the
+    * per-row work is the same C×D multiply-adds (native via
+    * [[graft.plans.RewriteLongDotChain]]) either way.
+    */
+  private[llm] def nearestCell(centRows: Seq[(Int, Seq[Long], Long)]): Column = {
+    val scored = transform(typedlit(centRows), c =>
+      struct(
+        cosine(intDot(col("__q"), c("_2")), col("__n"), c("_3")).as("c"),
+        c("_1").as("i")))
+    // Sentinel zero (cosine ∈ [-1,1] > -2 always) rather than
+    // element_at(scored, 1), which would evaluate the whole transform a
+    // second time per row just to read its head.
+    aggregate(
+      scored,
+      struct(lit(-2.0).as("c"), lit(-1).as("i")),
+      (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))("i")
+  }
+
+  /** In-engine IVF centroid training: `iters` rounds of spherical
+    * k-means (cosine assignment, element-wise mean update) with fully
+    * deterministic arithmetic — integer component sums, exact-double
+    * division, truncation back to the quantized integer grid — so any
+    * engine replays it bit-for-bit. Seeds are the `k` smallest-id
+    * vectors (deterministic; production would k-means++ over a sample
+    * the same way). Returns (cell, d, value, n_members): one row per
+    * centroid component, driver-comparator-friendly.
+    *
+    * Scale shape per round: ONE map-side assignment pass over the
+    * corpus (the broadcast-literal argmax above — zero shuffle), then
+    * ONE shuffle of (cell, dim) partial sums (posexplode feeds
+    * map-side-combined sum/count, so the shuffle carries k×dim rows per
+    * partition, not the corpus). The k×dim result collects to the
+    * driver to seed the next round's literal — the classic Lloyd's
+    * loop. Cells that lose all members keep their previous centroid.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val prep = graft.CacheScope.persist(prepared(corpus, idCol, vecCol))
+    def withNorm(vec: Seq[Long]): (Seq[Long], Long) =
+      (vec, vec.map(x => x * x).sum)
+    var cents: Seq[(Seq[Long], Long)] =
+      prep.orderBy(col(idCol)).limit(k).collect().toSeq
+        .map(r => withNorm(r.getSeq[Long](1)))
+    var members = Map.empty[Int, Long]
+    for (_ <- 1 to iters) {
+      val centRows = cents.zipWithIndex.map { case ((v, n), i) => (i, v, n) }
+      // Two selects: a generator (posexplode) sharing a projection with
+      // the argmax fold trips the analyzer's generator extraction,
+      // which strips the aliases inside the fold's lambda structs.
+      val sums = prep
+        .select(col("__q"), nearestCell(centRows).as("__cell"))
+        .select(col("__cell"), posexplode(col("__q")).as(Seq("d", "v")))
+        .groupBy("__cell", "d")
+        .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      members = byCell.map { case (cell, rows) => cell -> rows.head.getLong(3) }
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          case None => old // empty cell keeps its centroid
+          case Some(rows) =>
+            // trunc(sum/count) in exact doubles: |sum| < 2^53 by
+            // construction (milli-quantized components), so the double
+            // division is exact-input and truncation matches any
+            // engine's trunc().
+            withNorm(rows.sortBy(_.getInt(1)).toSeq
+              .map(r => (r.getLong(2).toDouble / r.getLong(3)).toLong))
+        }
+      }
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case ((vec, _), cell) =>
+      vec.zipWithIndex.map { case (v, d) =>
+        (cell, d + 1, v, members.getOrElse(cell, 0L))
+      }
+    }.toDF("cell", "d", "value", "n_members")
+  }
+
   def ivfTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -105,36 +195,18 @@ object Similarity {
       prepared(centroids, idCol, vecCol).orderBy(col(idCol)).collect().toSeq
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1), r.getLong(2)) }
     require(centRows.nonEmpty, "ivfTopK requires a non-empty centroid set")
-    // ONE array<struct<idx,vec,norm>> literal for the whole centroid
-    // table. (Building per-centroid `array(lit, lit, …)` columns instead
-    // puts C×D separate literal nodes in the tree — at 40 centroids ×
-    // 64 dims that tree took Catalyst ~20 s to re-analyze per run,
-    // measured in BENCH_r04. A single Literal is O(1) tree nodes; the
-    // per-row work is the same C×D multiply-adds either way.)
-    val centLit = typedlit(centRows)
-    def assign(df: DataFrame, id: String): DataFrame = {
-      val scored = transform(centLit, c =>
-        struct(
-          cosine(intDot(col("__q"), c("_2")), col("__n"), c("_3")).as("c"),
-          c("_1").as("i")))
-      // Sentinel zero (cosine ∈ [-1,1] > -2 always) rather than
-      // element_at(scored, 1), which would evaluate the whole transform
-      // a second time per row just to read its head.
-      val best = aggregate(
-        scored,
-        struct(lit(-2.0).as("c"), lit(-1).as("i")),
-        (acc, x) => when(x("c") > acc("c"), x).otherwise(acc))
-      // Materialize the assignment ONCE (CacheScope-registered): the
-      // cell column feeds the join key and the join re-projects the
-      // row, and an unpersisted argmax-fold subtree re-evaluates per
-      // consumer (measured 6× the whole query's runtime at sf0.1). At
-      // cluster scale this is the IVF posting-list build you would
-      // checkpoint — assignment is computed once per corpus, never
-      // inline in a probe join.
+    // Materialize each side's assignment ONCE (CacheScope-registered):
+    // the cell column feeds the join key and the join re-projects the
+    // row, and an unpersisted argmax-fold subtree re-evaluates per
+    // consumer (measured 6× the whole query's runtime at sf0.1). At
+    // cluster scale this is the IVF posting-list build you would
+    // checkpoint — assignment is computed once per corpus, never
+    // inline in a probe join.
+    def assign(df: DataFrame, id: String): DataFrame =
       graft.CacheScope.persist(
         prepared(df, idCol, vecCol)
-          .select(col(idCol).as(id), col("__q"), col("__n"), best("i").as("__cell")))
-    }
+          .select(col(idCol).as(id), col("__q"), col("__n"),
+            nearestCell(centRows).as("__cell")))
     val q = assign(queries, "query_id")
       .select(col("query_id"), col("__q").as("__qv"), col("__n").as("__qn"), col("__cell"))
     val c = assign(candidates, "candidate_id")

@@ -684,6 +684,54 @@ object LlmQueries {
                  WHERE shh.doc_id >= 5 GROUP BY 1)
           SELECT o.doc_id, n.n AS n_shingles, o.n_overlap,
                  CAST(o.n_overlap AS DOUBLE)/CAST(n.n AS DOUBLE) AS overlap_ratio
-          FROM ov o JOIN sizes n USING (doc_id) ORDER BY doc_id""")
+          FROM ov o JOIN sizes n USING (doc_id) ORDER BY doc_id"""),
+
+    // In-engine IVF centroid training: 2 rounds of spherical k-means
+    // (k=8, seeds = 8 smallest ids) with integer-exact update
+    // arithmetic; the oracle replays both rounds unrolled. Output is
+    // one row per centroid component (cell, d, value, n_members).
+    "q42_ivf_train" -> QuerySpec(
+      (s, dir) =>
+        Similarity.trainCentroids(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+          .select(
+            col("cell").cast("bigint").as("cell"),
+            col("d").cast("bigint").as("d"),
+            col("value"), col("n_members"))
+          .orderBy("cell", "d"),
+      s"""WITH av AS ${quantSql("embeddings", "TRUE")},
+          an AS (SELECT vec_id, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM av),
+          c0 AS (SELECT vec_id AS cell, e, n FROM an WHERE vec_id < 8),
+          a1 AS (SELECT vec_id, e, cell FROM (
+                   SELECT a.vec_id, a.e, c.cell,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            CAST(CAST(list_sum(list_transform(list_zip(a.e, c.e), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                              / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE))) DESC,
+                            c.cell) AS r
+                   FROM an a CROSS JOIN c0 c) WHERE r = 1),
+          s1 AS (SELECT cell, d,
+                   CAST(trunc(CAST(sum(e[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+                 FROM a1, generate_series(1, 64) g(d) GROUP BY 1, 2),
+          c1v AS (SELECT cell, list(v ORDER BY d) AS e FROM s1 GROUP BY 1),
+          c1 AS (SELECT cell, e, CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM c1v
+                 UNION ALL
+                 SELECT cell, e, n FROM c0 WHERE cell NOT IN (SELECT cell FROM c1v)),
+          a2 AS (SELECT vec_id, e, cell FROM (
+                   SELECT a.vec_id, a.e, c.cell,
+                          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                            CAST(CAST(list_sum(list_transform(list_zip(a.e, c.e), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                              / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE))) DESC,
+                            c.cell) AS r
+                   FROM an a CROSS JOIN c1 c) WHERE r = 1),
+          s2 AS (SELECT cell, d,
+                   CAST(trunc(CAST(sum(e[d]) AS DOUBLE) / count(*)) AS BIGINT) AS v,
+                   count(*) AS cnt
+                 FROM a2, generate_series(1, 64) g(d) GROUP BY 1, 2)
+          SELECT cell, d, v AS value, cnt AS n_members FROM s2
+          UNION ALL
+          SELECT c.cell, g.d, c.e[g.d] AS value, 0 AS n_members
+          FROM c1 c, generate_series(1, 64) g(d)
+          WHERE c.cell NOT IN (SELECT cell FROM s2)
+          ORDER BY cell, d""")
   )
 }

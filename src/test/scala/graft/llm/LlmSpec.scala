@@ -175,6 +175,24 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     assert(kept == List(1L, 2L, 10L)) // 3,4 fold into cluster min 2
   }
 
+  test("trainCentroids converges to cluster means with integer-exact updates") {
+    import spark.implicits._
+    // two tight direction-clusters in 2-D; seeds = ids 0 and 1 (one in
+    // each cluster)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (4L, Seq(1.1f, -0.1f)),
+      (1L, Seq(0.0f, 1.0f)), (3L, Seq(0.1f, 0.9f)), (5L, Seq(-0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.trainCentroids(emb, "vec_id", "embedding", k = 2, iters = 2)
+      .orderBy("cell", "d").collect()
+    assert(r.length == 4) // 2 cells × 2 dims
+    // cell 0 = mean of (1000,0),(900,100),(1100,-100) = (1000, 0)
+    assert(r(0).getLong(2) == 1000L && r(1).getLong(2) == 0L)
+    // cell 1 = mean of (0,1000),(100,900),(-100,1100) = (0, 1000)
+    assert(r(2).getLong(2) == 0L && r(3).getLong(2) == 1000L)
+    assert(r.forall(_.getLong(3) == 3L)) // 3 members each
+  }
+
   test("jvm hash matches the Spark-side md5 prefix hash") {
     import spark.implicits._
     val s = "graft determinism probe"
