@@ -76,6 +76,49 @@ object ExtQueries {
       },
       "SELECT doc_id FROM documents ORDER BY doc_id"),
 
+    // Q43: watermarked tumbling-window aggregation, end to end through a
+    // REAL stream (the `windowedCounts` operator was spec-only before).
+    // Append mode only emits a window once the watermark passes its end,
+    // so the stage appends one sentinel event 3 h past the real maximum:
+    // the final AvailableNow batch advances the watermark beyond every
+    // real window (the sentinel's own window never closes and is the one
+    // row the filter drops). Epoch-seconds output keeps the comparator
+    // off timestamp-precision differences.
+    "q43_streaming_window" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val tmpPath = Files.createTempDirectory("graft-q43")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir).select(col("ts"), col("event_type"))
+        val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+        val sentinel = new java.sql.Timestamp(maxTs.getTime + 3L * 3600 * 1000)
+        val staged = ev.unionByName(
+          Seq((sentinel, "__flush")).toDF("ts", "event_type"))
+        staged.coalesce(1).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
+        val q = StreamingEtl.windowedCounts(
+          stream, "ts", "event_type", windowLength = "1 hour", watermark = "1 hour")
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/checkpoint")
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        deleteRecursively(tmpPath.resolve("staging"))
+        deleteRecursively(tmpPath.resolve("checkpoint"))
+        deleteOnExit(tmpPath)
+        s.read.parquet(s"$tmp/out")
+          .filter(col("event_type") =!= "__flush")
+          .select(
+            unix_timestamp(col("window_start")).cast("bigint").as("window_start_epoch"),
+            col("event_type"), col("cnt"))
+          .orderBy("window_start_epoch", "event_type")
+      },
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+                event_type, count(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     // Q33: multimodal binary plumbing without codecs — synthesize each
     // asset's payload as a StubCodec header from doc_id arithmetic
     // (every 13th doc gets undecodable bytes), push it through resize
