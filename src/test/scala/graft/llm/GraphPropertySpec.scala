@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkTestSession
+
+/** Property-based check of the distributed connected-components
+  * operator against a driver-side union-find reference on random
+  * graphs — the invariant that matters for dedup clustering: every
+  * node's label is exactly the minimum id of its component.
+  */
+object GraphPropertySpec extends Properties("GraphProperties") {
+
+  private lazy val spark = SparkTestSession.session
+
+  private val graphGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 25)
+    m <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id root: union always points the larger root at the smaller,
+    // so find() yields the component minimum
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  property("labels equal the component minimum (vs union-find)") =
+    forAll(graphGen) { edges =>
+      import spark.implicits._
+      val pairs = edges.toDF("id1", "id2")
+      val got = Dedup.connectedComponents(pairs, "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }
+}
