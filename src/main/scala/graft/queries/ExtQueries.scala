@@ -119,6 +119,28 @@ object ExtQueries {
                 event_type, count(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // Q44: gap-based sessionization over the events table — both
+    // windows partitioned by user (per-key state = one row; the only
+    // shuffle is the user_id hash partition). Epoch-microsecond longs
+    // keep the gap predicate engine-exact.
+    "q44_sessionize" -> QuerySpec(
+      (s, dir) =>
+        graft.analytics.EventSessions.sessionize(
+          Tables.events(s, dir), col("user_id"), col("ts"), col("event_id"))
+          .orderBy("user_id", "session_idx"),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         f AS (SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (SELECT user_id, ts_us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     // Q33: multimodal binary plumbing without codecs — synthesize each
     // asset's payload as a StubCodec header from doc_id arithmetic
     // (every 13th doc gets undecodable bytes), push it through resize
