@@ -79,6 +79,13 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(e.getMessage == "Missing database config key: user")
   }
 
+  test("missing database port rejected via the ConfigError taxonomy") {
+    val broken = validAppYaml.replace("  port: 5432\n", "")
+    val e = intercept[ConfigError](
+      EtlConfig.appConfig(EtlConfig.loadRaw(write(broken, ".yaml"))))
+    assert(e.getMessage.contains("Missing database config key: port"))
+  }
+
   test("non-numeric database port rejected via the ConfigError taxonomy") {
     val broken = validAppYaml.replace("  port: 5432", "  port: abc")
     val e = intercept[ConfigError](EtlConfig.appConfig(EtlConfig.loadRaw(write(broken, ".yaml"))))

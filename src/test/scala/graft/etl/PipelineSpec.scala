@@ -184,4 +184,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestSession {
     val c = result.counters.get.head()
     assert((c.getLong(1), c.getLong(3)) == (0L, 1L))
   }
+
+  test("a failing append releases every cache registered by the run") {
+    val base = Files.createTempDirectory("graft-fail").toString
+    val schemaSql = Files.createTempFile("graft-schema", ".sql")
+    Files.writeString(schemaSql, "")
+    val app = EtlDefaults.appConfig.copy(
+      runtime = EtlDefaults.runtime.copy(schemaPath = schemaSql.toString))
+    val mapping = MappingConfig(ListMap("customers" -> customersMapping))
+    import spark.implicits._
+    val input = ListMap("customers" ->
+      Seq("""{"customer_id": 1, "name": "Ada"}""").toDF("raw"))
+    val inner = new ParquetSink(base)
+    val sink = new TableSink {
+      override def tableExists(t: String) = inner.tableExists(t)
+      override def createSchema(s: String) = inner.createSchema(s)
+      override def createTable(t: String, cols: Seq[ColumnDef]) =
+        inner.createTable(t, cols)
+      override def append(df: org.apache.spark.sql.DataFrame, t: String) =
+        if (t == app.audit.auditTable) throw new LoadError("audit sink down")
+        else inner.append(df, t)
+    }
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    assertThrows[LoadError] {
+      Pipeline.run(spark, input, app, mapping, sink,
+        clock = lit("2026-02-03 04:05:06").cast("timestamp"),
+        ingestionDate = "2026-02-03")
+    }
+    // round-4 advice: the just-persisted audit frame (registered before
+    // the append) must be released when the run fails
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore)
+  }
 }
