@@ -686,6 +686,96 @@ object LlmQueries {
                  CAST(o.n_overlap AS DOUBLE)/CAST(n.n AS DOUBLE) AS overlap_ratio
           FROM ov o JOIN sizes n USING (doc_id) ORDER BY doc_id"""),
 
+    // The end-to-end curation pipeline — the user story the individual
+    // operators exist for: near-dup DROP (q37), then quality filters
+    // (length ≥ 10 tokens, repetition ≤ 0.2), language tag and token
+    // count carried as output. One LSH pipeline + broadcast anti-join +
+    // map-only features; the corpus is scanned once past the drop.
+    "q45_curation_pipeline" -> QuerySpec(
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val sets = corpus
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .transform(graft.CacheScope.persist)
+        val banded = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select(col("doc_id"), col("bands"))
+          .transform(graft.CacheScope.persist)
+        val verified = Dedup.jaccardVerify(
+          Dedup.candidatePairs(banded, "doc_id", "bands"), sets, "doc_id", "sh")
+          .filter(col("jaccard") >= 0.5)
+          .select("id1", "id2")
+          .transform(graft.CacheScope.persist)
+        val lists = TextAnalysis.markerLists
+        val scores = TextAnalysis.languageScores(col("text"), lists)
+        // Features are computed over the SCAN, then the anti-join drops
+        // losers from the small feature rows — not the other way
+        // around: an interpreted-HOF projection streaming out of a join
+        // runs ~10× slower than the same projection over the scan, and
+        // the persist both blocks quality-filter pushdown from
+        // re-substituting the feature expressions (the q41 lesson) and
+        // keeps the cached plan stable across runs (no localCheckpoint
+        // RDD in its lineage).
+        val feats = graft.CacheScope.persist(
+          corpus.select(
+            col("doc_id"),
+            size(Dedup.words(col("text"))).cast("bigint").as("n_tokens"),
+            Curation.repetitionRatio(col("text")).as("rep_ratio"),
+            TextAnalysis.languageGuess(scores, lists.map(_._1)).as("lang")))
+        Dedup.dropNearDuplicates(feats, "doc_id", verified)
+          .filter(col("n_tokens") >= 10 && col("rep_ratio") <= 0.2)
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bandt a JOIN bandt b USING (band)
+                   WHERE a.doc_id < b.doc_id),
+          inter AS (SELECT p.id1, p.id2, count(*) AS i
+                    FROM cand p
+                    JOIN sh s1 ON s1.doc_id = p.id1
+                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
+                    GROUP BY 1, 2),
+          vp AS (SELECT i.id1, i.id2
+                 FROM inter i
+                 JOIN sizes n1 ON n1.doc_id = i.id1
+                 JOIN sizes n2 ON n2.doc_id = i.id2
+                 WHERE i.i / (n1.n + n2.n - i.i) >= 0.5),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM vp
+                    UNION ALL SELECT id2, id1 FROM vp),
+          reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+          losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(lab)),
+          feat AS (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+                     text
+                   FROM corpus
+                   WHERE doc_id NOT IN (SELECT id FROM losers)),
+          scored AS (SELECT doc_id,
+                       CAST(len(ws) AS BIGINT) AS n_tokens,
+                       1.0 - CAST((SELECT n FROM sizes s WHERE s.doc_id = feat.doc_id) AS DOUBLE)
+                           / CAST(CASE WHEN len(ws) >= 3 THEN len(ws)-2 ELSE 1 END AS DOUBLE) AS rep_ratio,
+                       len(list_filter(ws, x -> x IN ('table','row','scan','filter','sort'))) AS s1,
+                       len(list_filter(ws, x -> x IN ('join','merge','batch','group','hash'))) AS s2,
+                       len(list_filter(ws, x -> x IN ('data','stream','query','window','spark'))) AS s3
+                     FROM feat)
+          SELECT doc_id, n_tokens, rep_ratio,
+                 CASE WHEN s1 >= s2 AND s1 >= s3 THEN 'struct'
+                      WHEN s2 >= s3 THEN 'flow' ELSE 'core' END AS lang
+          FROM scored
+          WHERE n_tokens >= 10 AND rep_ratio <= 0.2
+          ORDER BY doc_id"""),
+
     // In-engine IVF centroid training: 2 rounds of spherical k-means
     // (k=8, seeds = 8 smallest ids) with integer-exact update
     // arithmetic; the oracle replays both rounds unrolled. Output is
