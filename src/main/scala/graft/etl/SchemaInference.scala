@@ -108,6 +108,29 @@ object SchemaInference {
       .orderBy("attribute")
   }
 
+  /** [[inferSchema]] over a deterministic hash sample of the documents
+    * — the 100 TB path (SCALING.md documents full-scan inference as a
+    * deliberate reference-parity choice, with sampling as the
+    * divergence-if-enabled). The sample is content-stable (salted
+    * md5-prefix bucket of the raw document, like
+    * `graft.llm.Curation.splitBucket`), so repeated runs over the same
+    * corpus infer from the same documents — no `TABLESAMPLE`
+    * partition-order dependence. `pct` in (0,100]; type votes remain a
+    * UNION over sampled docs, so any type present in the sample still
+    * wins exactly as in the full scan.
+    */
+  def inferSchemaSampled(
+      raw: DataFrame,
+      rawCol: String,
+      pct: Int,
+      sniffNumericStrings: Boolean = true): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct must be in (0,100], got $pct")
+    val sampled = raw.filter(
+      pmod(graft.llm.TextHash.hash60(concat(lit("infer:"), col(rawCol))),
+        lit(100L)) < pct)
+    inferSchema(sampled, rawCol, sniffNumericStrings)
+  }
+
   /** `_build_mapping_config` (`run_pipeline.py:240-258`): turn an
     * inferred schema into a placeholder CollectionMapping (identity
     * column names, inferred types, `<schema>.<collection>` target).

@@ -75,4 +75,20 @@ class SchemaInferenceSpec extends AnyFunSuite with SparkTestSession {
     assert(cm.mappings("joined") == AttributeMapping("joined", "date"))
     assert(cm.mappings.keys.toSeq == Seq("_id", "joined", "name")) // sorted
   }
+
+  test("sampled inference is deterministic and a restriction of the full scan") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i =>
+      s"""{"id": $i, "v": ${if (i % 2 == 0) i.toString else "\"s\""}}""")
+    val df = docs.toDF("raw")
+    def run() = SchemaInference.inferSchemaSampled(df, "raw", pct = 25)
+      .collect().map(r => (r.getString(0), r.getString(1))).toList
+    val a = run()
+    assert(a == run()) // content-stable sample ⇒ identical result
+    // both attributes still observed; the mixed-type vote still resolves
+    assert(a.map(_._1) == List("id", "v"))
+    assert(a.toMap.apply("v") == "text")
+    assertThrows[IllegalArgumentException](
+      SchemaInference.inferSchemaSampled(df, "raw", pct = 0))
+  }
 }
