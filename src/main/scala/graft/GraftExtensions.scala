@@ -37,5 +37,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "long_dot(array<bigint>, array<bigint>) - exact integer dot product",
         ""),
       (children: Seq[Expression]) => LongDotProduct(children(0), children(1))))
+    // Spark ships BloomFilterMightContain for its runtime-filter rewrite
+    // but leaves it out of the public registry; exposing it lets the
+    // incremental-dedup router test membership inside codegen instead of
+    // through a deserializing UDF. First arg must be a foldable binary
+    // (the sketch bytes), second a bigint key.
+    extensions.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null,
+        "graft_might_contain",
+        "graft_might_contain(binary, bigint) - bloom-filter membership probe",
+        ""),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }

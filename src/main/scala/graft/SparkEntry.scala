@@ -35,7 +35,8 @@ object SparkEntry {
   }
 
   private lazy val specs: Map[String, QuerySpec] =
-    CoreQueries.specs ++ EtlQueries.specs ++ LlmQueries.specs ++ ExtQueries.specs
+    CoreQueries.specs ++ EtlQueries.specs ++ LlmQueries.specs ++
+      ExtQueries.specs ++ OpsQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }

@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the most recent right row of
+  * the same key at-or-before the left row's timestamp.
+  *
+  * Spark has no native as-of operator, and the naive formulations are
+  * both scale-killers: a theta-join (`l.key = r.key AND r.ts <= l.ts`
+  * then max-per-left) explodes to the full per-key cross product, and a
+  * correlated subquery re-scans the right side per left row. The
+  * scale-correct plan is the union+window formulation used here:
+  *
+  *   1. tag right rows 0 and left rows 1, union them on (key, ts, tag, id)
+  *   2. ONE hash shuffle on the key + one in-partition sort
+  *   3. a running `last(right_payload, ignoreNulls)` over
+  *      (key ORDER BY ts, tag, id ROWS UNBOUNDED PRECEDING..CURRENT)
+  *      carries "the most recent right row seen so far" to every left row
+  *   4. keep tag=1 rows
+  *
+  * Cost is that of a single groupBy on the key — no range explosion, no
+  * per-key state beyond one running struct, and skewed keys are handled
+  * by the same AQE machinery as any other shuffle. Right rows sort
+  * before left rows at equal timestamps (tag 0 < 1), so the match
+  * predicate is `right.ts <= left.ts`; ties among right rows at one
+  * timestamp break deterministically by the id column (latest id wins).
+  *
+  * Timestamps are compared as epoch-microsecond longs supplied by the
+  * caller, keeping the ordering engine-exact (see EventSessions).
+  */
+object AsOfJoin {
+
+  /** @param left  rows to enrich; must contain `keyCol`, `tsCol`, `idCol`
+    * @param right rows to look up; same three columns required
+    * @param payloadCols right-side columns to carry onto each left row,
+    *        emitted as `asof_<name>` (null when no right row precedes)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val rTagged = right.select(
+      col(keyCol), col(tsCol), col(idCol), lit(0).as("__tag"),
+      payload.as("__r"))
+    val lTagged = left.select(
+      col(keyCol), col(tsCol), col(idCol), lit(1).as("__tag"),
+      lit(null).cast(rTagged.schema("__r").dataType).as("__r"))
+    val w = Window.partitionBy(keyCol).orderBy(tsCol, "__tag", idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matchedRight = last(col("__r"), ignoreNulls = true).over(w)
+    rTagged.unionByName(lTagged)
+      .withColumn("__m", matchedRight)
+      .filter(col("__tag") === 1)
+      .select(
+        Seq(col(keyCol), col(tsCol), col(idCol)) ++
+          payloadCols.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
+  }
+}

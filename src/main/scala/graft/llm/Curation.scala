@@ -28,6 +28,32 @@ object Curation {
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
 
+  /** Stratified sampling predicate: keep a row iff its content hash
+    * lands under the stratum's acceptance threshold. Used to rebalance a
+    * corpus toward target per-stratum rates (domain mixing, language
+    * rebalancing) in ONE map-side pass — no groupBy, no sampleBy
+    * round-trip, and the decision is a pure function of (stratum, key),
+    * so it is reproducible across runs, engines, and repartitions, and
+    * stable under corpus growth (a kept row stays kept when new rows
+    * arrive — the property `df.stat.sampleBy`'s RNG does not give you).
+    *
+    * Fractions are quantized to 1/10000 so the threshold compare is
+    * integer-exact and engine-portable. Unlisted strata are dropped
+    * (threshold 0).
+    */
+  def stratifiedAccept(
+      stratum: Column,
+      key: Column,
+      fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty && fractions.forall { case (_, f) => f >= 0 && f <= 1 },
+      s"fractions must be within [0,1]: $fractions")
+    val bucket = pmod(hash60(concat(lit("strat:"), key.cast("string"))), lit(10000L))
+    val threshold = fractions.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(stratum === s, lit(math.round(f * 10000))).otherwise(acc)
+    }
+    bucket < threshold
+  }
+
   /** Within-document repetition: 1 − distinct/total word n-grams.
     * 0 = no repeated n-gram; →1 = the document loops. Short documents
     * (< n words) count as a single gram (ratio 0). Pure per-row

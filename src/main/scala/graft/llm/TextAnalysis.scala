@@ -22,6 +22,25 @@ object TextAnalysis {
     "flow" -> Seq("join", "merge", "batch", "group", "hash"),
     "core" -> Seq("data", "stream", "query", "window", "spark"))
 
+  /** Canonical text normalization — the cleanup pass that runs before
+    * hashing/chunking so that byte-level noise (case, control chars,
+    * ragged whitespace, stuttered punctuation) doesn't defeat
+    * content-keyed dedup. Order matters and is part of the contract:
+    * lowercase → control chars to spaces → squeeze repeated
+    * sentence punctuation → collapse whitespace runs → trim.
+    *
+    * Pure codegen'd expressions; the regexes restrict to syntax shared
+    * by Java regex and RE2 (no lookaround/backrefs in the pattern) so an
+    * external system can replicate the normalization bit-for-bit.
+    */
+  def normalize(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(text), "[\\x00-\\x1f]", " "),
+          "([.!?,]){2,}", "$1"),
+        "\\s+", " "))
+
   /** Whitespace token count + a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation).
     */

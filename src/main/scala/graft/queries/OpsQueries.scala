@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analytics.AsOfJoin
+import graft.llm.{Curation, IncrementalDedup, TextAnalysis, TextChunker, TextHash}
+
+/** Round-5 extension operators, gated: as-of join, token chunking,
+  * stratified sampling, bloom-routed incremental dedup, text
+  * normalization, and the flagship broadcast-join aggregate. Every
+  * oracle follows the determinism recipes in SCALING.md (epoch-µs
+  * longs, the portable 60-bit md5 hash, integer-quantized money).
+  */
+object OpsQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q46: as-of join — for each purchase event, the most recent click
+    // by the same user at-or-before the purchase. Union+window plan:
+    // ONE shuffle on user_id, no range explosion (see AsOfJoin). The
+    // oracle replicates the same formulation with IGNORE NULLS windows.
+    "q46_asof_join" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks = ev.filter(col("event_type") === "click")
+        AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", "event_id",
+          payloadCols = Seq("event_id", "ts_us"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                    FROM events),
+         u AS (
+           SELECT user_id, ts_us, event_id, 0 AS tag,
+                  event_id AS r_id, ts_us AS r_ts
+           FROM e WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts_us, event_id, 1 AS tag, NULL, NULL
+           FROM e WHERE event_type = 'purchase'),
+         m AS (
+           SELECT user_id, ts_us, event_id, tag,
+                  last_value(r_id IGNORE NULLS) OVER w AS asof_event_id,
+                  last_value(r_ts IGNORE NULLS) OVER w AS asof_ts_us
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts_us, event_id, asof_event_id, asof_ts_us
+         FROM m WHERE tag = 1 ORDER BY event_id"""),
+
+    // Q47: fixed-size token chunking with overlap (64-token windows,
+    // stride 56) — map-side + one generate, zero shuffles.
+    "q47_token_chunks" -> QuerySpec(
+      (s, dir) =>
+        TextChunker.chunkTokens(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          chunkSize = 64, stride = 56)
+          .orderBy("doc_id", "chunk_idx"),
+      """WITH b AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+                  CASE WHEN n_toks <= 64 THEN 1
+                       ELSE 1 + CAST(ceil((n_toks - 64) / 56.0) AS BIGINT)
+                  END AS n_chunks
+           FROM b),
+         e AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+           FROM c),
+         sl AS (
+           SELECT doc_id, chunk_idx,
+                  list_slice(toks, chunk_idx * 56 + 1, chunk_idx * 56 + 64) AS chunk
+           FROM e)
+         SELECT doc_id, chunk_idx,
+                CAST(len(chunk) AS BIGINT) AS n_tokens,
+                array_to_string(chunk, ' ') AS chunk_text
+         FROM sl ORDER BY doc_id, chunk_idx"""),
+
+    // Q48: stratified sampling — rebalance the corpus toward target
+    // per-language rates in one map-side pass; the keep decision is a
+    // pure function of (lang, content hash), reproducible anywhere.
+    "q48_stratified_sample" -> QuerySpec(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(Curation.stratifiedAccept(col("lang"), col("text"),
+            Seq("en" -> 0.2, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.4)))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id"),
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5('strat:' || text), 1, 15))::BIGINT % 10000 <
+               CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000
+                         WHEN 'es' THEN 5000 WHEN 'fr' THEN 5000
+                         WHEN 'zh' THEN 4000 ELSE 0 END
+         ORDER BY doc_id"""),
+
+    // Q49: incremental dedup — incoming docs (doc_id % 3 = 0) minus any
+    // whose content key already exists in the corpus (the other two
+    // thirds). The bloom router passes definitely-new rows map-side;
+    // only maybe-seen rows take the exact anti-join. Output is exact,
+    // so the oracle is the plain anti-join.
+    "q49_incremental_dedup" -> QuerySpec(
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir).select(
+          col("doc_id"), TextHash.hash60(col("text")).as("content_key"))
+        val corpus = keyed.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select("content_key")
+        val incoming = keyed.filter(pmod(col("doc_id"), lit(3)) === 0)
+        IncrementalDedup.newOnly(incoming, corpus, "content_key",
+          expectedItems = 200000L, fpp = 0.01)
+          .orderBy("doc_id")
+      },
+      """WITH k AS (SELECT doc_id,
+                           ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_key
+                    FROM documents)
+         SELECT doc_id, content_key FROM k
+         WHERE doc_id % 3 = 0
+           AND content_key NOT IN
+               (SELECT content_key FROM k WHERE doc_id % 3 <> 0)
+         ORDER BY doc_id"""),
+
+    // Q50: text normalization — the gate dirties each document
+    // deterministically (case flip, control chars, ragged spacing,
+    // stuttered punctuation) and checks the cleanup restores a
+    // canonical form; the oracle applies the identical replacement
+    // sequence with RE2-compatible patterns.
+    "q50_normalize_text" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val dirty = concat(
+          lit("  "), upper(col("text").substr(lit(1), lit(50))),
+          lit("\t\t"), col("text").substr(lit(51), lit(1000000)),
+          lit(" !!! "))
+        docs.select(col("doc_id"), TextAnalysis.normalize(dirty).as("norm_text"))
+          .orderBy("doc_id")
+      },
+      """WITH d AS (
+           SELECT doc_id,
+                  '  ' || upper(substr(text, 1, 50)) || chr(9) || chr(9) ||
+                  substr(text, 51, 1000000) || ' !!! ' AS dirty
+           FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(
+                  regexp_replace(
+                    regexp_replace(lower(dirty), '[\x00-\x1f]', ' ', 'g'),
+                    '([.!?,]){2,}', '\1', 'g'),
+                  '\s+', ' ', 'g')) AS norm_text
+         FROM d ORDER BY doc_id"""),
+
+    // Q51: the flagship 3-way broadcast-join aggregate (revenue per
+    // nation), gated with integer-quantized money so the sum is exact
+    // and order-free in both engines. Dimensions broadcast; the only
+    // shuffle is the fact-side partial aggregate on n_name.
+    "q51_revenue_broadcast" -> QuerySpec(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val priceE2 = round(col("l_extendedprice") * 100).cast("long")
+        val discE2 = round(col("l_discount") * 100).cast("long")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("line_count"),
+            sum(priceE2 * (lit(100L) - discE2)).as("revenue_e4"))
+          .orderBy("n_name")
+      },
+      """SELECT n_name, count(*) AS line_count,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS revenue_e4
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""")
+  )
+}
