@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextHash._
@@ -210,6 +211,37 @@ object Dedup {
     val losers = connectedComponents(verifiedPairs, id1, id2)
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
+    corpus.join(broadcast(losers), Seq(idCol), "left_anti")
+  }
+
+  /** Canonical selection: like [[dropNearDuplicates]] but the kept
+    * member of each near-dup cluster is chosen by a QUALITY score
+    * (highest `scoreCol`, ties to the smallest id) instead of the
+    * smallest-id rule — the curation semantics production pipelines
+    * actually want (keep the longest/cleanest variant, drop the rest).
+    *
+    * Plan shape mirrors dropNearDuplicates: cluster labels live only on
+    * docs that appear in a verified pair (a small set by construction),
+    * so the corpus is never shuffled — labels broadcast-join onto the
+    * corpus to pick up scores, the per-cluster arg-max runs on that
+    * small labeled relation, and the losers broadcast-anti-join out.
+    */
+  def keepBestPerCluster(
+      corpus: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      verifiedPairs: DataFrame,
+      id1: String = "id1",
+      id2: String = "id2"): DataFrame = {
+    val labels = connectedComponents(verifiedPairs, id1, id2)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val scored = corpus.select(col(idCol), col(scoreCol))
+      .join(broadcast(labels), Seq(idCol))
+    val rank = row_number().over(
+      Window.partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol).asc))
+    val losers = scored.withColumn("__rn", rank)
+      .filter(col("__rn") > 1)
+      .select(col(idCol))
     corpus.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 

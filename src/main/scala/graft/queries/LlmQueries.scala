@@ -594,6 +594,72 @@ object LlmQueries {
           WHERE doc_id NOT IN (SELECT id FROM losers)
           ORDER BY doc_id"""),
 
+    // Canonical SELECTION: same clusters as q37 but the survivor is the
+    // highest-token-count member (ties to smallest id) — so the padded
+    // "+ graft extra tail" clones WIN over their originals, the
+    // opposite outcome to q37's min-id rule. The corpus itself is never
+    // shuffled: labels/losers broadcast (see Dedup.keepBestPerCluster).
+    "q52_keep_best_neardup" -> QuerySpec(
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("bigint"))
+        val sets = corpus
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .transform(graft.CacheScope.persist)
+        val banded = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select(col("doc_id"), col("bands"))
+          .transform(graft.CacheScope.persist)
+        val verified = Dedup.jaccardVerify(
+          Dedup.candidatePairs(banded, "doc_id", "bands"), sets, "doc_id", "sh")
+          .filter(col("jaccard") >= 0.5)
+          .select("id1", "id2")
+          .transform(graft.CacheScope.persist)
+        Dedup.keepBestPerCluster(corpus, "doc_id", "n_tok", verified)
+          .select("doc_id", "n_tok")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bandt a JOIN bandt b USING (band)
+                   WHERE a.doc_id < b.doc_id),
+          inter AS (SELECT p.id1, p.id2, count(*) AS i
+                    FROM cand p
+                    JOIN sh s1 ON s1.doc_id = p.id1
+                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
+                    GROUP BY 1, 2),
+          vp AS (SELECT i.id1, i.id2
+                 FROM inter i
+                 JOIN sizes n1 ON n1.doc_id = i.id1
+                 JOIN sizes n2 ON n2.doc_id = i.id2
+                 WHERE i.i / (n1.n + n2.n - i.i) >= 0.5),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM vp
+                    UNION ALL SELECT id2, id1 FROM vp),
+          reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+          lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+          ntok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                   FROM corpus),
+          ranked AS (SELECT l.id, row_number() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY n.n_tok DESC, l.id) AS rn
+                     FROM lab l JOIN ntok n ON n.doc_id = l.id),
+          losers AS (SELECT id FROM ranked WHERE rn > 1)
+          SELECT c.doc_id, n.n_tok FROM corpus c JOIN ntok n USING (doc_id)
+          WHERE c.doc_id NOT IN (SELECT id FROM losers)
+          ORDER BY doc_id"""),
+
     // Corpus token statistics: exact counts, mean, and exact
     // interpolated median — Spark's percentile() and DuckDB's
     // quantile_cont() share the (n-1)*q linear-interpolation formula

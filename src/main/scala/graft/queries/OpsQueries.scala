@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.analytics.AsOfJoin
-import graft.llm.{Curation, IncrementalDedup, TextAnalysis, TextChunker, TextHash}
+import graft.llm.{Curation, IncrementalDedup, SequencePacker, TextAnalysis, TextChunker, TextHash}
 
 /** Round-5 extension operators, gated: as-of join, token chunking,
   * stratified sampling, bloom-routed incremental dedup, text
@@ -180,6 +180,32 @@ object OpsQueries {
          JOIN orders   ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation   ON c_nationkey = n_nationkey
-         GROUP BY 1 ORDER BY 1""")
+         GROUP BY 1 ORDER BY 1"""),
+
+    // Q53: sequence packing — every document's training-bin assignment
+    // from the global running token total, computed as a two-level
+    // distributed prefix sum (bucket totals + tiny offsets tier +
+    // per-bucket windows) instead of the single-partition global
+    // window. The oracle IS that global window — the gate proves the
+    // distributed formulation reproduces it bit-for-bit.
+    "q53_sequence_packing" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        SequencePacker.packBins(docs, col("doc_id"), col("n_tok"),
+          budget = 1024L, bucketWidth = 64L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+         c AS (SELECT doc_id, n_tok,
+                 COALESCE(CAST(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS before
+               FROM t)
+         SELECT doc_id, n_tok, before // 1024 AS bin
+         FROM c ORDER BY doc_id""")
   )
 }
