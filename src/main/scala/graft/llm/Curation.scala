@@ -54,6 +54,27 @@ object Curation {
     bucket < threshold
   }
 
+  /** Group-wise top-k: the best `k` rows of every group under an
+    * explicit deterministic ordering (callers include a unique
+    * tie-break column — see O5). The classic "keep the N best documents
+    * per domain/source" curation step. One shuffle on the group key;
+    * Spark ≥3.5 pushes the rank filter into the sort as
+    * WindowGroupLimit, so each partition keeps only k rows per group
+    * during the sort instead of ranking everything first.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      group: Column,
+      ordering: Seq[Column],
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("rank_in_group",
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(group).orderBy(ordering: _*)))
+      .filter(col("rank_in_group") <= k)
+  }
+
   /** Within-document repetition: 1 − distinct/total word n-grams.
     * 0 = no repeated n-gram; →1 = the document loops. Short documents
     * (< n words) count as a single gram (ratio 0). Pure per-row

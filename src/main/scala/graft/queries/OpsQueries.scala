@@ -206,6 +206,59 @@ object OpsQueries {
                    0) AS before
                FROM t)
          SELECT doc_id, n_tok, before // 1024 AS bin
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id"""),
+
+    // Q54: range join with NO equi key — count the events (any user)
+    // inside ±5-minute windows around each high-value purchase. The
+    // naive Spark plan for a bare BETWEEN join is a nested loop; the
+    // operator rewrites it as a bin equi-join (see RangeJoin). The
+    // oracle states the containment join directly (DuckDB's IEJoin
+    // handles it at oracle scale).
+    "q54_range_join" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        val windows = ev
+          .filter(col("event_type") === "purchase" && col("value") > 150)
+          .select(col("event_id").as("window_id"),
+            (col("ts_us") - 300000000L).as("lo_us"),
+            (col("ts_us") + 300000000L).as("hi_us"))
+        graft.analytics.RangeJoin.binnedIntervalJoin(
+          ev.select("event_id", "ts_us"), "ts_us",
+          windows, "lo_us", "hi_us", binWidth = 600000000L)
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("event_id").as("first_event_id"))
+          .orderBy("window_id")
+      },
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+                    FROM events),
+         w AS (SELECT event_id AS window_id,
+                      ts_us - 300000000 AS lo_us, ts_us + 300000000 AS hi_us
+               FROM e WHERE event_type = 'purchase' AND value > 150)
+         SELECT w.window_id, count(*) AS n_events,
+                min(e.event_id) AS first_event_id
+         FROM w JOIN e ON e.ts_us >= w.lo_us AND e.ts_us <= w.hi_us
+         GROUP BY 1 ORDER BY 1"""),
+
+    // Q55: group-wise top-k — the 3 longest documents per source
+    // (deterministic tie-break on doc_id). One group-key shuffle;
+    // WindowGroupLimit keeps per-partition state at k rows per group.
+    "q55_topk_per_group" -> QuerySpec(
+      (s, dir) =>
+        Curation.topKPerGroup(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          col("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+          .withColumn("rank_in_group", col("rank_in_group").cast("bigint"))
+          .orderBy("source", "rank_in_group"),
+      """SELECT doc_id, source, n_chars, rank_in_group FROM (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rank_in_group
+           FROM documents) t
+         WHERE rank_in_group <= 3
+         ORDER BY source, rank_in_group""")
   )
 }
