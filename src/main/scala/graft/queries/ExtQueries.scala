@@ -141,6 +141,53 @@ object ExtQueries {
                 min(ts_us) AS start_us, max(ts_us) AS end_us
          FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // Q56: streaming sessionization through a REAL stream — the
+    // flatMapGroupsWithState operator with one open-session struct per
+    // user. A per-user sentinel event 3h past the global max closes
+    // every real session in the final batch (the sentinel's own session
+    // stays in state and is never emitted), so the drained output equals
+    // the batch sessionization — the oracle is q44's SQL verbatim.
+    "q56_streaming_sessionize" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val tmpPath = Files.createTempDirectory("graft-q56")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        val flushUs = ev.agg(max("ts_us")).head().getLong(0) + 3L * 3600 * 1000000
+        val staged = ev.unionByName(
+          ev.select(col("user_id")).distinct()
+            .select(col("user_id"), lit(flushUs).as("ts_us"),
+              lit(-1L).as("event_id")))
+        staged.coalesce(1).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
+          .as[graft.streaming.StreamingSessions.Ev]
+        val q = graft.streaming.StreamingSessions.sessionize(stream)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/checkpoint")
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        deleteRecursively(tmpPath.resolve("staging"))
+        deleteRecursively(tmpPath.resolve("checkpoint"))
+        deleteOnExit(tmpPath)
+        s.read.parquet(s"$tmp/out").orderBy("user_id", "session_idx")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         f AS (SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (SELECT user_id, ts_us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     // Q33: multimodal binary plumbing without codecs — synthesize each
     // asset's payload as a StubCodec header from doc_id arithmetic
     // (every 13th doc gets undecodable bytes), push it through resize
