@@ -259,6 +259,67 @@ object OpsQueries {
                                      ORDER BY n_chars DESC, doc_id) AS rank_in_group
            FROM documents) t
          WHERE rank_in_group <= 3
-         ORDER BY source, rank_in_group""")
+         ORDER BY source, rank_in_group"""),
+
+    // Q57: two-stage salted aggregation on a genuinely hot key space
+    // (5 event types over the whole table) — the skew treatment for the
+    // aggregation path AQE doesn't split. The salt only routes rows
+    // (algebraic aggregates merge exactly), so the gate oracle is the
+    // PLAIN group-by the salted plan must reproduce.
+    "q57_salted_agg" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type"), round(col("value") * 100).cast("long").as("v_e2"))
+        graft.analytics.SkewedAgg.saltedAgg(
+          ev, col("event_type"),
+          partials = Seq(count(lit(1)).as("c"), sum("v_e2").as("sv")),
+          merges = Seq(sum("c").as("cnt"), sum("sv").as("value_e2")))
+          .select(col("key").as("event_type"), col("cnt"), col("value_e2"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, count(*) AS cnt,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_e2
+         FROM events GROUP BY 1 ORDER BY 1"""),
+
+    // Q58: int8 scalar quantization of the embedding column (per-vector
+    // max-abs scale) — the storage-reduction step before ANN indexing.
+    // Map-only HOFs; the gate pins every element through order-free
+    // integer aggregates of the quantized vector. floor(x/scale + 0.5)
+    // instead of round() keeps the half-up rule identical across
+    // engines.
+    "q58_quantize_embeddings" -> QuerySpec(
+      (s, dir) => {
+        val x = transform(col("embedding"), e => e.cast("double"))
+        val scale = (array_max(transform(x, e => abs(e))) / 127.0).as("scale")
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), x.as("x"), scale)
+          .withColumn("qv",
+            transform(col("x"), e => floor(e / col("scale") + lit(0.5)).cast("long")))
+          .select(
+            col("vec_id"),
+            size(col("x")).cast("bigint").as("n_dims"),
+            col("scale"),
+            aggregate(col("qv"), lit(0L), (a, e) => a + e).as("q_sum"),
+            aggregate(col("qv"), lit(0L), (a, e) => a + abs(e)).as("q_l1"),
+            array_max(col("qv")).as("q_max"))
+          .orderBy("vec_id")
+      },
+      """WITH b AS (
+           SELECT vec_id,
+                  list_transform(embedding, e -> CAST(e AS DOUBLE)) AS x
+           FROM embeddings),
+         s AS (SELECT vec_id, x,
+                 list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+               FROM b),
+         q AS (SELECT vec_id, x, scale,
+                 list_transform(x, e -> CAST(floor(e / scale + 0.5) AS BIGINT)) AS qv
+               FROM s)
+         SELECT vec_id,
+                CAST(len(x) AS BIGINT) AS n_dims,
+                scale,
+                CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
+                list_max(qv) AS q_max
+         FROM q ORDER BY vec_id""")
   )
 }
