@@ -320,6 +320,59 @@ object OpsQueries {
                 CAST(list_sum(qv) AS BIGINT) AS q_sum,
                 CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_l1,
                 list_max(qv) AS q_max
-         FROM q ORDER BY vec_id""")
+         FROM q ORDER BY vec_id"""),
+
+    // Q59: temporal resampling with gap fill — hourly event counts per
+    // type INCLUDING empty hours (dashboards and detectors need the
+    // zeros). The dense (hour × type) grid is generated, not scanned
+    // (hours-in-span × 5 types — dimension-sized however big the fact
+    // table is), counts pre-aggregate before the join, and the grid
+    // side broadcasts. Epoch-hour longs keep the axis engine-exact.
+    "q59_resample_gapfill" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          (unix_micros(col("ts")) / 3600000000L).cast("bigint").as("hour"),
+          col("event_type"))
+        val counts = ev.groupBy("hour", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+        val span = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+        val grid = span
+          .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+          .crossJoin(ev.select("event_type").distinct())
+        grid.join(counts, Seq("hour", "event_type"), "left")
+          .select(col("hour"), col("event_type"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"))
+          .orderBy("hour", "event_type")
+      },
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hour, event_type FROM events),
+         c AS (SELECT hour, event_type, count(*) AS cnt FROM e GROUP BY 1, 2),
+         h AS (SELECT unnest(generate_series(min(hour), max(hour))) AS hour FROM e),
+         t AS (SELECT DISTINCT event_type FROM e),
+         g AS (SELECT h.hour, t.event_type FROM h CROSS JOIN t)
+         SELECT g.hour, g.event_type, COALESCE(c.cnt, 0) AS cnt
+         FROM g LEFT JOIN c ON c.hour = g.hour AND c.event_type = g.event_type
+         ORDER BY 1, 2"""),
+
+    // Q60: exact per-group percentiles — p50/p95 of the integer-
+    // quantized value per event type. Spark's percentile() and DuckDB's
+    // quantile_cont() share the (n-1)*q interpolation formula over
+    // exact integers, so the doubles agree bit-for-bit (the q38 recipe,
+    // here per group instead of global).
+    "q60_group_percentiles" -> QuerySpec(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("v_e2"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("cnt"),
+            expr("percentile(v_e2, 0.5)").as("p50_e2"),
+            expr("percentile(v_e2, 0.95)").as("p95_e2"))
+          .orderBy("event_type"),
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2
+                    FROM events)
+         SELECT event_type, count(*) AS cnt,
+                quantile_cont(v_e2, 0.5) AS p50_e2,
+                quantile_cont(v_e2, 0.95) AS p95_e2
+         FROM e GROUP BY 1 ORDER BY 1""")
   )
 }
