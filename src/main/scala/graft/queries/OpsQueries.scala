@@ -373,6 +373,57 @@ object OpsQueries {
          SELECT event_type, count(*) AS cnt,
                 quantile_cont(v_e2, 0.5) AS p50_e2,
                 quantile_cont(v_e2, 0.95) AS p95_e2
-         FROM e GROUP BY 1 ORDER BY 1""")
+         FROM e GROUP BY 1 ORDER BY 1"""),
+
+    // Q61: the training-data preparation capstone — the round-5
+    // operators composed end to end: normalize → content-hash exact
+    // dedup (keep first) → token-length quality filter → stratified
+    // rebalance → sequence packing. Each stage is the library operator,
+    // not a re-implementation; the whole chain is map-side except the
+    // dedup window (one hash shuffle) and the packer's bucket tier.
+    "q61_prep_pipeline" -> QuerySpec(
+      (s, dir) => {
+        val norm = TextAnalysis.normalize(col("text"))
+        val keyed = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          TextHash.hash60(norm).as("ck"),
+          size(split(norm, " ")).cast("long").as("n_tok"))
+        val deduped = graft.llm.Dedup.dropExactDuplicates(
+          keyed, col("doc_id"), col("ck").cast("string"))
+        val filtered = deduped.filter(col("n_tok").between(10, 200))
+        val sampled = filtered.filter(Curation.stratifiedAccept(
+          col("lang"), col("ck").cast("string"),
+          Seq("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 1.0)))
+        SequencePacker.packBins(
+          sampled, col("doc_id"), col("n_tok"), budget = 1024L, bucketWidth = 64L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      """WITH n AS (
+           SELECT doc_id, lang,
+                  trim(regexp_replace(
+                    regexp_replace(
+                      regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                      '([.!?,]){2,}', '\1', 'g'),
+                    '\s+', ' ', 'g')) AS nt
+           FROM documents),
+         k AS (SELECT doc_id, lang,
+                      ('0x' || substr(md5(nt), 1, 15))::BIGINT AS ck,
+                      CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_tok
+               FROM n),
+         d AS (SELECT * FROM k
+               QUALIFY row_number() OVER (PARTITION BY ck ORDER BY doc_id) = 1),
+         f AS (SELECT * FROM d WHERE n_tok BETWEEN 10 AND 200),
+         sm AS (SELECT * FROM f
+                WHERE ('0x' || substr(md5('strat:' || CAST(ck AS VARCHAR)), 1, 15))::BIGINT
+                      % 10000 <
+                      CASE lang WHEN 'en' THEN 5000 ELSE 10000 END),
+         c AS (SELECT doc_id, n_tok,
+                 COALESCE(CAST(sum(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS before
+               FROM sm)
+         SELECT doc_id, n_tok, before // 1024 AS bin
+         FROM c ORDER BY doc_id""")
   )
 }
