@@ -36,6 +36,9 @@ object AsOfJoin {
     * @param right rows to look up; same three columns required
     * @param payloadCols right-side columns to carry onto each left row,
     *        emitted as `asof_<name>` (null when no right row precedes)
+    *
+    * Every other left column rides along unchanged (packed into a
+    * struct through the union so the two sides stay schema-compatible).
     */
   def asOf(
       left: DataFrame,
@@ -44,21 +47,30 @@ object AsOfJoin {
       tsCol: String,
       idCol: String,
       payloadCols: Seq[String]): DataFrame = {
+    val anchor = Seq(keyCol, tsCol, idCol)
+    val leftExtra = left.columns.filterNot(anchor.contains).toSeq
     val payload = struct(payloadCols.map(col): _*)
+    val leftStruct =
+      if (leftExtra.isEmpty) lit(null).cast("struct<__none:int>")
+      else struct(leftExtra.map(col): _*)
+    val lTagged = left.select(
+      Seq(col(keyCol), col(tsCol), col(idCol), lit(1).as("__tag"),
+        leftStruct.as("__l")): _*)
     val rTagged = right.select(
       col(keyCol), col(tsCol), col(idCol), lit(0).as("__tag"),
+      lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
       payload.as("__r"))
-    val lTagged = left.select(
-      col(keyCol), col(tsCol), col(idCol), lit(1).as("__tag"),
-      lit(null).cast(rTagged.schema("__r").dataType).as("__r"))
+    val lTagged2 = lTagged.withColumn("__r",
+      lit(null).cast(rTagged.schema("__r").dataType))
     val w = Window.partitionBy(keyCol).orderBy(tsCol, "__tag", idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRight = last(col("__r"), ignoreNulls = true).over(w)
-    rTagged.unionByName(lTagged)
+    rTagged.unionByName(lTagged2)
       .withColumn("__m", matchedRight)
       .filter(col("__tag") === 1)
       .select(
         Seq(col(keyCol), col(tsCol), col(idCol)) ++
+          leftExtra.map(c => col(s"__l.$c").as(c)) ++
           payloadCols.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
   }
 }

@@ -25,7 +25,7 @@ object OpsQueries {
         val ev = Tables.events(s, dir).select(
           col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("event_type"))
-        val purchases = ev.filter(col("event_type") === "purchase")
+        val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
         val clicks = ev.filter(col("event_type") === "click")
         AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", "event_id",
           payloadCols = Seq("event_id", "ts_us"))

@@ -36,6 +36,17 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(out(1).getLong(0) == 2L && out(1).isNullAt(3))
   }
 
+  test("left payload columns ride through unchanged") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L, "buy", 9.5)).toDF("k", "ts", "id", "kind", "amt")
+    val right = frame((1L, 90L, 20L))
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "id", Seq("id")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("kind") == "buy" && r.getAs[Double]("amt") == 9.5)
+    assert(r.getAs[Long]("asof_id") == 20L)
+  }
+
   test("plan shuffles once: a single Exchange on the key") {
     val left = frame((1L, 100L, 1L))
     val right = frame((1L, 90L, 2L))
