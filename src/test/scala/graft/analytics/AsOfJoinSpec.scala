@@ -47,6 +47,22 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getAs[Long]("asof_id") == 20L)
   }
 
+  test("randomized equivalence with a sequential reference (incl. ts ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // small ts domain forces ties both within and across sides
+    val left = (0L until 200L).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i))
+    val right = (1000L until 1150L).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i))
+    val got = AsOfJoin.asOf(
+      left.toDF("k", "ts", "id"), right.toDF("k", "ts", "id"), "k", "ts", "id", Seq("id"))
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val want = left.map { case (k, ts, id) =>
+      val m = right.filter(r => r._1 == k && r._2 <= ts)
+      id -> (if (m.isEmpty) -1L else m.maxBy(r => (r._2, r._3))._3)
+    }.toMap
+    assert(got == want)
+  }
+
   test("plan shuffles once: a single Exchange on the key") {
     val left = frame((1L, 100L, 1L))
     val right = frame((1L, 90L, 2L))
