@@ -424,6 +424,45 @@ object OpsQueries {
                    0) AS before
                FROM sm)
          SELECT doc_id, n_tok, before // 1024 AS bin
-         FROM c ORDER BY doc_id""")
+         FROM c ORDER BY doc_id"""),
+
+    // Q62: snapshot reconciliation — the added/removed/changed/unchanged
+    // diff between two corpus versions, the bookkeeping step of every
+    // incremental refresh. ONE full-outer equi-join on the id (content
+    // compared by hash, so the shuffle carries 16-byte keys + 8-byte
+    // hashes, not document bodies); both snapshot derivations are
+    // map-side over the same scan.
+    "q62_snapshot_diff" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+          .select(col("doc_id"), TextHash.hash60(col("text")).as("old_hash"))
+        val newer = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), TextHash.hash60(
+            when(pmod(col("doc_id"), lit(13)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("new_hash"))
+        old.join(newer, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("old_hash").isNull, lit("added"))
+              .when(col("new_hash").isNull, lit("removed"))
+              .when(col("old_hash") =!= col("new_hash"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .orderBy("doc_id")
+      },
+      """WITH o AS (SELECT doc_id,
+                           ('0x' || substr(md5(text), 1, 15))::BIGINT AS old_hash
+                    FROM documents WHERE doc_id % 10 <> 9),
+         n AS (SELECT doc_id,
+                      ('0x' || substr(md5(CASE WHEN doc_id % 13 = 0
+                                               THEN text || ' v2'
+                                               ELSE text END), 1, 15))::BIGINT AS new_hash
+               FROM documents WHERE doc_id % 10 <> 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.old_hash <> n.new_hash THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""")
   )
 }
