@@ -463,6 +463,71 @@ object OpsQueries {
                      WHEN o.old_hash <> n.new_hash THEN 'changed'
                      ELSE 'unchanged' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         ORDER BY doc_id""")
+         ORDER BY doc_id"""),
+
+    // Q63: per-key rolling aggregate — each user's running event count
+    // and 5-event moving sum of the quantized value. Both windows
+    // partition by user (per-key state only, one hash shuffle — the
+    // same discipline as sessionization; an unpartitioned rolling
+    // window would be the scale mistake). Integer sums keep the frame
+    // math engine-exact.
+    "q63_rolling_window" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v_e2"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        ev.select(
+          col("user_id"), col("ts_us"), col("event_id"),
+          row_number().over(w).cast("bigint").as("event_seq"),
+          sum("v_e2").over(w.rowsBetween(-4, Window.currentRow))
+            .as("mov5_v_e2"))
+          .orderBy("user_id", "event_seq")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS v_e2
+                    FROM events)
+         SELECT user_id, ts_us, event_id,
+                row_number() OVER w AS event_seq,
+                CAST(sum(v_e2) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS mov5_v_e2
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         ORDER BY user_id, event_seq"""),
+
+    // Q64: bigram phrase mining — top-30 adjacent token pairs across
+    // the corpus (the co-occurrence statistic behind phrase detection).
+    // Pair generation is a map-side zip of the token array with its
+    // tail; ONE token-pair shuffle with map-side combine; global top-k
+    // as TakeOrderedAndProject, rank window on the 30 survivors.
+    "q64_bigram_topk" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = split(col("text"), " ")
+        val bigrams = zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))
+        val counted = Tables.documents(s, dir)
+          .select(explode(bigrams).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("bigram"))
+          .limit(30)
+        counted.withColumn("rank",
+          row_number().over(Window.orderBy(desc("cnt"), asc("bigram")))
+            .cast("bigint"))
+          .orderBy("rank")
+      },
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         p AS (SELECT unnest(list_transform(
+                        generate_series(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+               FROM t),
+         c AS (SELECT bigram, count(*) AS cnt FROM p GROUP BY 1),
+         r AS (SELECT bigram, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, bigram) AS rank
+               FROM c)
+         SELECT bigram, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank""")
   )
 }
