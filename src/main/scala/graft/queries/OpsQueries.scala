@@ -528,6 +528,51 @@ object OpsQueries {
          r AS (SELECT bigram, cnt,
                       row_number() OVER (ORDER BY cnt DESC, bigram) AS rank
                FROM c)
-         SELECT bigram, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank""")
+         SELECT bigram, cnt, rank FROM r WHERE rank <= 30 ORDER BY rank"""),
+
+    // Q65: TF-IDF top terms per document, integer-exact: score_e6 =
+    // (tf * 1e6 * n_docs) // (doc_len * doc_freq) — a rational tf-idf
+    // (idf as the exact fraction n_docs/df rather than its log, so no
+    // cross-engine libm dependency). One (doc,term) shuffle with
+    // map-side combine, the vocabulary-sized doc-freq side broadcast,
+    // and the per-doc top-3 rank bounded by WindowGroupLimit.
+    "q65_tfidf_topterms" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.count()
+        val terms = docs
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("doc_len"),
+            explode(split(col("text"), " ")).as("term"))
+        val tf = terms.groupBy("doc_id", "doc_len", "term")
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+        val scored = tf.join(broadcast(df), "term")
+          .withColumn("score_e6",
+            expr(s"(tf * 1000000L * ${nDocs}L) div (doc_len * doc_freq)"))
+        scored.withColumn("rank", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(desc("score_e6"), asc("term"))).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "term", "score_e6", "rank")
+          .orderBy("doc_id", "rank")
+      },
+      """WITH t AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS doc_len,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+         tf AS (SELECT doc_id, doc_len, term, count(*) AS tf
+                FROM t GROUP BY 1, 2, 3),
+         df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+         sc AS (SELECT tf.doc_id, tf.term,
+                       (tf.tf * 1000000 * (SELECT count(*) FROM documents))
+                         // (tf.doc_len * df.doc_freq) AS score_e6
+                FROM tf JOIN df USING (term)),
+         r AS (SELECT doc_id, term, CAST(score_e6 AS BIGINT) AS score_e6,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_e6 DESC, term) AS rank
+               FROM sc)
+         SELECT doc_id, term, score_e6, rank FROM r
+         WHERE rank <= 3 ORDER BY doc_id, rank""")
   )
 }
