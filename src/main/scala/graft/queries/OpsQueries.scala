@@ -540,7 +540,9 @@ object OpsQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, dir)
-        val nDocs = docs.count()
+        // corpus size rides the plan as a broadcast 1-row aggregate —
+        // no separate driver-side count job per invocation
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
         val terms = docs
           .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("doc_len"),
             explode(split(col("text"), " ")).as("term"))
@@ -548,8 +550,9 @@ object OpsQueries {
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
         val scored = tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(nDocs))
           .withColumn("score_e6",
-            expr(s"(tf * 1000000L * ${nDocs}L) div (doc_len * doc_freq)"))
+            expr("(tf * 1000000L * n_docs) div (doc_len * doc_freq)"))
         scored.withColumn("rank", row_number().over(
           Window.partitionBy("doc_id")
             .orderBy(desc("score_e6"), asc("term"))).cast("bigint"))
