@@ -576,6 +576,89 @@ object OpsQueries {
                                          ORDER BY score_e6 DESC, term) AS rank
                FROM sc)
          SELECT doc_id, term, score_e6, rank FROM r
-         WHERE rank <= 3 ORDER BY doc_id, rank""")
+         WHERE rank <= 3 ORDER BY doc_id, rank"""),
+
+    // Q66: data-quality validation report — the expectations pass an
+    // ETL engine runs before loading: null counts, range violations,
+    // referential orphans, duplicate keys. ONE scan per fact table
+    // (every check is a conditional aggregate), one broadcast-able
+    // anti-join for the orphan check; all counts exact integers.
+    "q66_data_quality" -> QuerySpec(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        // every piece is a lazy 1-row aggregate; the report row is
+        // their broadcast cross product — one job, no driver actions
+        val orphans = li.join(o.select("o_orderkey"),
+          li("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_lineitems"))
+        val dupKeys = o.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1)
+          .agg(count(lit(1)).as("dup_orderkeys"))
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_quantity"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("bad_discount"),
+          sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"))
+          .crossJoin(broadcast(orphans))
+          .crossJoin(broadcast(dupKeys))
+      },
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_quantity,
+                CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bad_discount,
+                CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS bad_price,
+                CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_shipdate,
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                  AS orphan_lineitems,
+                (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                       GROUP BY 1 HAVING count(*) > 1))
+                  AS dup_orderkeys
+         FROM lineitem"""),
+
+    // Q67: event-type transition statistics (session-flow analysis) —
+    // for each user the lag window pairs consecutive events, then one
+    // small shuffle counts (from, to) transitions; probabilities are
+    // integer-exact per-million rates via integral division.
+    "q67_transitions" -> QuerySpec(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+        val counts = pairs.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = counts.groupBy("from_type")
+          .agg(sum("cnt").as("total"))
+        counts.join(broadcast(totals), "from_type")
+          .withColumn("p_e6", expr("(cnt * 1000000L) div total"))
+          .select("from_type", "to_type", "cnt", "p_e6")
+          .orderBy("from_type", "to_type")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                    FROM events),
+         p AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts_us, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS cnt
+               FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(cnt) AS BIGINT) AS total
+               FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.cnt,
+                (c.cnt * 1000000) // t.total AS p_e6
+         FROM c JOIN t USING (from_type)
+         ORDER BY 1, 2""")
   )
 }
