@@ -54,6 +54,42 @@ object Curation {
     bucket < threshold
   }
 
+  /** Token-budget sampling: admit documents per stratum (language,
+    * domain) until the stratum's token budget is reached — the data-
+    * mixing step that turns per-source corpora into a target training
+    * mix. Admission order is the portable content hash of `key` (then
+    * `key` itself as tie-break), so the selected set is a deterministic
+    * pseudo-random sample, stable across runs and engines; a document
+    * is admitted while the running token total BEFORE it is under the
+    * budget (so each stratum overshoots by at most one document).
+    *
+    * Scale shape: ONE shuffle on the stratum (per-key window state
+    * only). Strata counts are small (languages/domains), so the window
+    * partitions are corpus-sized: at 100 TB you first pre-aggregate to
+    * (stratum, hash-bucket) partials and budget across buckets — same
+    * two-tier refinement as [[SequencePacker]]; the per-stratum window
+    * here is the semantics both tiers must reproduce.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      stratum: Column,
+      key: Column,
+      nTok: Column,
+      budgets: Seq[(String, Long)]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_._2 >= 0),
+      s"budgets must be non-negative: $budgets")
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(stratum === s, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum)
+      .orderBy(hash60(concat(lit("budget:"), key.cast("string"))), key)
+    df.withColumn("cum_before",
+      coalesce(
+        sum(nTok).over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+  }
+
   /** Group-wise top-k: the best `k` rows of every group under an
     * explicit deterministic ordering (callers include a unique
     * tie-break column — see O5). The classic "keep the N best documents

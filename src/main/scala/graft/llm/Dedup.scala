@@ -168,13 +168,21 @@ object Dedup {
       pairs.select(col(id1).as("src"), col(id2).as("dst"))
         .unionByName(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
     // Per-round lineage CUT, not just cache: `next` references `labels`
-    // twice (union + convergence join), so an uncut logical plan doubles
+    // twice (union + convergence test), so an uncut logical plan doubles
     // every round and Catalyst re-analysis dominates the loop
     // (measured: 27 s → 3 s at sf0.001). localCheckpoint materializes
     // the round and replaces the plan with its blocks; on a cluster use
     // reliable checkpoint() so rounds survive executor loss.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    //
+    // Round-0 seed: min(self, direct neighbors) straight off the edge
+    // list — one aggregation buys the first propagation round (labels
+    // after round k cover the (k+1)-hop neighborhood). The convergence
+    // test rides the SAME materialization: `next` carries the previous
+    // label through the checkpoint, so "did anything move" is a count
+    // over the just-cached blocks — no second join job per round.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false
@@ -184,11 +192,10 @@ object Dedup {
         .select(col("dst").as("id"), col("cluster_id"))
       val next = labels.unionByName(neighborLabels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .join(labels.select(col("id"), col("cluster_id").as("__prev")), "id")
         .localCheckpoint(true)
-      // One action per round: count of nodes whose label still moved.
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("__prev")).count()
+      labels = next.drop("__prev")
       converged = changed == 0
       iter += 1
     }

@@ -61,6 +61,60 @@ object Similarity {
       .select("query_id", "candidate_id", "rank", "cosine")
   }
 
+  /** Milli-quantized (`__q`, `__n`) plus a per-vector-scaled int8 code
+    * (`__q8`) — the storage layout of a two-stage ANN index: coarse
+    * scoring reads the 1-byte-per-dim code, the exact stage reads the
+    * wide vector only for survivors. The scale is hoisted into its own
+    * projection so the array_max is computed once per row, not once per
+    * element.
+    */
+  private def prepared8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(
+      col(idCol),
+      quantize(col(vecCol)).as("__q"),
+      transform(col(vecCol), e => e.cast("double")).as("__x"))
+      .withColumn("__n", intDot(col("__q"), col("__q")))
+      .withColumn("__scale", array_max(transform(col("__x"), e => abs(e))) / 127.0)
+      .select(col(idCol), col("__q"), col("__n"),
+        transform(col("__x"),
+          e => floor(e / col("__scale") + lit(0.5)).cast("long")).as("__q8"))
+
+  /** Two-stage ANN: int8 coarse scan → exact rerank. Stage 1 scores
+    * every candidate against the broadcast query set on the int8 codes
+    * (4–8× less memory bandwidth than the exact vectors — the reason
+    * production ANN reranks at all) and keeps `coarseK` per query;
+    * stage 2 ranks only those survivors by exact integer-quantized
+    * cosine. Both stages are WindowGroupLimit-bounded windows over a
+    * broadcast NLJ — per-partition state is coarseK rows per query.
+    * All-integer scores make both stages engine-exact.
+    */
+  def rerankTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseK: Int,
+      k: Int): DataFrame = {
+    require(coarseK >= k, s"coarseK ($coarseK) must be >= k ($k)")
+    val q = prepared8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qv"),
+        col("__n").as("__qn"), col("__q8").as("__q8q"))
+    val c = prepared8(candidates, idCol, vecCol)
+      .select(col(idCol).as("candidate_id"), col("__q").as("__cv"),
+        col("__n").as("__cn"), col("__q8").as("__q8c"))
+    c.crossJoin(broadcast(q))
+      .withColumn("coarse", intDot(col("__q8c"), col("__q8q")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("coarse"), col("candidate_id"))))
+      .filter(col("__crank") <= coarseK)
+      .withColumn("cosine",
+        cosine(intDot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("candidate_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "candidate_id", "coarse", "rank", "cosine")
+  }
+
   /** Hyperplane LSH bucket id: bit p set when the (quantized) vector's
     * dot with plane p is positive. Planes are deterministic literals
     * from [[TextHash.hyperplanes]].

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.analytics.{CdcMerge, Histogram}
+import graft.llm.{Curation, Similarity, TextHash, Vocabulary}
+import graft.sources.BucketedTables
+
+/** Round-6 extension operators, gated: distribution profiling, Zipf
+  * coverage, PMI collocations, prefix dedup, token-budget mixing,
+  * two-stage ANN rerank, CDC apply-changes, bucketed co-located joins,
+  * and inverted-index construction. Oracles follow the determinism
+  * recipes (portable 60-bit md5 hash, integral `div`, pinned-order
+  * IEEE double expressions — no libm beyond correctly-rounded sqrt).
+  */
+object ScaleQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q68: equi-width length histogram — the profiling primitive behind
+    // distribution reports. One map-side bucket projection + one tiny
+    // hash aggregate; integral bucket math (no float edge drift).
+    "q68_length_histogram" -> QuerySpec(
+      (s, dir) =>
+        Histogram.equiWidth(Tables.documents(s, dir), col("n_chars"), 100L)
+          .orderBy("bucket"),
+      """SELECT n_chars // 100 AS bucket,
+                (n_chars // 100) * 100 AS lo,
+                (n_chars // 100) * 100 + 100 AS hi,
+                count(*) AS cnt,
+                min(n_chars) AS v_min,
+                max(n_chars) AS v_max
+         FROM documents GROUP BY 1, 2, 3 ORDER BY 1"""),
+
+    // Q69: Zipf coverage curve — what share of all tokens the top-100
+    // tokens explain (the tokenizer-budget question). Token shuffle
+    // with map-side combine, TakeOrdered top-k, then a 100-row window;
+    // coverage is integral parts-per-million.
+    "q69_zipf_coverage" -> QuerySpec(
+      (s, dir) =>
+        Vocabulary.zipfCoverage(Tables.documents(s, dir), col("text"), 100)
+          .orderBy("rank"),
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1),
+         r AS (SELECT token, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, token) AS rank
+               FROM c),
+         f AS (SELECT * FROM r WHERE rank <= 100)
+         SELECT rank, token, cnt,
+                CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) AS cum_cnt,
+                (CAST(sum(cnt) OVER (ORDER BY rank) AS BIGINT) * 1000000)
+                  // (SELECT count(*) FROM t) AS coverage_e6
+         FROM f ORDER BY rank"""),
+
+    // Q70: PMI collocation mining — top-50 bigrams by the log-free PMI
+    // rational (c_xy·N_uni²)/(N_big·c_x·c_y), floored to e6. The double
+    // expression's operation order is pinned identically in both
+    // engines (IEEE multiply/divide are exactly rounded, so the bits
+    // match). Pair and unigram counts are map-side-combined shuffles;
+    // the count joins are vocabulary-sized.
+    "q70_pmi_bigrams" -> QuerySpec(
+      (s, dir) =>
+        Vocabulary.pmiBigrams(Tables.documents(s, dir), col("text"),
+          minCount = 5L, k = 50)
+          .orderBy("rank"),
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         u AS (SELECT unnest(toks) AS w FROM t),
+         cu AS (SELECT w, count(*) AS c FROM u GROUP BY 1),
+         g AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+         p AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM g),
+         cb AS (SELECT w1, w2, count(*) AS c_xy FROM p
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         s AS (SELECT cb.w1, cb.w2, cb.c_xy,
+                 CAST(floor((CAST(cb.c_xy AS DOUBLE)
+                   * (SELECT count(*) FROM u) * (SELECT count(*) FROM u)
+                   / (CAST((SELECT count(*) FROM p) AS DOUBLE) * u1.c * u2.c))
+                   * 1000000.0) AS BIGINT) AS score_e6
+               FROM cb JOIN cu u1 ON cb.w1 = u1.w
+                       JOIN cu u2 ON cb.w2 = u2.w),
+         r AS (SELECT w1, w2, c_xy, score_e6,
+                      row_number() OVER (ORDER BY score_e6 DESC, w1, w2) AS rank
+               FROM s)
+         SELECT w1, w2, c_xy, score_e6, rank FROM r
+         WHERE rank <= 50 ORDER BY rank"""),
+
+    // Q71: prefix dedup — near-identical documents that share their
+    // first 256 chars (same article, different footer) collapse to the
+    // smallest doc id; group_size records the collapse factor. One
+    // shuffle on the 8-byte prefix key.
+    "q71_prefix_dedup" -> QuerySpec(
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextHash.hash60(substring(col("text"), 1, 256)).as("prefix_key"))
+        val w = Window.partitionBy("prefix_key")
+        keyed
+          .withColumn("group_size", count(lit(1)).over(w).cast("bigint"))
+          .withColumn("__rn", row_number().over(w.orderBy("doc_id")))
+          .filter(col("__rn") === 1)
+          .select("doc_id", "prefix_key", "group_size")
+          .orderBy("doc_id")
+      },
+      """WITH k AS (SELECT doc_id,
+                ('0x' || substr(md5(substr(text, 1, 256)), 1, 15))::BIGINT
+                  AS prefix_key
+              FROM documents)
+         SELECT doc_id, prefix_key,
+                CAST(count(*) OVER (PARTITION BY prefix_key) AS BIGINT)
+                  AS group_size
+         FROM k
+         QUALIFY row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) = 1
+         ORDER BY doc_id"""),
+
+    // Q72: token-budget mixing — admit documents per language, in
+    // portable-hash order, until each language's token budget is
+    // reached (the data-mixing step of corpus assembly). One stratum
+    // shuffle; the admission decision is reproducible anywhere.
+    "q72_token_budget" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        Curation.tokenBudgetSample(docs, col("lang"), col("doc_id"), col("n_tok"),
+          Seq("en" -> 5000L, "de" -> 2000L, "es" -> 2000L,
+            "fr" -> 2000L, "zh" -> 2000L))
+          .select("doc_id", "lang", "n_tok", "cum_before")
+          .orderBy("doc_id")
+      },
+      """WITH d AS (SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+              FROM documents),
+         c AS (SELECT doc_id, lang, n_tok,
+                 COALESCE(CAST(sum(n_tok) OVER (PARTITION BY lang
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                   0) AS cum_before
+               FROM d)
+         SELECT doc_id, lang, n_tok, cum_before FROM c
+         WHERE cum_before < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                                      WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000
+                                      WHEN 'zh' THEN 2000 ELSE 0 END
+         ORDER BY doc_id"""),
+
+    // Q73: two-stage ANN — int8 coarse scan keeps 50 candidates per
+    // query, exact integer-cosine rerank keeps 10. Both stages are
+    // WindowGroupLimit-bounded windows over a broadcast NLJ; the int8
+    // code path is the memory-bandwidth saver at corpus scale.
+    "q73_ann_rerank" -> QuerySpec(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.rerankTopK(
+          emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+          "vec_id", "embedding", coarseK = 50, k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      """WITH b AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+              FROM embeddings),
+         sc AS (SELECT vec_id, e, xd,
+                  list_max(list_transform(xd, x -> abs(x))) / 127.0 AS scale
+                FROM b),
+         pp AS (SELECT vec_id, e,
+                  CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n,
+                  list_transform(xd, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS e8
+                FROM sc),
+         qs AS (SELECT * FROM pp WHERE vec_id < 5),
+         cs AS (SELECT * FROM pp WHERE vec_id >= 5),
+         coarse AS (SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+                      CAST(list_sum(list_transform(list_zip(q.e8, c.e8),
+                        p -> p[1]*p[2])) AS BIGINT) AS coarse,
+                      q.e AS qe, q.n AS qn, c.e AS ce, c.n AS cn
+                    FROM cs c CROSS JOIN qs q),
+         filt AS (SELECT * FROM coarse
+                  QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY coarse DESC, candidate_id) <= 50),
+         rr AS (SELECT query_id, candidate_id, coarse,
+                  CAST(CAST(list_sum(list_transform(list_zip(qe, ce),
+                    p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+                    / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cosine
+                FROM filt),
+         ranked AS (SELECT query_id, candidate_id, coarse, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, candidate_id) AS rank
+                    FROM rr)
+         SELECT query_id, candidate_id, coarse, rank, cosine FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank"""),
+
+    // Q74: CDC apply-changes — a base snapshot merged with an ordered
+    // changelog of upserts and deletes (last-writer-wins; a winning
+    // delete removes the key). The MERGE INTO primitive of incremental
+    // refresh: one key shuffle, WindowGroupLimit-bounded state.
+    "q74_apply_changes" -> QuerySpec(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.filter(pmod(col("doc_id"), lit(10)) <= 7)
+          .select(col("doc_id"), TextHash.hash60(col("text")).as("val_hash"))
+        val updates = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"),
+            TextHash.hash60(concat(col("text"), lit(" v2"))).as("val_hash"),
+            lit(1L).as("seq"), lit(CdcMerge.OpUpsert).as("op"))
+        val deletes = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), lit(null).cast("long").as("val_hash"),
+            lit(2L).as("seq"), lit(CdcMerge.OpDelete).as("op"))
+        CdcMerge.applyChanges(base, updates.unionByName(deletes),
+          "doc_id", col("seq"), col("op"), Seq("val_hash"))
+          .orderBy("doc_id")
+      },
+      """WITH b AS (SELECT doc_id,
+                ('0x' || substr(md5(text), 1, 15))::BIGINT AS val_hash,
+                0 AS seq, 'upsert' AS op
+              FROM documents WHERE doc_id % 10 <= 7),
+         u AS (SELECT doc_id,
+                 ('0x' || substr(md5(text || ' v2'), 1, 15))::BIGINT AS val_hash,
+                 1 AS seq, 'upsert' AS op
+               FROM documents WHERE doc_id % 5 = 0),
+         d AS (SELECT doc_id, CAST(NULL AS BIGINT) AS val_hash,
+                 2 AS seq, 'delete' AS op
+               FROM documents WHERE doc_id % 7 = 0),
+         a AS (SELECT * FROM b UNION ALL SELECT * FROM u
+               UNION ALL SELECT * FROM d),
+         w AS (SELECT * FROM a
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY seq DESC) = 1)
+         SELECT doc_id, val_hash, CAST(seq AS BIGINT) AS src_seq
+         FROM w WHERE op = 'upsert' ORDER BY doc_id"""),
+
+    // Q75: bucketed co-located join — both sides pre-bucketed on the
+    // join key at write time, so the join itself needs NO exchange and
+    // NO sort on either side (the amortize-the-shuffle layout for fact
+    // tables joined on the same key every run). The oracle is the plain
+    // join: bucketing must not change a single row.
+    "q75_bucketed_join" -> QuerySpec(
+      (s, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir")
+        val o = BucketedTables.ensure(s, Tables.orders(s, dir),
+          "graft_orders_bkt", "o_custkey", 16, s"$tmp/graft_bkt/orders")
+        val c = BucketedTables.ensure(s, Tables.customer(s, dir),
+          "graft_customer_bkt", "c_custkey", 16, s"$tmp/graft_bkt/customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_e2"))
+          .orderBy("nationkey")
+      },
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS total_e2
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1"""),
+
+    // Q76: inverted-index build — posting lists for terms in ≥50 docs,
+    // heads truncated to the 10 smallest doc ids BEFORE the list
+    // aggregate (bounded per-term state however hot the term). The
+    // retrieval-side artifact of the TF-IDF/BM25 family.
+    "q76_inverted_index" -> QuerySpec(
+      (s, dir) =>
+        Vocabulary.invertedIndex(Tables.documents(s, dir),
+          col("doc_id"), col("text"), minDf = 50L, headN = 10)
+          .orderBy("term"),
+      """WITH td AS (SELECT DISTINCT * FROM
+                (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM documents)),
+         f AS (SELECT doc_id, term,
+                 CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS doc_freq,
+                 row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+               FROM td)
+         SELECT term, doc_freq,
+                array_to_string(list_sort(list(doc_id)), ',') AS postings_head
+         FROM f WHERE doc_freq >= 50 AND rn <= 10
+         GROUP BY 1, 2 ORDER BY term""")
+  )
+}
