@@ -254,6 +254,81 @@ object ScaleQueries {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1"""),
 
+    // Q77: funnel analysis — users who viewed, then clicked after
+    // their first view, then purchased after that click, with integral
+    // per-million conversion rates. Each stage is a semi-join
+    // aggregation on user_id (per-user state = one timestamp); the
+    // stage-count combine is three broadcast 1-row aggregates.
+    "q77_funnel" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t_view"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts_us") > col("t_view"))
+          .groupBy("user_id").agg(min("ts_us").as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts_us") > col("t_click"))
+          .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+        v.agg(count(lit(1)).as("view_users"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("click_users"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("purchase_users"))))
+          .select(col("view_users"), col("click_users"), col("purchase_users"),
+            expr("(click_users * 1000000L) div view_users").as("view_to_click_e6"),
+            expr("(purchase_users * 1000000L) div click_users")
+              .as("click_to_purchase_e6"))
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(ts_us) AS t_click FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND ts_us > t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts_us) AS t_purchase FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t_click GROUP BY 1)
+         SELECT (SELECT count(*) FROM v) AS view_users,
+                (SELECT count(*) FROM c) AS click_users,
+                (SELECT count(*) FROM p) AS purchase_users,
+                ((SELECT count(*) FROM c) * 1000000) // (SELECT count(*) FROM v)
+                  AS view_to_click_e6,
+                ((SELECT count(*) FROM p) * 1000000) // (SELECT count(*) FROM c)
+                  AS click_to_purchase_e6"""),
+
+    // Q78: cohort retention — users grouped by first-activity epoch
+    // week, distinct actives per (cohort, week offset), retention as
+    // parts-per-million of the cohort. Two user-keyed shuffles (first
+    // activity + distinct activity), one cohort-keyed aggregate; the
+    // cohort-size side of the rate join is dimension-sized and
+    // broadcast.
+    "q78_cohort_retention" -> QuerySpec(
+      (s, dir) => {
+        val wk = Tables.events(s, dir).select(
+          col("user_id"),
+          expr("unix_micros(ts) div 604800000000L").as("week"))
+        val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+        val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+        wk.distinct().join(first, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_active"),
+            col("cohort_size"),
+            expr("(n_active * 1000000L) div cohort_size").as("retention_e6"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+         f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+         sz AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, week FROM w),
+         g AS (SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+                      count(*) AS n_active
+               FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT g.cohort_week, g.week_offset, g.n_active, sz.cohort_size,
+                (g.n_active * 1000000) // sz.cohort_size AS retention_e6
+         FROM g JOIN sz USING (cohort_week)
+         ORDER BY 1, 2"""),
+
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
     // aggregate (bounded per-term state however hot the term). The
