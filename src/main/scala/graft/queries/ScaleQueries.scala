@@ -329,6 +329,175 @@ object ScaleQueries {
          FROM g JOIN sz USING (cohort_week)
          ORDER BY 1, 2"""),
 
+    // Q79: DAU/WAU activity curve — distinct daily actives plus the
+    // trailing-7-day distinct count per day. The sliding distinct is a
+    // range join of the (user, day) active set against the broadcast
+    // day grid (dimension-sized however large the event log), then a
+    // distinct aggregate — count(DISTINCT) over a RANGE frame is not a
+    // window either engine runs, so the grid formulation IS the plan.
+    "q79_active_users" -> QuerySpec(
+      (s, dir) => {
+        val ud = Tables.events(s, dir).select(
+          col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+          .distinct()
+        val days = ud.select("day").distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = ud.select(col("user_id"), col("day").as("d2"))
+          .join(broadcast(days), col("d2").between(col("day") - 6, col("day")))
+          .groupBy("day").agg(count_distinct(col("user_id")).as("wau"))
+        dau.join(wau, "day").orderBy("day")
+      },
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+         days AS (SELECT DISTINCT day FROM ud),
+         dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+         wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+                 FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+                 GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau
+         FROM dau JOIN wau USING (day) ORDER BY 1"""),
+
+    // Q80: daily-volume anomaly detection — per-type z-scores of daily
+    // event counts, with the variance numerator kept as an EXACT
+    // integer (n·Σx² − (Σx)²) so mean/std/z are the same pinned-order
+    // double expression in both engines (sqrt is correctly rounded by
+    // IEEE 754). Two tiny aggregates + a type-keyed broadcast join.
+    "q80_daily_anomaly" -> QuerySpec(
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000L").as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = daily.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum("cnt").as("sx"),
+          sum(col("cnt") * col("cnt")).as("sxx"))
+        daily.join(broadcast(stats), "event_type")
+          .filter(col("n") > 1 && col("n") * col("sxx") - col("sx") * col("sx") > 0)
+          .withColumn("z",
+            (col("cnt").cast("double") - col("sx").cast("double") / col("n"))
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+                / (col("n") * (col("n") - 1))))
+          .select(col("event_type"), col("day"), col("cnt"),
+            floor(col("z") * 1000).cast("long").as("z_e3"),
+            when(abs(col("z")) > 2.0, 1L).otherwise(0L).as("is_anomaly"))
+          .orderBy("event_type", "day")
+      },
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                               count(*) AS cnt
+                        FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) AS n,
+                       CAST(sum(cnt) AS BIGINT) AS sx,
+                       CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+                FROM daily GROUP BY 1),
+         z AS (SELECT d.event_type, d.day, d.cnt,
+                 (CAST(d.cnt AS DOUBLE) - CAST(st.sx AS DOUBLE) / st.n)
+                   / sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)
+                     / (st.n * (st.n - 1))) AS z
+               FROM daily d JOIN st USING (event_type)
+               WHERE st.n > 1 AND st.n * st.sxx - st.sx * st.sx > 0)
+         SELECT event_type, day, cnt,
+                CAST(floor(z * 1000) AS BIGINT) AS z_e3,
+                CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+         FROM z ORDER BY 1, 2"""),
+
+    // Q81: event debounce — keep only burst-starting events per
+    // (user, type): an event survives iff its predecessor in the same
+    // key is more than 5 minutes older (or absent). The event-stream
+    // twin of dedup: one key shuffle, lag window, map-side filter.
+    "q81_event_debounce" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts_us", "event_id")
+        ev.withColumn("__prev", lag("ts_us", 1).over(w))
+          .filter(col("__prev").isNull ||
+            col("ts_us") - col("__prev") > 300000000L)
+          .select("user_id", "event_type", "ts_us", "event_id")
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                    FROM events),
+         l AS (SELECT user_id, event_type, ts_us, event_id,
+                      lag(ts_us) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts_us, event_id) AS prev
+               FROM e)
+         SELECT user_id, event_type, ts_us, event_id FROM l
+         WHERE prev IS NULL OR ts_us - prev > 300000000
+         ORDER BY event_id"""),
+
+    // Q82: time-to-convert — exact p50/p95 of first-view→first-
+    // purchase latency across converting users. Two semi-join stage
+    // aggregations (the q77 shapes) + one exact percentile over
+    // integer microseconds (the engine-shared (n−1)·q interpolation).
+    "q82_time_to_convert" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_us").as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
+          .filter(col("ts_us") > col("t_view"))
+          .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+        p.join(v, "user_id")
+          .select((col("t_purchase") - col("t_view")).as("delta_us"))
+          .agg(count(lit(1)).as("n_converted"),
+            expr("percentile(delta_us, 0.5)").as("p50_delta_us"),
+            expr("percentile(delta_us, 0.95)").as("p95_delta_us"))
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         v AS (SELECT user_id, min(ts_us) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         p AS (SELECT e.user_id, min(ts_us) AS t_purchase
+               FROM e JOIN v USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t_view GROUP BY 1),
+         d AS (SELECT p.t_purchase - v.t_view AS delta_us
+               FROM p JOIN v USING (user_id))
+         SELECT count(*) AS n_converted,
+                quantile_cont(delta_us, 0.5) AS p50_delta_us,
+                quantile_cont(delta_us, 0.95) AS p95_delta_us
+         FROM d"""),
+
+    // Q83: JSONL sink→source roundtrip — write the documents table as
+    // JSON lines, read it back with an explicit schema, and require
+    // bit-exact equality against the original (the oracle reads the
+    // parquet directly). Escaping, unicode, and numeric fidelity of
+    // the JSON source/sink pair are what's on trial.
+    "q83_jsonl_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt/docs_jsonl"
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        docs.coalesce(4).write.mode("overwrite").json(tmp)
+        s.read.schema(docs.schema).json(tmp).orderBy("doc_id")
+      },
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id"""),
+
+    // Q84: CSV sink→source roundtrip — RFC-4180 quoting (quote-all +
+    // doubled quotes, multiline read) through Spark's CSV pair, gated
+    // bit-exact against the parquet original. The header carries the
+    // schema names; types are pinned explicitly on read.
+    "q84_csv_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt/docs_csv"
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        docs.coalesce(4).write.mode("overwrite")
+          .option("header", "true").option("quoteAll", "true")
+          .option("escape", "\"")
+          .csv(tmp)
+        s.read.schema(docs.schema)
+          .option("header", "true").option("multiLine", "true")
+          .option("escape", "\"")
+          .csv(tmp)
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id"""),
+
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
     // aggregate (bounded per-term state however hot the term). The
