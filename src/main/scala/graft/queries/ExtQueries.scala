@@ -188,6 +188,68 @@ object ExtQueries {
                 min(ts_us) AS start_us, max(ts_us) AS end_us
          FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // Q85: stream-stream interval join through a REAL stream — clicks
+    // attributed to the purchases they preceded by ≤ 6 h, per user,
+    // via two watermarked file streams and an event-time-bounded inner
+    // join (the state-cleanup contract Spark requires). Each side is
+    // staged as ONE file so AvailableNow sees both sides in the first
+    // microbatch; the 40-day watermark spans the whole fixture so no
+    // state is evicted mid-drain (real deployments size it to the
+    // lateness bound). The oracle is the equivalent batch interval
+    // join.
+    "q85_streaming_join" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = Files.createTempDirectory("graft-q85")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click").select(
+          col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase").select(
+          col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        clicks.coalesce(1).write.parquet(s"$tmp/clicks")
+        purchases.coalesce(1).write.parquet(s"$tmp/purchases")
+        val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
+        val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
+        val joined = graft.streaming.StreamJoin.intervalJoin(
+          cs, ps, "c_user", "p_user", "c_ts", "p_ts",
+          lookback = "6 HOURS", watermark = "40 DAYS")
+          .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
+        // Stream-join state lives in one store PER shuffle partition and
+        // each microbatch snapshots every store to the checkpoint; at
+        // this volume 32 stores are pure fixed overhead (measured 6.5 s
+        // → ~2 s at 8). The conf is read at stream START, so scope the
+        // override to it; production sizes state partitions to keys ÷
+        // target-state-per-store, not to the batch shuffle default.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = try
+          joined.writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        q.awaitTermination()
+        deleteRecursively(tmpPath.resolve("clicks"))
+        deleteRecursively(tmpPath.resolve("purchases"))
+        deleteRecursively(tmpPath.resolve("checkpoint"))
+        deleteOnExit(tmpPath)
+        s.read.parquet(s"$tmp/out").orderBy("click_id", "purchase_id")
+      },
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id
+               FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c.click_id, p.purchase_id, p.p_us - c.c_us AS delta_us
+         FROM c JOIN p ON c.user_id = p.user_id
+                      AND c.c_us >= p.p_us - 21600000000
+                      AND c.c_us <= p.p_us
+         ORDER BY click_id, purchase_id"""),
+
     // Q33: multimodal binary plumbing without codecs — synthesize each
     // asset's payload as a StubCodec header from doc_id arithmetic
     // (every 13th doc gets undecodable bytes), push it through resize
