@@ -30,6 +30,22 @@ object ExtQueries {
 
   private def deleteOnExit(p: java.nio.file.Path): Unit = exitReaper.add(p)
 
+  /** Run `start` with the session's shuffle-partition count scoped to
+    * `n`: streaming state lives in one store per shuffle partition and
+    * every microbatch snapshots each store to the checkpoint, so at
+    * gate volume the 32-partition batch default is pure fixed overhead
+    * (measured 6.5 s → 3.2 s on the stream-join gate). The conf is
+    * read when the stream STARTS, so the override scopes to the call;
+    * production sizes state partitions to keys ÷ target-state-per-
+    * store, independently of the batch shuffle setting.
+    */
+  private def withStatePartitions[A](
+      s: org.apache.spark.sql.SparkSession, n: Int)(start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val specs: Map[String, QuerySpec] = Map(
 
     // Q32: streaming exact dedup, end to end through a REAL stream —
@@ -56,14 +72,16 @@ object ExtQueries {
         // staged behind it and drop them as late rows (round-4 advice).
         staged.coalesce(1).write.parquet(s"$tmp/staging")
         val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
-        val q = StreamingEtl.dedupStream(stream, "doc_id", "ts", "1 hour")
-          .select("doc_id")
-          .writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", s"$tmp/checkpoint")
-          .format("parquet")
-          .option("path", s"$tmp/out")
-          .start()
+        val q = withStatePartitions(s, 8) {
+          StreamingEtl.dedupStream(stream, "doc_id", "ts", "1 hour")
+            .select("doc_id")
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
         q.awaitTermination()
         // The drained stream never reads staging/checkpoint again —
         // drop them now; `out` must outlive the returned (lazy) frame,
@@ -96,14 +114,16 @@ object ExtQueries {
           Seq((sentinel, "__flush")).toDF("ts", "event_type"))
         staged.coalesce(1).write.parquet(s"$tmp/staging")
         val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
-        val q = StreamingEtl.windowedCounts(
-          stream, "ts", "event_type", windowLength = "1 hour", watermark = "1 hour")
-          .writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", s"$tmp/checkpoint")
-          .format("parquet")
-          .option("path", s"$tmp/out")
-          .start()
+        val q = withStatePartitions(s, 8) {
+          StreamingEtl.windowedCounts(
+            stream, "ts", "event_type", windowLength = "1 hour", watermark = "1 hour")
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
         q.awaitTermination()
         deleteRecursively(tmpPath.resolve("staging"))
         deleteRecursively(tmpPath.resolve("checkpoint"))
@@ -162,13 +182,15 @@ object ExtQueries {
         staged.coalesce(1).write.parquet(s"$tmp/staging")
         val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
           .as[graft.streaming.StreamingSessions.Ev]
-        val q = graft.streaming.StreamingSessions.sessionize(stream)
-          .writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", s"$tmp/checkpoint")
-          .format("parquet")
-          .option("path", s"$tmp/out")
-          .start()
+        val q = withStatePartitions(s, 8) {
+          graft.streaming.StreamingSessions.sessionize(stream)
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
         q.awaitTermination()
         deleteRecursively(tmpPath.resolve("staging"))
         deleteRecursively(tmpPath.resolve("checkpoint"))
@@ -217,22 +239,14 @@ object ExtQueries {
           lookback = "6 HOURS", watermark = "40 DAYS")
           .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
             (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
-        // Stream-join state lives in one store PER shuffle partition and
-        // each microbatch snapshots every store to the checkpoint; at
-        // this volume 32 stores are pure fixed overhead (measured 6.5 s
-        // → ~2 s at 8). The conf is read at stream START, so scope the
-        // override to it; production sizes state partitions to keys ÷
-        // target-state-per-store, not to the batch shuffle default.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = try
+        val q = withStatePartitions(s, 8) {
           joined.writeStream
             .trigger(Trigger.AvailableNow())
             .option("checkpointLocation", s"$tmp/checkpoint")
             .format("parquet")
             .option("path", s"$tmp/out")
             .start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         q.awaitTermination()
         deleteRecursively(tmpPath.resolve("clicks"))
         deleteRecursively(tmpPath.resolve("purchases"))

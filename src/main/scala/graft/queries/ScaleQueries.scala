@@ -498,6 +498,109 @@ object ScaleQueries {
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id"""),
 
+    // Q86: blocked fuzzy duplicate detection — record linkage by edit
+    // distance: candidate pairs come from an EQUI-join on a blocking
+    // key (language × size bucket × 4-char prefix), never all-pairs;
+    // the quadratic levenshtein verify runs only inside blocks, on
+    // 48-char heads. The prefix component is what keeps in-block pair
+    // counts sane on a big corpus (classic multi-key blocking — pairs
+    // differing inside the prefix are the recall trade, recovered in
+    // production by a second blocking pass on a different key). Both
+    // engines implement unit-cost Levenshtein — exact integers.
+    "q86_fuzzy_match" -> QuerySpec(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), expr("n_chars div 50").as("szb"),
+          substring(col("text"), 1, 4).as("pfx"),
+          substring(col("text"), 1, 48).as("head"))
+        val a = d.select(col("lang"), col("szb"), col("pfx"),
+          col("doc_id").as("id1"), col("head").as("h1"))
+        val b = d.select(col("lang"), col("szb"), col("pfx"),
+          col("doc_id").as("id2"), col("head").as("h2"))
+        a.join(b, Seq("lang", "szb", "pfx"))
+          .filter(col("id1") < col("id2"))
+          .withColumn("dist", levenshtein(col("h1"), col("h2")).cast("bigint"))
+          .filter(col("dist") <= 5)
+          .select("id1", "id2", "dist")
+          .orderBy("id1", "id2")
+      },
+      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS szb,
+                           substr(text, 1, 4) AS pfx,
+                           substr(text, 1, 48) AS head
+                    FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.szb = b.szb AND a.pfx = b.pfx
+              AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.head, b.head) <= 5
+         ORDER BY 1, 2"""),
+
+    // Q87: week-over-week revenue index — weekly quantized-money sums
+    // with the previous week carried by a lag window and the ratio as
+    // integral ppm (nonnegative, so Spark's truncating `div` and
+    // DuckDB's flooring `//` agree). One small aggregate + one
+    // dimension-sized window.
+    "q87_week_over_week" -> QuerySpec(
+      (s, dir) => {
+        val wk = Tables.orders(s, dir)
+          .groupBy(expr(
+            // o_orderdate is TIMESTAMP_NTZ; the session runs UTC, so the
+            // cast is wall-clock identity and matches DuckDB's epoch_us
+            "unix_micros(cast(o_orderdate as timestamp)) div 604800000000L")
+            .as("week"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_e2"))
+        wk.withColumn("prev_e2",
+          lag("revenue_e2", 1).over(Window.orderBy("week")))
+          .withColumn("wow_index_e6",
+            expr("(revenue_e2 * 1000000L) div prev_e2"))
+          .orderBy("week")
+      },
+      """WITH wk AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week,
+                            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                 AS BIGINT) AS revenue_e2
+                     FROM orders GROUP BY 1),
+         l AS (SELECT week, revenue_e2,
+                      lag(revenue_e2) OVER (ORDER BY week) AS prev_e2
+               FROM wk)
+         SELECT week, revenue_e2, prev_e2,
+                (revenue_e2 * 1000000) // prev_e2 AS wow_index_e6
+         FROM l ORDER BY week"""),
+
+    // Q88: unpivot/melt — the inverse of the reference's pivot family:
+    // three measure columns stacked into (measure, value) rows via the
+    // codegen'd `stack` generator, then profiled per measure. Map-side
+    // generate + one 3-key aggregate.
+    "q88_unpivot_profile" -> QuerySpec(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(expr(
+            """stack(3,
+                 'quantity', cast(round(l_quantity * 100) as bigint),
+                 'price',    cast(round(l_extendedprice * 100) as bigint),
+                 'discount', cast(round(l_discount * 100) as bigint))
+               as (measure, value_e2)"""))
+          .groupBy("measure")
+          .agg(count(lit(1)).as("n"),
+            sum("value_e2").as("sum_e2"),
+            min("value_e2").as("min_e2"),
+            max("value_e2").as("max_e2"))
+          .orderBy("measure"),
+      """WITH m AS (
+           SELECT 'quantity' AS measure,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS value_e2
+           FROM lineitem
+           UNION ALL
+           SELECT 'price', CAST(round(l_extendedprice * 100) AS BIGINT)
+           FROM lineitem
+           UNION ALL
+           SELECT 'discount', CAST(round(l_discount * 100) AS BIGINT)
+           FROM lineitem)
+         SELECT measure, count(*) AS n,
+                CAST(sum(value_e2) AS BIGINT) AS sum_e2,
+                min(value_e2) AS min_e2, max(value_e2) AS max_e2
+         FROM m GROUP BY 1 ORDER BY 1"""),
+
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
     // aggregate (bounded per-term state however hot the term). The

@@ -72,4 +72,18 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // the predicate reaches the file index as a partition filter (no
+    // data-file IO for other types) — the layout analog of bucketing
+    assert(plan.contains("PartitionFilters:") && plan.contains("= click"),
+      s"partition filter missing:\n$plan")
+    assert(pruned.count() ===
+      ev.filter(col("event_type") === "click").count())
+  }
 }
