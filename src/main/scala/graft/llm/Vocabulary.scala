@@ -37,8 +37,13 @@ object Vocabulary {
     */
   def zipfCoverage(docs: DataFrame, text: Column, k: Int): DataFrame = {
     val toks = docs.select(explode(tokens(text)).as("token"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // ONE explode pass: the token-count relation is persisted and both
+    // the top-k and the corpus total derive from it (an unpersisted
+    // total would re-run the explode+aggregate per consumer).
+    val counted = graft.CacheScope.persist(
+      toks.groupBy("token").agg(count(lit(1)).as("cnt")))
+    val total = counted.agg(sum("cnt").as("total"))
+    val top = counted
       .orderBy(desc("cnt"), asc("token"))
       .limit(k)
       .withColumn("rank", row_number().over(
@@ -60,14 +65,18 @@ object Vocabulary {
     * double bits are engine-identical.
     */
   def pmiBigrams(docs: DataFrame, text: Column, minCount: Long, k: Int): DataFrame = {
-    val uni = docs.select(explode(tokens(text)).as("w"))
-    val cu = uni.groupBy("w").agg(count(lit(1)).as("c"))
-    val nu = uni.agg(count(lit(1)).as("nu"))
-    val pairs = docs.select(explode(bigramPairs(text)).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val nb = pairs.agg(count(lit(1)).as("nb"))
-    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= minCount)
+    // One explode pass per relation: totals derive from the persisted
+    // count aggregates, not from a second scan of the corpus.
+    val cu = graft.CacheScope.persist(
+      docs.select(explode(tokens(text)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c")))
+    val nu = cu.agg(sum("c").as("nu"))
+    val cbAll = graft.CacheScope.persist(
+      docs.select(explode(bigramPairs(text)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")))
+    val nb = cbAll.agg(sum("c_xy").as("nb"))
+    val cb = cbAll.filter(col("c_xy") >= minCount)
     val scored = cb
       .join(cu.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(cu.select(col("w").as("w2"), col("c").as("c2")), "w2")

@@ -601,6 +601,82 @@ object ScaleQueries {
                 min(value_e2) AS min_e2, max(value_e2) AS max_e2
          FROM m GROUP BY 1 ORDER BY 1"""),
 
+    // Q89: rollup subtotals — revenue by (priority, year) with
+    // per-priority subtotals and the grand total in ONE pass (rollup
+    // expands grouping sets inside the aggregate; no union of
+    // re-scans). Null group markers are coalesced to sentinel labels
+    // so the comparator sees plain values.
+    "q89_rollup_revenue" -> QuerySpec(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(col("o_orderpriority").as("pr0"),
+            year(col("o_orderdate")).cast("bigint").as("yr0"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_e2"))
+          .select(
+            coalesce(col("pr0"), lit("ALL")).as("priority"),
+            coalesce(col("yr0"), lit(-1L)).as("yr"),
+            col("n_orders"), col("revenue_e2"))
+          .orderBy("priority", "yr"),
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                COALESCE(CAST(year(o_orderdate) AS BIGINT), -1) AS yr,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_e2
+         FROM orders
+         GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+         ORDER BY 1, 2"""),
+
+    // Q90: JSON-path extraction over a semi-structured string column —
+    // the payload-field pull every event pipeline does before it can
+    // aggregate. `get_json_object` is a codegen'd map-side expression;
+    // the aggregate is type-keyed and tiny.
+    "q90_json_extract" -> QuerySpec(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_k"),
+            sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("event_type"),
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS null_k,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
+                min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1"""),
+
+    // Q91: the rank-function family per language over document length —
+    // rank / dense_rank / percent_rank / cume_dist are all TIE-
+    // INVARIANT (they depend on the order key's value, not tie order),
+    // so ordering by the non-unique length alone is deterministic and
+    // the tied groups are exactly what distinguishes the four
+    // functions. percent_rank's (rank−1)/(n−1) and cume_dist's
+    // peers/n are the same IEEE division in both engines.
+    "q91_rank_family" -> QuerySpec(
+      (s, dir) => {
+        val w = Window.partitionBy("lang").orderBy(col("n_chars").desc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            rank().over(w).cast("bigint").as("rnk"),
+            dense_rank().over(w).cast("bigint").as("drnk"),
+            percent_rank().over(w).as("pct_rnk"),
+            cume_dist().over(w).as("cum_dist"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, n_chars,
+                rank() OVER w AS rnk,
+                dense_rank() OVER w AS drnk,
+                percent_rank() OVER w AS pct_rnk,
+                cume_dist() OVER w AS cum_dist
+         FROM documents
+         WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC)
+         ORDER BY doc_id"""),
+
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
     // aggregate (bounded per-term state however hot the term). The
