@@ -263,11 +263,15 @@ object ScaleQueries {
       (s, dir) => {
         val ev = Tables.events(s, dir).select(
           col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts_us").as("t_view"))
-        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-          .filter(col("ts_us") > col("t_view"))
-          .groupBy("user_id").agg(min("ts_us").as("t_click"))
+        // each stage feeds BOTH the next stage's join and its own count
+        // — persist so neither re-aggregates the event scan per consumer
+        val v = graft.CacheScope.persist(
+          ev.filter(col("event_type") === "view")
+            .groupBy("user_id").agg(min("ts_us").as("t_view")))
+        val c = graft.CacheScope.persist(
+          ev.filter(col("event_type") === "click").join(v, "user_id")
+            .filter(col("ts_us") > col("t_view"))
+            .groupBy("user_id").agg(min("ts_us").as("t_click")))
         val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
           .filter(col("ts_us") > col("t_click"))
           .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
@@ -302,12 +306,18 @@ object ScaleQueries {
     // broadcast.
     "q78_cohort_retention" -> QuerySpec(
       (s, dir) => {
-        val wk = Tables.events(s, dir).select(
-          col("user_id"),
-          expr("unix_micros(ts) div 604800000000L").as("week"))
-        val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+        // ONE event scan: the distinct (user, week) active set persists
+        // and the cohort assignment derives from it (min over distinct
+        // weeks == min over all events)
+        val act = graft.CacheScope.persist(
+          Tables.events(s, dir).select(
+            col("user_id"),
+            expr("unix_micros(ts) div 604800000000L").as("week"))
+            .distinct())
+        val first = graft.CacheScope.persist(
+          act.groupBy("user_id").agg(min("week").as("cohort_week")))
         val sizes = first.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
-        wk.distinct().join(first, "user_id")
+        act.join(first, "user_id")
           .groupBy(col("cohort_week"),
             (col("week") - col("cohort_week")).as("week_offset"))
           .agg(count(lit(1)).as("n_active"))
@@ -337,9 +347,12 @@ object ScaleQueries {
     // window either engine runs, so the grid formulation IS the plan.
     "q79_active_users" -> QuerySpec(
       (s, dir) => {
-        val ud = Tables.events(s, dir).select(
-          col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
-          .distinct()
+        // the active set feeds the grid, the DAU agg, and the WAU join
+        // — persist it so the scan+distinct runs once, not three times
+        val ud = graft.CacheScope.persist(
+          Tables.events(s, dir).select(
+            col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+            .distinct())
         val days = ud.select("day").distinct()
         val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
         val wau = ud.select(col("user_id"), col("day").as("d2"))
