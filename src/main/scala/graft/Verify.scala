@@ -11,6 +11,10 @@ object Verify {
     // Optional comma-separated prefix filter for local iteration
     // (GRAFT_VERIFY_ONLY=q68,q70); unset in the driver, which runs all.
     val only = sys.env.get("GRAFT_VERIFY_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach(f => System.err.println(
+      s"[verify] WARNING: GRAFT_VERIFY_ONLY=$f — other queries' result dirs in " +
+        s"$outDir are NOT refreshed; a later compare against them reflects the " +
+        "run that wrote them, not this build"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

@@ -44,7 +44,11 @@ object CdcMerge {
       .withColumn("__op", lit(OpUpsert))
     val c = changes.select(
       (cols :+ seqCol.cast("long").as("__seq") :+ opCol.as("__op")): _*)
-    val w = Window.partitionBy(keyCol).orderBy(col("__seq").desc)
+    // Sequences are expected unique per key (CDC log order); if a
+    // producer ever emits duplicates, the op tie-break makes resolution
+    // DETERMINISTIC — delete outranks upsert at equal sequence — rather
+    // than shuffle-order-dependent.
+    val w = Window.partitionBy(keyCol).orderBy(col("__seq").desc, col("__op").asc)
     b.unionByName(c)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("__op") === OpUpsert)

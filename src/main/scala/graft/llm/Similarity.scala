@@ -74,7 +74,13 @@ object Similarity {
       quantize(col(vecCol)).as("__q"),
       transform(col(vecCol), e => e.cast("double")).as("__x"))
       .withColumn("__n", intDot(col("__q"), col("__q")))
-      .withColumn("__scale", array_max(transform(col("__x"), e => abs(e))) / 127.0)
+      // greatest(…, MIN_VALUE) guards the all-zero vector: scale 0
+      // would make the code 0/0 (NaN→0 in Spark, NULL in SQL engines);
+      // with the guard a zero vector gets the all-zero code, which is
+      // the sensible coarse representation for it.
+      .withColumn("__scale",
+        greatest(array_max(transform(col("__x"), e => abs(e))) / 127.0,
+          lit(java.lang.Double.MIN_VALUE)))
       .select(col(idCol), col("__q"), col("__n"),
         transform(col("__x"),
           e => floor(e / col("__scale") + lit(0.5)).cast("long")).as("__q8"))

@@ -236,11 +236,11 @@ object ScaleQueries {
     // join: bucketing must not change a single row.
     "q75_bucketed_join" -> QuerySpec(
       (s, dir) => {
-        val tmp = System.getProperty("java.io.tmpdir")
+        val tmp = GateTmp.dir("graft-q75").toString
         val o = BucketedTables.ensure(s, Tables.orders(s, dir),
-          "graft_orders_bkt", "o_custkey", 16, s"$tmp/graft_bkt/orders")
+          "graft_orders_bkt", "o_custkey", 16, s"$tmp/orders")
         val c = BucketedTables.ensure(s, Tables.customer(s, dir),
-          "graft_customer_bkt", "c_custkey", 16, s"$tmp/graft_bkt/customer")
+          "graft_customer_bkt", "c_custkey", 16, s"$tmp/customer")
         o.join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("c_nationkey").cast("bigint").as("nationkey"))
           .agg(count(lit(1)).as("n_orders"),
@@ -411,7 +411,8 @@ object ScaleQueries {
                WHERE st.n > 1 AND st.n * st.sxx - st.sx * st.sx > 0)
          SELECT event_type, day, cnt,
                 CAST(floor(z * 1000) AS BIGINT) AS z_e3,
-                CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS is_anomaly
+                CAST(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_anomaly
          FROM z ORDER BY 1, 2"""),
 
     // Q81: event debounce — keep only burst-starting events per
@@ -449,8 +450,10 @@ object ScaleQueries {
       (s, dir) => {
         val ev = Tables.events(s, dir).select(
           col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts_us").as("t_view"))
+        // v feeds both the purchase-stage join and the final delta join
+        val v = graft.CacheScope.persist(
+          ev.filter(col("event_type") === "view")
+            .groupBy("user_id").agg(min("ts_us").as("t_view")))
         val p = ev.filter(col("event_type") === "purchase").join(v, "user_id")
           .filter(col("ts_us") > col("t_view"))
           .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
@@ -480,7 +483,7 @@ object ScaleQueries {
     // the JSON source/sink pair are what's on trial.
     "q83_jsonl_roundtrip" -> QuerySpec(
       (s, dir) => {
-        val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt/docs_jsonl"
+        val tmp = GateTmp.dir("graft-q83").toString + "/docs_jsonl"
         val docs = Tables.documents(s, dir)
           .select("doc_id", "text", "lang", "source", "n_chars")
         docs.coalesce(4).write.mode("overwrite").json(tmp)
@@ -495,7 +498,7 @@ object ScaleQueries {
     // schema names; types are pinned explicitly on read.
     "q84_csv_roundtrip" -> QuerySpec(
       (s, dir) => {
-        val tmp = System.getProperty("java.io.tmpdir") + "/graft_fmt/docs_csv"
+        val tmp = GateTmp.dir("graft-q84").toString + "/docs_csv"
         val docs = Tables.documents(s, dir)
           .select("doc_id", "text", "lang", "source", "n_chars")
         docs.coalesce(4).write.mode("overwrite")
@@ -522,10 +525,12 @@ object ScaleQueries {
     // engines implement unit-cost Levenshtein — exact integers.
     "q86_fuzzy_match" -> QuerySpec(
       (s, dir) => {
-        val d = Tables.documents(s, dir).select(
-          col("doc_id"), col("lang"), expr("n_chars div 50").as("szb"),
-          substring(col("text"), 1, 4).as("pfx"),
-          substring(col("text"), 1, 48).as("head"))
+        // persisted: both sides of the blocked self-join read d
+        val d = graft.CacheScope.persist(
+          Tables.documents(s, dir).select(
+            col("doc_id"), col("lang"), expr("n_chars div 50").as("szb"),
+            substring(col("text"), 1, 4).as("pfx"),
+            substring(col("text"), 1, 48).as("head")))
         val a = d.select(col("lang"), col("szb"), col("pfx"),
           col("doc_id").as("id1"), col("head").as("h1"))
         val b = d.select(col("lang"), col("szb"), col("pfx"),
@@ -689,6 +694,65 @@ object ScaleQueries {
          FROM documents
          WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC)
          ORDER BY doc_id"""),
+
+    // Q92: incremental aggregate refresh — a stored per-key aggregate
+    // (count/sum/min/max over the pre-cutoff events) merged with the
+    // new batch's partials in ONE pass over the small aggregates, no
+    // re-scan of history. The gate's oracle is the full recomputation:
+    // algebraic state must merge to exactly what a cold rebuild gives.
+    "q92_incremental_agg" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("long").as("v_e2"))
+        val cutoff = 1704844800000000L // 2024-01-10T00:00:00Z
+        def agg(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("user_id").agg(
+            count(lit(1)).as("n"), sum("v_e2").as("s"),
+            min("v_e2").as("mn"), max("v_e2").as("mx"))
+        val stored = agg(ev.filter(col("ts_us") < cutoff))
+        val incoming = agg(ev.filter(col("ts_us") >= cutoff))
+        stored.select(col("user_id"), col("n"), col("s"), col("mn"), col("mx"))
+          .unionByName(incoming)
+          .groupBy("user_id")
+          .agg(sum("n").as("n_events"), sum("s").as("sum_e2"),
+            min("mn").as("min_e2"), max("mx").as("max_e2"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_e2
+                    FROM events)
+         SELECT user_id, count(*) AS n_events,
+                CAST(sum(v_e2) AS BIGINT) AS sum_e2,
+                min(v_e2) AS min_e2, max(v_e2) AS max_e2
+         FROM e GROUP BY 1 ORDER BY 1"""),
+
+    // Q93: equi-depth binning — decile assignment of the quantized
+    // value per event type via ntile over a UNIQUE ordering (ntile
+    // distributes rows, so tie order must be pinned), profiled per
+    // bin. The feature-bucketization step of model pipelines; one
+    // type-keyed window + one tiny aggregate.
+    "q93_equidepth_bins" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v_e2"))
+        val w = Window.partitionBy("event_type").orderBy("v_e2", "event_id")
+        ev.withColumn("bin", ntile(10).over(w).cast("bigint"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"),
+            min("v_e2").as("lo_e2"), max("v_e2").as("hi_e2"))
+          .orderBy("event_type", "bin")
+      },
+      """WITH e AS (SELECT event_type, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS v_e2
+                    FROM events),
+         b AS (SELECT event_type, v_e2,
+                      ntile(10) OVER (PARTITION BY event_type
+                                      ORDER BY v_e2, event_id) AS bin
+               FROM e)
+         SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+                min(v_e2) AS lo_e2, max(v_e2) AS hi_e2
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
