@@ -377,10 +377,12 @@ object ScaleQueries {
     // IEEE 754). Two tiny aggregates + a type-keyed broadcast join.
     "q80_daily_anomaly" -> QuerySpec(
       (s, dir) => {
-        val daily = Tables.events(s, dir)
-          .groupBy(col("event_type"),
-            expr("unix_micros(ts) div 86400000000L").as("day"))
-          .agg(count(lit(1)).as("cnt"))
+        // daily feeds both the stats aggregate and the z-score join
+        val daily = graft.CacheScope.persist(
+          Tables.events(s, dir)
+            .groupBy(col("event_type"),
+              expr("unix_micros(ts) div 86400000000L").as("day"))
+            .agg(count(lit(1)).as("cnt")))
         val stats = daily.groupBy("event_type").agg(
           count(lit(1)).as("n"),
           sum("cnt").as("sx"),
