@@ -756,6 +756,53 @@ object ScaleQueries {
                 min(v_e2) AS lo_e2, max(v_e2) AS hi_e2
          FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
 
+    // Q94: typed-Aggregator top-k — the k smallest quantized values
+    // per event type through a custom `Aggregator` whose state is k
+    // longs per group on EVERY path (partial, shuffle, merge) — the
+    // bounded-state alternative to sort-then-rank. The oracle is the
+    // window formulation the aggregator must reproduce.
+    "q94_topk_udaf" -> QuerySpec(
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopKSmallestAgg(5))
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("v_e2"))
+          .groupBy("event_type")
+          .agg(topk(col("v_e2")).as("tk"))
+          .select(col("event_type"),
+            array_join(transform(col("tk"), _.cast("string")), ",")
+              .as("smallest5_e2"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2
+                    FROM events),
+         r AS (SELECT event_type, v_e2,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY v_e2) AS rn
+               FROM e)
+         SELECT event_type,
+                array_to_string(list_sort(list(v_e2)), ',') AS smallest5_e2
+         FROM r WHERE rn <= 5 GROUP BY 1 ORDER BY 1"""),
+
+    // Q95: the SQL surface — the same engine through `spark.sql` over
+    // registered views, exercising the session-extension-injected
+    // native function (`md5_prefix60`) from SQL text: a SQL-only user
+    // gets the identical codegen'd expression the DataFrame API gets.
+    "q95_sql_surface" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+        s.sql(
+          """SELECT lang,
+                    count(*) AS n_docs,
+                    sum(pmod(md5_prefix60(text), 1000L)) AS hash_mix
+             FROM g_documents
+             GROUP BY lang ORDER BY lang""")
+      },
+      """SELECT lang, count(*) AS n_docs,
+                CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 1000)
+                     AS BIGINT) AS hash_mix
+         FROM documents GROUP BY 1 ORDER BY 1"""),
+
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
     // aggregate (bounded per-term state however hot the term). The
