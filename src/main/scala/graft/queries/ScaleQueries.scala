@@ -803,6 +803,68 @@ object ScaleQueries {
                      AS BIGINT) AS hash_mix
          FROM documents GROUP BY 1 ORDER BY 1"""),
 
+    // Q96: contribution analysis — each nation's share of total
+    // revenue in integral ppm, the percent-of-total report: one
+    // broadcast-joined aggregate + a 1-row total derived FROM the
+    // persisted per-nation aggregate (no second fact scan).
+    "q96_revenue_share" -> QuerySpec(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val per = graft.CacheScope.persist(
+          o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+            .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+            .groupBy("n_name")
+            .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("revenue_e2")))
+        val total = per.agg(sum("revenue_e2").as("total_e2"))
+        per.crossJoin(broadcast(total))
+          .select(col("n_name"), col("revenue_e2"),
+            expr("(revenue_e2 * 1000000L) div total_e2").as("share_e6"))
+          .orderBy("n_name")
+      },
+      """WITH per AS (SELECT n_name,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_e2
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1)
+         SELECT n_name, revenue_e2,
+                (revenue_e2 * 1000000)
+                  // (SELECT CAST(sum(revenue_e2) AS BIGINT) FROM per)
+                  AS share_e6
+         FROM per ORDER BY 1"""),
+
+    // Q97: cumulative reach — distinct users ever seen through each
+    // day, computed as new-user counts (first-activity day per user)
+    // cumulatively summed over the day grid: no day-over-day distinct
+    // re-count, one user shuffle + a dimension-sized window.
+    "q97_cumulative_reach" -> QuerySpec(
+      (s, dir) => {
+        val firstDay = Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(expr("min(unix_micros(ts) div 86400000000L)").as("first_day"))
+        val newPerDay = firstDay.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+        newPerDay
+          .withColumn("reach",
+            sum("new_users").over(Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .orderBy("day")
+      },
+      """WITH f AS (SELECT user_id,
+                           min(epoch_us(ts) // 86400000000) AS first_day
+                    FROM events GROUP BY 1),
+         n AS (SELECT first_day AS day, count(*) AS new_users
+               FROM f GROUP BY 1)
+         SELECT day, new_users,
+                CAST(sum(new_users) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS reach
+         FROM n ORDER BY day"""),
+
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
     // aggregate (bounded per-term state however hot the term). The
