@@ -865,6 +865,104 @@ object ScaleQueries {
                   AS reach
          FROM n ORDER BY day"""),
 
+    // Q98: ordered string aggregation — the listagg/string_agg report
+    // shape (member names rolled into one delimited cell per group),
+    // deterministic via explicit in-list ordering on both sides.
+    "q98_string_agg" -> QuerySpec(
+      (s, dir) => {
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_nations"),
+            array_join(sort_array(collect_list(col("n_name"))), ",")
+              .as("nations"))
+          .orderBy("r_name")
+      },
+      """SELECT r_name, count(*) AS n_nations,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1"""),
+
+    // Q99: cohort conversion window — per signup-week cohort, how many
+    // users purchased within 7 days of their first signup. The
+    // existence probe is a per-user range semi-join (distinct AFTER
+    // the range match); rates integral ppm.
+    "q99_signup_conversion" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        val signup = graft.CacheScope.persist(
+          ev.filter(col("event_type") === "signup")
+            .groupBy("user_id").agg(min("ts_us").as("t_signup")))
+        val converted = ev.filter(col("event_type") === "purchase")
+          .join(signup, "user_id")
+          .filter(col("ts_us") > col("t_signup") &&
+            col("ts_us") <= col("t_signup") + 604800000000L)
+          .select("user_id").distinct()
+          .withColumn("conv", lit(1L))
+        signup.join(converted, Seq("user_id"), "left")
+          .groupBy(expr("t_signup div 604800000000L").as("signup_week"))
+          .agg(count(lit(1)).as("n_signups"),
+            sum(coalesce(col("conv"), lit(0L))).as("n_converted_7d"))
+          .withColumn("conv_e6",
+            expr("(n_converted_7d * 1000000L) div n_signups"))
+          .orderBy("signup_week")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         s AS (SELECT user_id, min(ts_us) AS t_signup FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+         c AS (SELECT DISTINCT e.user_id FROM e JOIN s USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t_signup
+                 AND ts_us <= t_signup + 604800000000),
+         g AS (SELECT s.user_id, s.t_signup // 604800000000 AS signup_week,
+                      CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+               FROM s LEFT JOIN c ON s.user_id = c.user_id)
+         SELECT signup_week, count(*) AS n_signups,
+                CAST(sum(conv) AS BIGINT) AS n_converted_7d,
+                (CAST(sum(conv) AS BIGINT) * 1000000) // count(*) AS conv_e6
+         FROM g GROUP BY 1 ORDER BY 1"""),
+
+    // Q100: the pricing-summary classic (TPC-H Q1 semantics) with
+    // fully integral money: every measure quantized before summation
+    // (charge = price·(100−disc)·(100+tax) in e6 units), so the whole
+    // report is one map-side-combined aggregate, order-free and
+    // engine-exact — no decimal/float drift anywhere.
+    "q100_pricing_summary" -> QuerySpec(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val qtyE2 = round(col("l_quantity") * 100).cast("long")
+        val priceE2 = round(col("l_extendedprice") * 100).cast("long")
+        val discE2 = round(col("l_discount") * 100).cast("long")
+        val taxE2 = round(col("l_tax") * 100).cast("long")
+        li.filter(col("l_shipdate") <=
+          to_timestamp_ntz(lit("1998-09-02 00:00:00")))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(qtyE2).as("sum_qty_e2"),
+            sum(priceE2).as("sum_price_e2"),
+            sum(priceE2 * (lit(100L) - discE2)).as("sum_disc_price_e4"),
+            sum(priceE2 * (lit(100L) - discE2) * (lit(100L) + taxE2))
+              .as("sum_charge_e6"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+                CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_qty_e2,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_price_e2,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                     AS BIGINT) AS sum_disc_price_e4,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                         * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                     AS BIGINT) AS sum_charge_e6
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
+
     // Q76: inverted-index build — posting lists for terms in ≥50 docs,
     // heads truncated to the 10 smallest doc ids BEFORE the list
     // aggregate (bounded per-term state however hot the term). The
