@@ -18,12 +18,18 @@ object Histogram {
 
   /** One row per non-empty bucket: bucket id, inclusive lo / exclusive
     * hi bound, row count, and the observed min/max inside the bucket.
-    * `value` must be a non-negative integral column.
+    * Bucketing is FLOOR division (negative values land in negative
+    * buckets with lo ≤ v < hi still holding) — `v div w` would
+    * truncate toward zero and put negatives in the wrong bucket;
+    * `(v − pmod(v, w)) / w` is pure integer floor math.
     */
   def equiWidth(df: DataFrame, value: Column, width: Long): DataFrame = {
     require(width > 0, s"bucket width must be positive: $width")
     df.select(value.cast("long").as("__v"))
-      .select(expr(s"__v div ${width}L").as("bucket"), col("__v"))
+      .select(
+        ((col("__v") - pmod(col("__v"), lit(width))) / width)
+          .cast("long").as("bucket"),
+        col("__v"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("cnt"),

@@ -26,9 +26,9 @@ class CdcMergeSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq === Seq((2L, "b3", 2L), (3L, "c", 0L), (4L, "d", 1L)))
   }
 
-  test("histogram buckets partition the input exactly") {
+  test("histogram buckets partition the input exactly (incl. negatives)") {
     import spark.implicits._
-    val df = (0L until 1000L).map(i => i * 7 % 997).toDF("v")
+    val df = (0L until 1000L).map(i => i * 7 % 997 - 300).toDF("v")
     val h = Histogram.equiWidth(df, col("v"), 100L).collect()
     assert(h.map(_.getLong(3)).sum === 1000L)
     h.foreach { r =>
