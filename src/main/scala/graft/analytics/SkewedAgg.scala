@@ -40,4 +40,30 @@ object SkewedAgg {
       .agg(partials.head, partials.tail: _*)
       .groupBy(col("key"))
       .agg(merges.head, merges.tail: _*)
+
+  /** Skew-safe equi-join by dimension replication (the "salted join"):
+    * every fact row gets a deterministic salt in [0, buckets); the dim
+    * side is exploded `buckets`×; the join key becomes (key, salt). A
+    * fact key holding half the table now spreads over `buckets`
+    * reducers instead of landing on one. Use when the dim side is too
+    * big to broadcast but `buckets`× its size still shuffles cheaply —
+    * the manual fallback for skew AQE doesn't catch (e.g. a
+    * pre-shuffled layout you want to preserve). `salt` must be a
+    * deterministic function of the fact row (NOT rand()) so retried
+    * tasks re-derive the same placement.
+    */
+  def replicatedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: Column,
+      dimKey: Column,
+      salt: Column,
+      buckets: Int = 8): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(salt, lit(buckets)).cast("int"))
+    val replicatedDim = dim.withColumn("__rep", explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact
+      .join(replicatedDim,
+        factKey === dimKey && col("__salt") === col("__rep"))
+      .drop("__salt", "__rep")
+  }
 }

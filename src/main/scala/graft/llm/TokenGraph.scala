@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CacheScope
+
+/** Graph analytics over the token-adjacency (bigram) digraph of a
+  * corpus — the centrality signal behind TextRank-style keyword and
+  * domain-quality scoring.
+  *
+  * PageRank here is INTEGER arithmetic end to end: scores live in
+  * parts-per-million and every division is integral (`div`; all
+  * operands nonnegative, so truncation == floor and the result is
+  * engine-portable). That trades a bounded quantization error
+  * (≤ 1 ppm per step) for bit-exact reproducibility — the right trade
+  * for a verification gate, and irrelevant at ranking granularity.
+  *
+  * Scale shape: the edge aggregate is one map-side-combined shuffle at
+  * vocabulary² granularity; each iteration is an equi-join of the
+  * (small) score relation against the persisted edge list plus one
+  * aggregate — vocabulary-sized, never corpus-sized. Iterations are
+  * unrolled; for deep iteration counts cut lineage per round
+  * (localCheckpoint) as the CC operator does.
+  */
+object TokenGraph {
+
+  /** Weighted-edge list (w1 → w2, multiplicity c) from whitespace
+    * bigrams. Built in two projections: the bigram array in its own
+    * select, the explode in the next (generator extraction strips
+    * in-lambda aliases otherwise).
+    */
+  def bigramEdges(docs: DataFrame, text: Column): DataFrame = {
+    val toks = docs.select(split(text, " ").as("toks"))
+    val pairs = toks
+      .select(
+        transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(
+            element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))).as("bg"))
+      .select(explode(col("bg")).as("e"))
+      .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+  }
+
+  /** `iters` rounds of damping-0.85 PageRank in ppm over the bigram
+    * graph. Returns (token, out_w, pr_e6) — out-weight 0 marks a sink
+    * whose mass is deliberately dropped each round (the standard
+    * strongly-preferential formulation; redistribute-to-all would add
+    * one more scalar join).
+    */
+  def pagerankE6(
+      spark: SparkSession,
+      docs: DataFrame,
+      text: Column,
+      iters: Int): DataFrame = {
+    val edges = CacheScope.persist(bigramEdges(docs, text))
+    val nodes = CacheScope.persist(
+      edges.select(col("w1").as("w"))
+        .union(edges.select(col("w2").as("w")))
+        .distinct())
+    val nCount = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outw = edges.groupBy(col("w1")).agg(sum(col("c")).as("outw"))
+    val weighted = CacheScope.persist(
+      edges.join(outw, "w1")
+        .select(col("w1"), col("w2"), col("c"), col("outw")))
+
+    var pr = nodes.crossJoin(broadcast(nCount))
+      .select(col("w"), expr("1000000L div n_nodes").as("pr"))
+    for (_ <- 1 to iters) {
+      val incoming = weighted.join(pr, weighted("w1") === pr("w"))
+        .select(col("w2"), expr("(pr * c) div outw").as("contrib"))
+        .groupBy(col("w2"))
+        .agg(sum(col("contrib")).as("inc"))
+      pr = nodes.crossJoin(broadcast(nCount))
+        .join(incoming, nodes("w") === incoming("w2"), "left")
+        .select(
+          col("w"),
+          expr("150000L div n_nodes + (850000L * coalesce(inc, 0L)) div 1000000L")
+            .as("pr"))
+    }
+    nodes.join(outw, nodes("w") === outw("w1"), "left")
+      .join(pr.withColumnRenamed("w", "w_pr"), nodes("w") === col("w_pr"))
+      .select(
+        nodes("w").as("token"),
+        coalesce(col("outw"), lit(0L)).as("out_w"),
+        col("pr").as("pr_e6"))
+  }
+}
