@@ -485,6 +485,108 @@ object DeepQueries {
          SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
                 CAST(floor(min(med) * 100) AS BIGINT) AS med_e4,
                 CAST(floor(quantile_cont(adev, 0.5) * 100) AS BIGINT) AS mad_e4
-         FROM d GROUP BY 1 ORDER BY 1""")
+         FROM d GROUP BY 1 ORDER BY 1"""),
+
+    // Q117: winsorization — clip each group's values at its own
+    // p05/p95 before aggregating (the outlier-robust cleaning step of
+    // feature prep). Quantile bounds are floored into a 2× integer
+    // domain so the clipped sum stays order-free BIGINT arithmetic;
+    // the bounds ride back on a broadcast join.
+    "q117_winsorize" -> QuerySpec(
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(
+          col("event_type"), round(col("value") * 100).cast("long").as("v_e2"))
+        val p = e.groupBy("event_type").agg(
+          floor(expr("percentile(v_e2, 0.05)") * 2).cast("long").as("lo2"),
+          floor(expr("percentile(v_e2, 0.95)") * 2).cast("long").as("hi2"))
+        val v2 = col("v_e2") * 2
+        e.join(broadcast(p), "event_type")
+          .select(col("event_type"), col("v_e2"), col("lo2"), col("hi2"),
+            when(v2 < col("lo2"), col("lo2"))
+              .when(v2 > col("hi2"), col("hi2"))
+              .otherwise(v2).as("w2"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(when(v2 < col("lo2"), 1L).otherwise(0L)).as("n_lo"),
+            sum(when(v2 > col("hi2"), 1L).otherwise(0L)).as("n_hi"),
+            min(col("lo2")).as("lo2"), min(col("hi2")).as("hi2"),
+            sum(col("w2")).as("wsum_2e2"))
+          .orderBy("event_type")
+      },
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v_e2
+                    FROM events),
+         p AS (SELECT event_type,
+                      CAST(floor(quantile_cont(v_e2, 0.05) * 2) AS BIGINT) AS lo2,
+                      CAST(floor(quantile_cont(v_e2, 0.95) * 2) AS BIGINT) AS hi2
+               FROM e GROUP BY 1),
+         c AS (SELECT e.event_type, e.v_e2, p.lo2, p.hi2,
+                      CASE WHEN 2*e.v_e2 < p.lo2 THEN p.lo2
+                           WHEN 2*e.v_e2 > p.hi2 THEN p.hi2
+                           ELSE 2*e.v_e2 END AS w2
+               FROM e JOIN p ON e.event_type = p.event_type)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CASE WHEN 2*v_e2 < lo2 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+                CAST(sum(CASE WHEN 2*v_e2 > hi2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+                min(lo2) AS lo2, min(hi2) AS hi2,
+                CAST(sum(w2) AS BIGINT) AS wsum_2e2
+         FROM c GROUP BY 1 ORDER BY 1"""),
+
+    // Q118: Gini diversity of each source's language mix — the
+    // log-free diversity index (1 − Σp²), exact in integral ppm (no
+    // entropy/ln, which libm would make engine-specific). Two tiny
+    // map-side-combined aggregates.
+    "q118_gini_diversity" -> QuerySpec(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("tot"), sum(col("c") * col("c")).as("ss"))
+          .select(col("source"), col("tot"),
+            expr("1000000L - (1000000L * ss) div (tot * tot)").as("gini_e6"))
+          .orderBy("source"),
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+                    FROM documents GROUP BY 1, 2),
+         t AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot,
+                      CAST(sum(c*c) AS BIGINT) AS ss
+               FROM c GROUP BY 1)
+         SELECT source, tot,
+                CAST(1000000 - (1000000 * ss) // (tot * tot) AS BIGINT) AS gini_e6
+         FROM t ORDER BY source"""),
+
+    // Q119: triangle counting on the (undirected, deduplicated) bigram
+    // graph — the clustering-coefficient primitive. Edges are oriented
+    // u < v, so the wedge join enumerates a<b<c exactly once; at graph
+    // scale the standard refinement orients by degree instead, which
+    // bounds every node's join fan-out by sqrt(|E|). The edge relation
+    // feeds three join legs → persisted once.
+    "q119_triangles" -> QuerySpec(
+      (s, dir) => {
+        val bg = graft.llm.TokenGraph.bigramEdges(
+          Tables.documents(s, dir), col("text"))
+        val e = graft.CacheScope.persist(
+          bg.filter(col("w1") =!= col("w2"))
+            .select(least(col("w1"), col("w2")).as("u"),
+              greatest(col("w1"), col("w2")).as("v"))
+            .distinct())
+        val e2 = e.select(col("u").as("u2"), col("v").as("v2"))
+        val e3 = e.select(col("u").as("u3"), col("v").as("v3"))
+        val tri = e.join(e2, col("v") === col("u2"))
+          .join(e3, col("u") === col("u3") && col("v2") === col("v3"))
+          .agg(count(lit(1)).as("n_triangles"))
+        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      },
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         g AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+         b AS (SELECT toks[i] AS wa, toks[i+1] AS wb FROM g),
+         e AS (SELECT DISTINCT least(wa, wb) AS u, greatest(wa, wb) AS v
+               FROM b WHERE wa <> wb),
+         tr AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+                CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+         FROM tr""")
   )
 }
