@@ -32,12 +32,17 @@ object PassageDedup {
     */
   def passages(docs: DataFrame, docId: Column, text: Column, n: Int): DataFrame = {
     val toks = docs.select(docId.as("doc_id"), split(text, " ").as("toks"))
+    // sequence(1, 0) yields a DESCENDING [1, 0] in Spark (not the empty
+    // series DuckDB's generate_series gives) — guard the too-short case.
+    val nChunks = floor(size(col("toks")) / lit(n)).cast("int")
     val arr = toks.select(
       col("doc_id"),
-      transform(
-        sequence(lit(1), floor(size(col("toks")) / lit(n)).cast("int")),
-        i => array_join(
-          slice(col("toks"), (i - lit(1)) * lit(n) + lit(1), lit(n)), " "))
+      when(nChunks > 0,
+        transform(
+          sequence(lit(1), nChunks),
+          i => array_join(
+            slice(col("toks"), (i - lit(1)) * lit(n) + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
         .as("passages"))
     arr.select(col("doc_id"), posexplode(col("passages")).as(Seq("pos", "passage")))
   }

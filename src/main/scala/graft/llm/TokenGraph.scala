@@ -32,13 +32,18 @@ object TokenGraph {
     */
   def bigramEdges(docs: DataFrame, text: Column): DataFrame = {
     val toks = docs.select(split(text, " ").as("toks"))
+    // sequence(1, 0) is a DESCENDING [1, 0] in Spark — a one-token doc
+    // would index element 0 and throw. Guard to the empty array.
     val pairs = toks
       .select(
-        transform(
-          sequence(lit(1), size(col("toks")) - 1),
-          i => struct(
-            element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + 1).as("w2"))).as("bg"))
+        when(size(col("toks")) > 1,
+          transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(
+              element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+          .as("bg"))
       .select(explode(col("bg")).as("e"))
       .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
     pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))

@@ -35,6 +35,19 @@ class PassageDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(out.toSeq == Seq((1L, "", 0L), (2L, "", 0L)))
   }
 
+  test("documents shorter than the window produce zero passages, not a crash") {
+    import spark.implicits._
+    // Spark's sequence(1, 0) is a DESCENDING [1, 0]; these docs would
+    // otherwise build a bogus window (or index element 0 in bigrams).
+    val docs = Seq((1L, "solo"), (2L, "two tokens"), (3L, "a b c d")).toDF("doc_id", "text")
+    val out = PassageDedup.dedup(docs, col("doc_id"), col("text"), n = 3, maxOccur = 1L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "", 0L), (2L, "", 0L), (3L, "a b c", 1L)))
+    val edges = TokenGraph.bigramEdges(docs.filter(col("doc_id") === 1L), col("text"))
+      .collect()
+    assert(edges.isEmpty)
+  }
+
   test("integer PageRank conserves ppm mass within quantization slack") {
     import spark.implicits._
     val docs = Seq((1L, "a b c a b"), (2L, "c a b a")).toDF("doc_id", "text")
