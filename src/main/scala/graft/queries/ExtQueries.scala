@@ -57,7 +57,7 @@ object ExtQueries {
     // (batch-order dependent) can't perturb the hash.
     "q32_streaming_dedup" -> QuerySpec(
       (s, dir) => {
-        val tmpPath = Files.createTempDirectory("graft-q32")
+        val tmpPath = GateTmp.dir("graft-q32")
         val tmp = tmpPath.toString
         val docs = Tables.documents(s, dir).select(
           col("doc_id"),
@@ -72,7 +72,7 @@ object ExtQueries {
         // staged behind it and drop them as late rows (round-4 advice).
         staged.coalesce(1).write.parquet(s"$tmp/staging")
         val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
-        val q = withStatePartitions(s, 8) {
+        val q = withStatePartitions(s, 4) {
           StreamingEtl.dedupStream(stream, "doc_id", "ts", "1 hour")
             .select("doc_id")
             .writeStream
@@ -105,7 +105,7 @@ object ExtQueries {
     "q43_streaming_window" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
-        val tmpPath = Files.createTempDirectory("graft-q43")
+        val tmpPath = GateTmp.dir("graft-q43")
         val tmp = tmpPath.toString
         val ev = Tables.events(s, dir).select(col("ts"), col("event_type"))
         val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
@@ -114,7 +114,7 @@ object ExtQueries {
           Seq((sentinel, "__flush")).toDF("ts", "event_type"))
         staged.coalesce(1).write.parquet(s"$tmp/staging")
         val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
-        val q = withStatePartitions(s, 8) {
+        val q = withStatePartitions(s, 4) {
           StreamingEtl.windowedCounts(
             stream, "ts", "event_type", windowLength = "1 hour", watermark = "1 hour")
             .writeStream
@@ -170,7 +170,7 @@ object ExtQueries {
     "q56_streaming_sessionize" -> QuerySpec(
       (s, dir) => {
         import s.implicits._
-        val tmpPath = Files.createTempDirectory("graft-q56")
+        val tmpPath = GateTmp.dir("graft-q56")
         val tmp = tmpPath.toString
         val ev = Tables.events(s, dir).select(
           col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
@@ -182,7 +182,7 @@ object ExtQueries {
         staged.coalesce(1).write.parquet(s"$tmp/staging")
         val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
           .as[graft.streaming.StreamingSessions.Ev]
-        val q = withStatePartitions(s, 8) {
+        val q = withStatePartitions(s, 4) {
           graft.streaming.StreamingSessions.sessionize(stream)
             .writeStream
             .trigger(Trigger.AvailableNow())
@@ -221,7 +221,7 @@ object ExtQueries {
     // join.
     "q85_streaming_join" -> QuerySpec(
       (s, dir) => {
-        val tmpPath = Files.createTempDirectory("graft-q85")
+        val tmpPath = GateTmp.dir("graft-q85")
         val tmp = tmpPath.toString
         val ev = Tables.events(s, dir)
         val clicks = ev.filter(col("event_type") === "click").select(
@@ -239,7 +239,7 @@ object ExtQueries {
           lookback = "6 HOURS", watermark = "40 DAYS")
           .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
             (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
-        val q = withStatePartitions(s, 8) {
+        val q = withStatePartitions(s, 4) {
           joined.writeStream
             .trigger(Trigger.AvailableNow())
             .option("checkpointLocation", s"$tmp/checkpoint")

@@ -23,9 +23,24 @@ private[queries] object GateTmp {
         .foreach(f => Files.deleteIfExists(f))
     }
 
+  /** Memory-backed scratch when the host offers it: gate artifacts
+    * (stream staging/checkpoints, bucketed tables, roundtrip files)
+    * are transient by construction, so tmpfs spares the disk the
+    * checkpoint-commit fsync traffic. Production streaming checkpoints
+    * belong on RELIABLE storage — this shortcut is for the per-run
+    * throwaway dirs only.
+    */
+  private val base: Option[Path] = {
+    val shm = Path.of("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+  }
+
   /** A fresh temp dir, deleted at JVM exit. */
   def dir(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
+    val p = base match {
+      case Some(b) => Files.createTempDirectory(b, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
     reaper.add(p)
     p
   }
