@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Order-free exact statistics over pre-quantized integer columns.
@@ -40,5 +41,49 @@ object Stats {
           / (sqrt(dx.cast("double")) * sqrt(dy.cast("double")))
           * lit(1000000.0)).cast("long"))
         .as("corr_e6"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic in floored ppm:
+    * `max_v |F_a(v) − F_b(v)|` between the value distributions of two
+    * populations — the standard "did this feed's distribution move?"
+    * monitor for training-data pipelines.
+    *
+    * Shape: one count shuffle onto the distinct-VALUE grid (each grid
+    * row carries both populations' counts), then cumulative sums walk
+    * the grid once. The grid is quantization-bounded — its size is the
+    * number of distinct quantized values, NOT the corpus size — so the
+    * single-partition cumulative window is safe at any input scale
+    * (the 100 TB corpus still collapses to the same bounded grid).
+    * The comparison `|cum_a·n_b − cum_b·n_a|` stays in exact BIGINT;
+    * only the final ratio divides (integral, nonnegative operands).
+    */
+  def ksDriftE6(
+      df: DataFrame,
+      pop: Column,
+      v: Column,
+      popA: String,
+      popB: String): DataFrame = {
+    val grid = df.select(pop.as("p"), v.cast("long").as("v"))
+      .filter(col("p") === popA || col("p") === popB)
+      .groupBy("v")
+      .agg(
+        sum(when(col("p") === popA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("p") === popB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(
+      col("v"),
+      sum(col("ca")).over(w).as("cum_a"),
+      sum(col("cb")).over(w).as("cum_b"))
+    val totals = grid.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("n_grid"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"), col("n_grid"),
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("gap"))
+      .groupBy("n_a", "n_b", "n_grid")
+      .agg(max(col("gap")).as("max_gap"))
+      .select(col("n_a"), col("n_b"), col("n_grid"),
+        expr("(max_gap * 1000000L) div (n_a * n_b)").as("ks_e6"))
   }
 }

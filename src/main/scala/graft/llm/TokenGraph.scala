@@ -92,4 +92,49 @@ object TokenGraph {
         coalesce(col("outw"), lit(0L)).as("out_w"),
         col("pr").as("pr_e6"))
   }
+
+  /** Undirected, deduplicated edge relation (u, v) of the bigram graph
+    * in BOTH orientations — the adjacency list a traversal walks.
+    */
+  def undirectedAdjacency(docs: DataFrame, text: Column): DataFrame = {
+    val oriented = bigramEdges(docs, text)
+      .filter(col("w1") =!= col("w2"))
+      .select(col("w1").as("u"), col("w2").as("v"))
+    oriented.union(oriented.select(col("v").as("u"), col("u").as("v"))).distinct()
+  }
+
+  /** Breadth-first hop distances from the lexicographically-smallest
+    * node, out to `maxHops`. Returns (token, dist) for every reached
+    * node.
+    *
+    * Frontier expansion, not all-pairs: each round joins the CURRENT
+    * frontier (shrinking, vocabulary-bounded) against the persisted
+    * adjacency and anti-joins the visited set — work per round is
+    * proportional to the frontier's out-degree sum, the textbook
+    * Pregel/BSP step. Rounds are bounded by `maxHops`, so lineage stays
+    * shallow; for unbounded BFS cut lineage per round (localCheckpoint)
+    * the way the connected-components operator does.
+    */
+  def bfsHops(
+      spark: SparkSession,
+      docs: DataFrame,
+      text: Column,
+      maxHops: Int): DataFrame = {
+    val adj = CacheScope.persist(undirectedAdjacency(docs, text))
+    val seed = adj.agg(min(col("u")).as("token"))
+      .select(col("token"), lit(0).as("dist"))
+    var visited = CacheScope.persist(seed)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = CacheScope.persist(
+        adj.join(frontier, adj("u") === frontier("token"))
+          .select(adj("v").as("token"))
+          .distinct()
+          .join(visited, Seq("token"), "left_anti")
+          .select(col("token"), lit(h).as("dist")))
+      visited = CacheScope.persist(visited.unionAll(next))
+      frontier = next
+    }
+    visited
+  }
 }
