@@ -24,6 +24,25 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // Prior per-query times for the outlier re-pass: the previous bench
+    // output (same path we are about to overwrite, unless
+    // SPARK_GRAFT_BENCH_PRIOR points elsewhere), read BEFORE the run.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val prior: Map[String, Double] = {
+      val p = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", outPath))
+      if (!Files.isReadable(p)) Map.empty
+      else {
+        val s = Files.readString(p)
+        val qStart = s.indexOf("\"queries\":{")
+        val body =
+          if (qStart < 0) ""
+          else s.substring(qStart + 11, math.max(s.indexOf('}', qStart), qStart + 11))
+        "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r.findAllMatchIn(body)
+          .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+          .toMap
+      }
+    }
+
     // Per query: one CacheScope holding a warmup pass (absorbs JVM/
     // codegen/scan-cache warmup AND materializes any operator-internal
     // persists) and TWO timed passes whose minimum is reported — a
@@ -53,6 +72,40 @@ object Bench {
       }
     }
 
+    // End-of-sweep outlier re-pass (round-6 advice): co-tenant GC/JIT
+    // pauses can contaminate BOTH timed passes of a query mid-sweep
+    // (BENCH_r06 recorded q51 at 6.07 s; it isolates to 0.65 s with an
+    // identical plan). Any query that came out >3× its prior-round
+    // recorded time — or >2.5 s absolute when it has no prior — gets one
+    // more isolated measurement (fresh CacheScope, warmup + min-of-2)
+    // after the sweep's allocation pressure has drained, and the
+    // reported number is the minimum of all passes. Suspicious-but-
+    // genuinely-slow queries just cost one extra run and keep their
+    // time; phantom regressions disappear without hand adjudication.
+    val fnByName = queries.toMap
+    val suspicious = results.collect {
+      case (name, t) if t >= 0 && !errors.contains(name) &&
+        (prior.get(name).filter(_ >= 0).exists(p => t > 3 * p + 0.05) ||
+          (!prior.get(name).exists(_ >= 0) && t > 2.5)) => name
+    }.toSet
+    val finalResults = results.map {
+      case (name, t) if suspicious(name) =>
+        val re = CacheScope.scoped {
+          try {
+            val fn = fnByName(name)
+            fn(spark, sfDir).count()
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            times.min
+          } catch { case _: Throwable => t }
+        }
+        name -> math.min(t, re)
+      case kv => kv
+    }
+
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -60,16 +113,16 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val qs = finalResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val repassJson = suspicious.toSeq.sorted.map(jq).mkString("[", ",", "]")
+    val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"repassed":$repassJson,"sf":${jq(sfDir)}}"""
 
     println(line)
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try Files.writeString(Paths.get(out), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: $e") }
+    try Files.writeString(Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
 
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * Dominance: q dominates p iff q.cost <= p.cost AND q.gain >= p.gain
   * with at least one strict. Duplicate (cost, gain) points do not
   * dominate each other — both survive, matching the NOT EXISTS oracle.
+  *
+  * Null contract: rows whose cost or gain is NULL (or fails the long
+  * cast) are EXCLUDED from the result — dominance is undefined on an
+  * incomparable point, and silently keeping it would also poison the
+  * window maxima for its group. Filter-or-impute upstream to keep them.
   */
 object Skyline {
 
@@ -32,17 +37,23 @@ object Skyline {
       grp: Column,
       cost: Column,
       gain: Column): DataFrame = {
+    // The caller's row travels packed in a single struct so the working
+    // columns live in a fresh 4-name projection — a caller column named
+    // __c (or anything else) can never be captured or clobbered.
+    val cols = df.columns
     val base = Window.partitionBy("__g").orderBy("__c")
     val strictlyCheaper = base.rangeBetween(Window.unboundedPreceding, -1)
     val cheaperOrEqual = base.rangeBetween(Window.unboundedPreceding, 0)
-    df.withColumn("__g", grp)
-      .withColumn("__c", cost.cast("long"))
-      .withColumn("__v", gain.cast("long"))
-      .withColumn("__m_lt", max(col("__v")).over(strictlyCheaper))
-      .withColumn("__m_le", max(col("__v")).over(cheaperOrEqual))
+    df.select(
+        struct(cols.map(col).toIndexedSeq: _*).as("__row"),
+        grp.as("__g"), cost.cast("long").as("__c"), gain.cast("long").as("__v"))
+      .filter(col("__c").isNotNull && col("__v").isNotNull)
+      .select(col("__row"), col("__g"), col("__c"), col("__v"),
+        max(col("__v")).over(strictlyCheaper).as("__m_lt"),
+        max(col("__v")).over(cheaperOrEqual).as("__m_le"))
       .filter(
         (col("__m_lt").isNull || col("__m_lt") < col("__v"))
           && col("__m_le") <= col("__v"))
-      .drop("__g", "__c", "__v", "__m_lt", "__m_le")
+      .select(col("__row.*"))
   }
 }

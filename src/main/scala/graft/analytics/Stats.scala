@@ -54,8 +54,16 @@ object Stats {
     * number of distinct quantized values, NOT the corpus size — so the
     * single-partition cumulative window is safe at any input scale
     * (the 100 TB corpus still collapses to the same bounded grid).
-    * The comparison `|cum_a·n_b − cum_b·n_a|` stays in exact BIGINT;
-    * only the final ratio divides (integral, nonnegative operands).
+    *
+    * Arithmetic: each CDF is floored into ppm PER SIDE
+    * (`(cum·10⁶) div n` — BIGINT-safe while a population stays under
+    * ~9.2·10¹² rows, comfortably past 100 TB of documents) and the gap
+    * is the difference of the two floored ratios. That bounds the
+    * quantization error at 1 ppm per side — irrelevant for a drift
+    * monitor — where the cross-multiplied form `cum_a·n_b − cum_b·n_a`
+    * overflows BIGINT once each population reaches ~3·10⁹ rows.
+    * Contract: if either population is absent, `ks_e6` is NULL (never a
+    * divide-by-zero); if both are absent the result has zero rows.
     */
   def ksDriftE6(
       df: DataFrame,
@@ -80,10 +88,11 @@ object Stats {
       count(lit(1)).as("n_grid"))
     cum.crossJoin(broadcast(totals))
       .select(col("n_a"), col("n_b"), col("n_grid"),
-        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")).as("gap"))
+        when(col("n_a") > 0 && col("n_b") > 0,
+          abs(expr("(cum_a * 1000000L) div n_a - (cum_b * 1000000L) div n_b")))
+          .as("gap_e6"))
       .groupBy("n_a", "n_b", "n_grid")
-      .agg(max(col("gap")).as("max_gap"))
-      .select(col("n_a"), col("n_b"), col("n_grid"),
-        expr("(max_gap * 1000000L) div (n_a * n_b)").as("ks_e6"))
+      .agg(max(col("gap_e6")).as("ks_e6"))
+      .select("n_a", "n_b", "n_grid", "ks_e6")
   }
 }

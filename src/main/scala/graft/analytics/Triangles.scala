@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.CacheScope
+
+/** Triangle counting over an undirected edge list — the
+  * clustering-coefficient primitive, with the DEGREE orientation that
+  * makes it survive power-law graphs.
+  *
+  * Orienting each edge from its lower-(degree, name) endpoint to its
+  * higher one turns the wedge enumeration into "pairs of out-edges per
+  * node", and the classic bound applies: after degree orientation every
+  * node's out-degree is O(√|E|) (a node of degree d > √|E| can have at
+  * most √|E| neighbors of equal-or-higher degree), so the wedge join's
+  * per-key fan-out — the term that explodes on a hub node under a
+  * name-based orientation — is bounded by √|E| regardless of skew. A
+  * 10⁶-degree hub contributes ~10³ wedges instead of ~10¹². Each
+  * triangle is counted exactly once: at its minimum-rank vertex, with
+  * the remaining pair ordered by rank.
+  *
+  * Shape: one node-sized degree aggregate, two equi-joins to attach
+  * endpoint degrees, then the wedge equi-join on the low vertex and one
+  * closing equi-join — no theta join anywhere. The oriented relation
+  * feeds three join legs → persisted once.
+  */
+object Triangles {
+
+  /** Orient canonical undirected edges by (degree, name). Input: one
+    * row per undirected edge, endpoints distinct, already deduplicated
+    * (canonical u < v form or any one-row-per-edge encoding). Output:
+    * `a` (lower-rank endpoint name) and `rb` = struct(d, w) — the
+    * higher-rank endpoint's (degree, name) rank key, comparable across
+    * rows because degree is a function of the node.
+    */
+  def orientByDegree(edges: DataFrame, u: Column, v: Column): DataFrame = {
+    val e = edges.select(u.cast("string").as("u"), v.cast("string").as("v"))
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ru = struct(col("du").as("d"), col("u").as("w"))
+    val rv = struct(col("dv").as("d"), col("v").as("w"))
+    e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(ru < rv, col("u")).otherwise(col("v")).as("a"),
+        when(ru < rv, rv).otherwise(ru).as("rb"))
+  }
+
+  /** Count triangles of an undirected edge list (see [[orientByDegree]]
+    * for the input contract). Returns ONE row: (n_triangles, n_edges).
+    */
+  def countTriangles(edges: DataFrame, u: Column, v: Column): DataFrame = {
+    val e = CacheScope.persist(edges.select(u.as("u"), v.as("v")))
+    val o = CacheScope.persist(orientByDegree(e, col("u"), col("v")))
+    val wedgeHi = o.select(col("a").as("a2"), col("rb").as("r2"))
+    val closing = o.select(col("a").as("a3"), col("rb").as("r3"))
+    val tri = o.select(col("a"), col("rb").as("r1"))
+      .join(wedgeHi, col("a") === col("a2") && col("r1") < col("r2"))
+      .join(closing, col("a3") === col("r1.w") && col("r3") === col("r2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+  }
+}

@@ -78,11 +78,37 @@ object Dedup {
   /** Candidate pairs from banded signatures: explode band keys, equi-join
     * on the key (id1 < id2), distinct. The join key is the band
     * signature — bucket-local work only.
+    *
+    * `saltFactor > 1` is the hot-band defense (SCALING.md): a degenerate
+    * band (e.g. the all-boilerplate signature a template corpus
+    * collapses into) puts its whole bucket's pair matrix on ONE reducer.
+    * Salting appends a deterministic per-id salt to one side of the
+    * self-join and replicates the other side across all `saltFactor`
+    * salts — the `SkewedAgg.replicatedJoin` recipe applied to band keys
+    * — so the hot bucket's work spreads over `saltFactor` reducers at
+    * the cost of replicating the (band, id) relation `saltFactor`×. The
+    * result set is IDENTICAL to the unsalted join (every pair still
+    * meets on exactly the replica matching the left row's salt).
     */
-  def candidatePairs(docs: DataFrame, idCol: String, bandsCol: String): DataFrame = {
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      bandsCol: String,
+      saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val a = docs.select(col(idCol).as("id1"), explode(col(bandsCol)).as("band"))
     val b = docs.select(col(idCol).as("id2"), explode(col(bandsCol)).as("band"))
-    a.join(b, Seq("band"))
+    val joined =
+      if (saltFactor == 1) a.join(b, Seq("band"))
+      else {
+        val sa = a.withColumn("__salt",
+          pmod(TextHash.hash60(concat(lit("band_salt:"), col("id1").cast("string"))),
+            lit(saltFactor.toLong)))
+        val sb = b.withColumn("__salt",
+          explode(array((0 until saltFactor).map(i => lit(i.toLong)): _*)))
+        sa.join(sb, Seq("band", "__salt"))
+      }
+    joined
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()

@@ -50,16 +50,23 @@ object TokenGraph {
   }
 
   /** `iters` rounds of damping-0.85 PageRank in ppm over the bigram
-    * graph. Returns (token, out_w, pr_e6) — out-weight 0 marks a sink
-    * whose mass is deliberately dropped each round (the standard
-    * strongly-preferential formulation; redistribute-to-all would add
-    * one more scalar join).
+    * graph. Returns (token, out_w, pr_e6) — out-weight 0 marks a sink.
+    *
+    * Sink handling: by default a sink's mass is dropped each round (the
+    * strongly-preferential formulation — the gated q111 contract).
+    * `redistributeSinks = true` selects the standard TextRank/PageRank
+    * variant instead: each round the total sink mass (one scalar
+    * aggregate over the vocabulary-sized score relation, broadcast back)
+    * is shared equally across all nodes before damping, so total mass is
+    * conserved up to integral-division quantization. Cost: one extra
+    * anti-join + scalar broadcast per round, still vocabulary-sized.
     */
   def pagerankE6(
       spark: SparkSession,
       docs: DataFrame,
       text: Column,
-      iters: Int): DataFrame = {
+      iters: Int,
+      redistributeSinks: Boolean = false): DataFrame = {
     val edges = CacheScope.persist(bigramEdges(docs, text))
     val nodes = CacheScope.persist(
       edges.select(col("w1").as("w"))
@@ -78,12 +85,24 @@ object TokenGraph {
         .select(col("w2"), expr("(pr * c) div outw").as("contrib"))
         .groupBy(col("w2"))
         .agg(sum(col("contrib")).as("inc"))
-      pr = nodes.crossJoin(broadcast(nCount))
-        .join(incoming, nodes("w") === incoming("w2"), "left")
-        .select(
-          col("w"),
-          expr("150000L div n_nodes + (850000L * coalesce(inc, 0L)) div 1000000L")
-            .as("pr"))
+      pr =
+        if (redistributeSinks) {
+          val sinkMass = pr.join(outw, pr("w") === outw("w1"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("sink_pr"))
+          nodes.crossJoin(broadcast(nCount)).crossJoin(broadcast(sinkMass))
+            .join(incoming, nodes("w") === incoming("w2"), "left")
+            .select(
+              col("w"),
+              expr("""150000L div n_nodes
+                     + (850000L * (coalesce(inc, 0L) + sink_pr div n_nodes))
+                       div 1000000L""").as("pr"))
+        } else
+          nodes.crossJoin(broadcast(nCount))
+            .join(incoming, nodes("w") === incoming("w2"), "left")
+            .select(
+              col("w"),
+              expr("150000L div n_nodes + (850000L * coalesce(inc, 0L)) div 1000000L")
+                .as("pr"))
     }
     nodes.join(outw, nodes("w") === outw("w1"), "left")
       .join(pr.withColumnRenamed("w", "w_pr"), nodes("w") === col("w_pr"))
@@ -105,15 +124,20 @@ object TokenGraph {
 
   /** Breadth-first hop distances from the lexicographically-smallest
     * node, out to `maxHops`. Returns (token, dist) for every reached
-    * node.
+    * node; an edgeless graph yields zero rows (the `agg(min)` null row
+    * is filtered, not emitted as a phantom seed).
     *
     * Frontier expansion, not all-pairs: each round joins the CURRENT
     * frontier (shrinking, vocabulary-bounded) against the persisted
     * adjacency and anti-joins the visited set — work per round is
     * proportional to the frontier's out-degree sum, the textbook
-    * Pregel/BSP step. Rounds are bounded by `maxHops`, so lineage stays
-    * shallow; for unbounded BFS cut lineage per round (localCheckpoint)
-    * the way the connected-components operator does.
+    * Pregel/BSP step. The loop short-circuits as soon as a frontier
+    * comes back empty (one cheap `isEmpty` probe per round against the
+    * just-persisted frontier), so a graph whose component is exhausted
+    * early doesn't keep launching no-op join jobs out to `maxHops`.
+    * Rounds are bounded by `maxHops`, so lineage stays shallow; for
+    * unbounded BFS cut lineage per round (localCheckpoint) the way the
+    * connected-components operator does.
     */
   def bfsHops(
       spark: SparkSession,
@@ -122,18 +146,25 @@ object TokenGraph {
       maxHops: Int): DataFrame = {
     val adj = CacheScope.persist(undirectedAdjacency(docs, text))
     val seed = adj.agg(min(col("u")).as("token"))
+      .filter(col("token").isNotNull)
       .select(col("token"), lit(0).as("dist"))
     var visited = CacheScope.persist(seed)
     var frontier = visited
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var exhausted = frontier.isEmpty
+    while (h <= maxHops && !exhausted) {
       val next = CacheScope.persist(
         adj.join(frontier, adj("u") === frontier("token"))
           .select(adj("v").as("token"))
           .distinct()
           .join(visited, Seq("token"), "left_anti")
           .select(col("token"), lit(h).as("dist")))
-      visited = CacheScope.persist(visited.unionAll(next))
-      frontier = next
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = CacheScope.persist(visited.unionAll(next))
+        frontier = next
+      }
+      h += 1
     }
     visited
   }

@@ -556,26 +556,21 @@ object DeepQueries {
          FROM t ORDER BY source"""),
 
     // Q119: triangle counting on the (undirected, deduplicated) bigram
-    // graph — the clustering-coefficient primitive. Edges are oriented
-    // u < v, so the wedge join enumerates a<b<c exactly once; at graph
-    // scale the standard refinement orients by degree instead, which
-    // bounds every node's join fan-out by sqrt(|E|). The edge relation
-    // feeds three join legs → persisted once.
+    // graph — the clustering-coefficient primitive, via the
+    // degree-oriented wedge join (analytics/Triangles.scala): every
+    // node's wedge fan-out is bounded by sqrt(|E|) even on power-law
+    // hubs, where the earlier u<v name orientation was hub-degree-
+    // quadratic. The count is orientation-invariant, so the oracle is
+    // unchanged.
     "q119_triangles" -> QuerySpec(
       (s, dir) => {
         val bg = graft.llm.TokenGraph.bigramEdges(
           Tables.documents(s, dir), col("text"))
-        val e = graft.CacheScope.persist(
-          bg.filter(col("w1") =!= col("w2"))
-            .select(least(col("w1"), col("w2")).as("u"),
-              greatest(col("w1"), col("w2")).as("v"))
-            .distinct())
-        val e2 = e.select(col("u").as("u2"), col("v").as("v2"))
-        val e3 = e.select(col("u").as("u3"), col("v").as("v3"))
-        val tri = e.join(e2, col("v") === col("u2"))
-          .join(e3, col("u") === col("u3") && col("v2") === col("v3"))
-          .agg(count(lit(1)).as("n_triangles"))
-        tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        val e = bg.filter(col("w1") =!= col("w2"))
+          .select(least(col("w1"), col("w2")).as("u"),
+            greatest(col("w1"), col("w2")).as("v"))
+          .distinct()
+        graft.analytics.Triangles.countTriangles(e, col("u"), col("v"))
       },
       """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
          g AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),

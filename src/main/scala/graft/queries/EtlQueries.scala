@@ -186,6 +186,66 @@ object EtlQueries {
                            min(attribute)) AS c
            FROM resolved)
          SELECT r.attribute, r.inferred_type, (r.attribute = chosen.c) AS is_object_id
+         FROM resolved r CROSS JOIN chosen ORDER BY r.attribute"""),
+
+    // Q124 (the 100 TB inference path): SAMPLED schema inference — the
+    // content-stable hash sample (salted md5-prefix bucket of the raw
+    // document, pct=37) is deterministic, so the oracle reconstructs the
+    // identical raw string, applies the identical md5 predicate, and
+    // runs the identical vote resolution over the sampled subset. No
+    // TABLESAMPLE partition-order dependence on either side.
+    "q124_sampled_inference" -> QuerySpec(
+      (s, dir) =>
+        SchemaInference.inferSchemaSampled(rawOrdersDocs(s, dir), "raw", pct = 37),
+      docSql + """,
+         sdoc AS (
+           SELECT * FROM (
+             SELECT doc.*,
+               '{"_id":'||CAST(k AS VARCHAR)||',"order_date":"'||fd||'","event_time":"'||et||
+                 '","total":'||CAST(amt_dec AS VARCHAR)||',"amount_str":"'||amt||
+                 '","is_priority":'||boolstr||',"priority":"'||pri||'","mixed":'||mixedstr||
+                 (CASE WHEN k%5=0 THEN '' ELSE ',"comment":"note '||CAST(k AS VARCHAR)||'"' END)||
+                 '}' AS raw
+             FROM doc)
+           WHERE ('0x'||substr(md5('infer:'||raw),1,15))::BIGINT % 100 < 37),
+         sniffed AS (
+           SELECT attribute, CASE
+             WHEN try_strptime(v, ['%Y-%m-%dT%H:%M:%S','%Y-%m-%dT%H:%M:%S%z',
+                                   '%Y-%m-%dT%H:%M:%S.%fZ','%d-%m-%Y %H:%M:%S',
+                                   '%m/%d/%Y %I:%M %p']) IS NOT NULL THEN 'datetime'
+             WHEN try_strptime(v, ['%Y-%m-%d','%m/%d/%Y','%d-%m-%Y','%Y/%m/%d',
+                                   '%Y.%m.%d']) IS NOT NULL THEN 'date'
+             WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN 'integer'
+             WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'numeric'
+             ELSE 'text' END AS label
+           FROM (
+             SELECT 'order_date' AS attribute, fd AS v FROM sdoc
+             UNION ALL SELECT 'event_time', et FROM sdoc
+             UNION ALL SELECT 'amount_str', amt FROM sdoc
+             UNION ALL SELECT 'priority', pri FROM sdoc
+             UNION ALL SELECT 'comment', 'note '||CAST(k AS VARCHAR) FROM sdoc WHERE k%5<>0)),
+         labels AS (
+           SELECT attribute, label FROM sniffed
+           UNION ALL SELECT '_id', 'integer' FROM sdoc
+           UNION ALL SELECT 'total', 'numeric' FROM sdoc
+           UNION ALL SELECT 'is_priority', 'boolean' FROM sdoc
+           UNION ALL SELECT 'mixed', CASE WHEN k%3=0 THEN 'integer' ELSE 'numeric' END FROM sdoc),
+         votes AS (
+           SELECT attribute, list_sort(list_distinct(list(label))) AS vs
+           FROM labels GROUP BY 1),
+         resolved AS (
+           SELECT attribute, CASE
+             WHEN len(vs) = 0 THEN 'text'
+             WHEN len(vs) = 1 THEN vs[1]
+             WHEN len(list_filter(vs, v -> v NOT IN ('integer','numeric'))) = 0 THEN 'numeric'
+             ELSE 'text' END AS inferred_type
+           FROM votes),
+         chosen AS (
+           SELECT coalesce(max(CASE WHEN attribute = '_id' THEN '_id' END),
+                           max(CASE WHEN attribute = 'id' THEN 'id' END),
+                           min(attribute)) AS c
+           FROM resolved)
+         SELECT r.attribute, r.inferred_type, (r.attribute = chosen.c) AS is_object_id
          FROM resolved r CROSS JOIN chosen ORDER BY r.attribute""")
   )
 }

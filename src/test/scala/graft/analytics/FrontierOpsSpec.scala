@@ -1,0 +1,147 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.llm.{Dedup, TokenGraph}
+
+/** Unit coverage for the round-7 gated operators (q120–q123) and the
+  * scale refinements: interval sweep line, 2-D skyline, KS drift,
+  * frontier BFS, degree-oriented triangles, hot-band salting, and
+  * PageRank sink redistribution. Each pins the library semantics on
+  * controlled input; end-to-end shapes are oracle-gated.
+  */
+class FrontierOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("sweepline peak concurrency matches brute-force interval overlap") {
+    import spark.implicits._
+    // group a: [0,10) [5,15) [9,12) -> peak 3 at t=9; ends-meet-starts
+    // at t=15/15 must NOT double-count: [15,20) starts as [5,15) ends.
+    val iv = Seq(("a", 0L, 10L), ("a", 5L, 10L), ("a", 9L, 3L), ("a", 15L, 5L),
+      ("b", 0L, 1L), ("b", 1L, 1L), ("b", 2L, 1L))
+      .toDF("g", "start", "dur")
+    val got = Sweepline.maxConcurrency(iv, col("g"), col("start"), col("dur"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("peak"), r.getAs[Long]("peak_at"))).toMap
+    assert(got("a") == ((3L, 9L)))
+    // b's back-to-back unit intervals never overlap: peak 1 at t=0
+    assert(got("b") == ((1L, 0L)))
+  }
+
+  test("skyline equals quadratic dominance filter; caller __c column survives") {
+    import spark.implicits._
+    val pts = Seq((1L, "g", 10L, 5L), (2L, "g", 10L, 5L), (3L, "g", 5L, 5L),
+      (4L, "g", 5L, 9L), (5L, "g", 6L, 1L), (6L, "g", 4L, 2L),
+      (7L, "h", 100L, 100L))
+    // name a column __c to prove the working names can't be captured
+    val df = pts.toDF("id", "grp", "__c", "gain")
+    val got = Skyline.frontier2D(df, col("grp"), col("__c"), col("gain"))
+      .select("id").as[Long].collect().toSet
+    def dominated(p: (Long, String, Long, Long)) = pts.exists(q =>
+      q._2 == p._2 && q._3 <= p._3 && q._4 >= p._4 &&
+        (q._3 < p._3 || q._4 > p._4))
+    assert(got == pts.filterNot(dominated).map(_._1).toSet)
+    // pin the exact frontier: 4 kills 1,2 (cheaper AND higher) and its
+    // equal-cost neighbor 3 (gain 9 > 5); 6 kills 5; lone 7 survives
+    assert(got == Set(4L, 6L, 7L))
+    // schema is the caller's, untouched
+    assert(Skyline.frontier2D(df, col("grp"), col("__c"), col("gain"))
+      .columns.toSeq == df.columns.toSeq)
+  }
+
+  test("skyline drops rows with null cost/gain instead of poisoning maxima") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L), Some(5L)), (2L, None, Some(99L)),
+      (3L, Some(4L), None)).toDF("id", "c", "v")
+    val got = Skyline.frontier2D(df, lit("g"), col("c"), col("v"))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  test("ksDriftE6 computes the exact floored-ppm KS gap") {
+    import spark.implicits._
+    // A = {1,2}, B = {2,3}: F_a(1)=1/2, F_b(1)=0 -> gap 500000 ppm
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L)).toDF("p", "v")
+    val r = Stats.ksDriftE6(df, col("p"), col("v"), "a", "b").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_a") == 2L && r.head.getAs[Long]("n_b") == 2L)
+    assert(r.head.getAs[Long]("n_grid") == 3L)
+    assert(r.head.getAs[Long]("ks_e6") == 500000L)
+  }
+
+  test("ksDriftE6 yields NULL (not a division error) when a population is empty") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L)).toDF("p", "v")
+    val r = Stats.ksDriftE6(df, col("p"), col("v"), "a", "b").collect()
+    assert(r.length == 1)
+    assert(r.head.isNullAt(r.head.fieldIndex("ks_e6")))
+    // both populations empty -> zero rows, not a null row
+    assert(Stats.ksDriftE6(df, col("p"), col("v"), "x", "y").count() == 0L)
+  }
+
+  test("bfsHops: empty graph yields zero rows; exhausted frontier short-circuits") {
+    import spark.implicits._
+    // single-token docs -> no bigram edges at all
+    val empty = Seq("one", "two").toDF("text")
+    assert(TokenGraph.bfsHops(spark, empty, col("text"), maxHops = 5).count() == 0L)
+    // path graph a-b-c: diameter 2, maxHops 10 must still terminate with
+    // the right distances (and no phantom rows from the dead rounds)
+    val path = Seq("a b c").toDF("text")
+    val got = TokenGraph.bfsHops(spark, path, col("text"), maxHops = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  test("degree-oriented triangles: correct count and bounded hub fan-out") {
+    import spark.implicits._
+    // star: hub h joined to 40 leaves; triangles closed only via
+    // (l1,l2) and (l3,l4)
+    val leaves = (1 to 40).map(i => f"l$i%02d")
+    val star = leaves.map(l => (l, "h")) ++ Seq(("l01", "l02"), ("l03", "l04"))
+    val e = star.toDF("u", "v")
+    val r = Triangles.countTriangles(e, col("u"), col("v")).collect().head
+    assert(r.getAs[Long]("n_triangles") == 2L)
+    assert(r.getAs[Long]("n_edges") == 42L)
+    // the orientation bound: the degree-40 hub must be a wedge SOURCE for
+    // no pairs at all (all its edges point INTO it from degree-1/2/3
+    // leaves) — under name orientation "h" would fan out to ~half the
+    // leaves. Max out-degree over the oriented relation stays leaf-sized.
+    val fanout = Triangles.orientByDegree(e, col("u"), col("v"))
+      .groupBy("a").agg(count(lit(1)).as("d"))
+    assert(fanout.filter(col("a") === "h").count() == 0L)
+    assert(fanout.agg(max("d")).head().getLong(0) <= 3L)
+  }
+
+  test("salted candidatePairs equals unsalted under a forced hot band") {
+    import spark.implicits._
+    // 30 docs all sharing band "HOT" (the degenerate bucket), plus a few
+    // docs pairing through other bands
+    val docs = ((1 to 30).map(i => (i.toLong, Seq("HOT"))) ++
+      Seq((41L, Seq("x", "y")), (42L, Seq("y")), (43L, Seq("x"))))
+      .toDF("doc_id", "bands")
+    def pairs(sf: Int) =
+      Dedup.candidatePairs(docs, "doc_id", "bands", saltFactor = sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(1)
+    assert(plain.size == 30 * 29 / 2 + 2)
+    assert(pairs(4) == plain)
+    assert(pairs(7) == plain)
+  }
+
+  test("pagerank sink redistribution conserves total mass; default drops it") {
+    import spark.implicits._
+    // a -> b, b is a sink: without redistribution b's mass drains each
+    // round; with it, total stays at 1e6 ppm up to integral-div loss.
+    val docs = Seq("a b").toDF("text")
+    def total(redistribute: Boolean): Long =
+      TokenGraph.pagerankE6(spark, docs, col("text"), iters = 4,
+          redistributeSinks = redistribute)
+        .agg(sum("pr_e6")).head().getLong(0)
+    val kept = total(redistribute = true)
+    val dropped = total(redistribute = false)
+    assert(kept > dropped)
+    assert(math.abs(kept - 1000000L) <= 16L) // <= 2 ppm quantization/round
+    assert(dropped < 900000L)
+  }
+}
