@@ -47,18 +47,41 @@ object Triangles {
         when(ru < rv, rv).otherwise(ru).as("rb"))
   }
 
+  /** One row per triangle (a, b, c), enumerated exactly once via the
+    * degree-oriented wedge join: `a` is the minimum-rank corner, b/c
+    * the remaining pair in rank order.
+    */
+  private def triangleCorners(oriented: DataFrame): DataFrame = {
+    val wedgeHi = oriented.select(col("a").as("a2"), col("rb").as("r2"))
+    val closing = oriented.select(col("a").as("a3"), col("rb").as("r3"))
+    oriented.select(col("a"), col("rb").as("r1"))
+      .join(wedgeHi, col("a") === col("a2") && col("r1") < col("r2"))
+      .join(closing, col("a3") === col("r1.w") && col("r3") === col("r2"))
+      .select(col("a"), col("r1.w").as("b"), col("r2.w").as("c"))
+  }
+
   /** Count triangles of an undirected edge list (see [[orientByDegree]]
     * for the input contract). Returns ONE row: (n_triangles, n_edges).
     */
   def countTriangles(edges: DataFrame, u: Column, v: Column): DataFrame = {
     val e = CacheScope.persist(edges.select(u.as("u"), v.as("v")))
     val o = CacheScope.persist(orientByDegree(e, col("u"), col("v")))
-    val wedgeHi = o.select(col("a").as("a2"), col("rb").as("r2"))
-    val closing = o.select(col("a").as("a3"), col("rb").as("r3"))
-    val tri = o.select(col("a"), col("rb").as("r1"))
-      .join(wedgeHi, col("a") === col("a2") && col("r1") < col("r2"))
-      .join(closing, col("a3") === col("r1.w") && col("r3") === col("r2"))
-      .agg(count(lit(1)).as("n_triangles"))
-    tri.crossJoin(e.agg(count(lit(1)).as("n_edges")))
+    triangleCorners(o).agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+  }
+
+  /** Per-node triangle participation: (n, n_tri) for every node that
+    * closes at least one triangle — the input to local clustering
+    * coefficients. Same enumeration as [[countTriangles]], with each
+    * triangle exploded to its three corners and counted per node (one
+    * node-keyed, map-side-combined shuffle over the triangle relation,
+    * which degree orientation already bounded).
+    */
+  def trianglesPerNode(edges: DataFrame, u: Column, v: Column): DataFrame = {
+    val e = CacheScope.persist(edges.select(u.as("u"), v.as("v")))
+    val o = CacheScope.persist(orientByDegree(e, col("u"), col("v")))
+    triangleCorners(o)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
   }
 }

@@ -141,6 +141,193 @@ object FrontierQueries {
          SELECT token, CAST(dist AS INTEGER) AS dist
          FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
                UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+         ORDER BY token"""),
+
+    // Q125: per-token local clustering coefficient in floored ppm —
+    // degree-oriented triangle enumeration (fan-out bounded by √|E|),
+    // corners exploded and counted per node, coefficient =
+    // 2·tri·10⁶ div deg·(deg−1) in pure integral arithmetic. The
+    // oracle enumerates triangles with the u<v orientation — per-node
+    // participation is orientation-invariant.
+    "q125_local_clustering" -> QuerySpec(
+      (s, dir) => {
+        val e = graft.CacheScope.persist(bigramCanonicalEdges(s, dir))
+        val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val tc = graft.analytics.Triangles.trianglesPerNode(e, col("u"), col("v"))
+        deg.join(tc, Seq("n"), "left")
+          .select(col("n").as("token"), col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            expr("""case when deg > 1
+                    then (2L * coalesce(n_tri, 0L) * 1000000L)
+                         div (deg * (deg - 1))
+                    else 0L end""").as("lcc_e6"))
+          .orderBy("token")
+      },
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         g AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+         bg AS (SELECT toks[i] AS wa, toks[i+1] AS wb FROM g
+                WHERE toks[i] <> toks[i+1]),
+         e AS (SELECT DISTINCT least(wa, wb) AS u, greatest(wa, wb) AS v FROM bg),
+         d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+                 (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         tr AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (SELECT a AS n FROM tr UNION ALL SELECT b2 FROM tr
+                     UNION ALL SELECT c FROM tr),
+         tc AS (SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1)
+         SELECT d.n AS token, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+                CASE WHEN d.deg > 1
+                     THEN (2 * COALESCE(tc.n_tri, 0) * 1000000)
+                          // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS lcc_e6
+         FROM d LEFT JOIN tc ON d.n = tc.n ORDER BY token"""),
+
+    // Q126: degree assortativity of the token graph — Pearson
+    // correlation of endpoint degrees over every directed edge (both
+    // orientations, the standard undirected convention), via the exact
+    // integer power sums of Stats.corrE6: order-free BIGINT addition +
+    // one pinned IEEE expression, bit-reproducible cross-engine.
+    "q126_assortativity" -> QuerySpec(
+      (s, dir) => {
+        val e = graft.CacheScope.persist(bigramCanonicalEdges(s, dir))
+        val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val both = e.select(col("u"), col("v"))
+          .unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        val x = both
+          .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+        Stats.corrE6(x, lit("all"), col("du"), col("dv")).orderBy("g")
+      },
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         g0 AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+         bg AS (SELECT toks[i] AS wa, toks[i+1] AS wb FROM g0
+                WHERE toks[i] <> toks[i+1]),
+         e AS (SELECT DISTINCT least(wa, wb) AS u, greatest(wa, wb) AS v FROM bg),
+         d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+                 (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+         x AS (SELECT du.deg AS x, dv.deg AS y
+               FROM (SELECT u, v FROM e UNION ALL SELECT v, u FROM e) ed
+               JOIN d du ON ed.u = du.n JOIN d dv ON ed.v = dv.n),
+         s AS (SELECT 'all' AS g, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x*y) AS BIGINT) AS sxy,
+                      CAST(sum(x*x) AS BIGINT) AS sxx,
+                      CAST(sum(y*y) AS BIGINT) AS syy
+               FROM x)
+         SELECT g, n, sx, sy,
+                CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+                  CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+                    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                       * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) END AS corr_e6
+         FROM s ORDER BY g"""),
+
+    // Q127: TPC-H Q7 shape (two-nation shipping volume) — the
+    // direction-symmetric nation-pair filter rides the two broadcast
+    // dimension legs; the only big shuffle is the lineitem ⋈ orders
+    // fact join, and the shipdate window is pushed into the scan.
+    "q127_two_nation_volume" -> QuerySpec(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(to_date(col("l_shipdate")) >= to_date(lit("1996-01-01"))
+            && to_date(col("l_shipdate")) < to_date(lit("1998-01-01")))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(to_date(col("l_shipdate"))).cast("long").as("l_year"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_term"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        val n1 = Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, dir)
+          .filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+          .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(count(lit(1)).as("cnt"), sum(col("rev_term")).as("rev_e4"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                     AS BIGINT) AS rev_e4
+         FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           AND n2.n_name IN ('NATION_1', 'NATION_2')
+           AND n1.n_name <> n2.n_name
+           AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+
+    // Q128: the redistribute-sinks PageRank variant (q111 gates the
+    // default drop-sink formulation) — two unrolled damping rounds
+    // where each round's total sink mass is shared equally across all
+    // nodes before damping, all in integral ppm arithmetic.
+    "q128_pagerank_redistribute" -> QuerySpec(
+      (s, dir) =>
+        TokenGraph.pagerankE6(s, Tables.documents(s, dir), col("text"),
+          iters = 2, redistributeSinks = true)
+          .orderBy("token"),
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         g AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+         e AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM g),
+         ed AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+         nodes AS (SELECT DISTINCT w FROM
+                    (SELECT w1 AS w FROM ed UNION ALL SELECT w2 FROM ed)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+         ow AS (SELECT w1, CAST(sum(c) AS BIGINT) AS outw FROM ed GROUP BY 1),
+         wd AS (SELECT ed.w1, ed.w2, ed.c, ow.outw FROM ed JOIN ow ON ed.w1 = ow.w1),
+         p0 AS (SELECT w, 1000000 // (SELECT n_nodes FROM nn) AS pr FROM nodes),
+         s0 AS (SELECT CAST(COALESCE(sum(pr), 0) AS BIGINT) AS sp FROM p0
+                WHERE w NOT IN (SELECT w1 FROM ow)),
+         i1 AS (SELECT wd.w2, CAST(sum((p.pr * wd.c) // wd.outw) AS BIGINT) AS inc
+                FROM wd JOIN p0 p ON wd.w1 = p.w GROUP BY 1),
+         p1 AS (SELECT n.w, 150000 // (SELECT n_nodes FROM nn)
+                       + (850000 * (COALESCE(i1.inc, 0)
+                          + (SELECT sp FROM s0) // (SELECT n_nodes FROM nn)))
+                         // 1000000 AS pr
+                FROM nodes n LEFT JOIN i1 ON n.w = i1.w2),
+         s1 AS (SELECT CAST(COALESCE(sum(pr), 0) AS BIGINT) AS sp FROM p1
+                WHERE w NOT IN (SELECT w1 FROM ow)),
+         i2 AS (SELECT wd.w2, CAST(sum((p.pr * wd.c) // wd.outw) AS BIGINT) AS inc
+                FROM wd JOIN p1 p ON wd.w1 = p.w GROUP BY 1),
+         p2 AS (SELECT n.w, 150000 // (SELECT n_nodes FROM nn)
+                       + (850000 * (COALESCE(i2.inc, 0)
+                          + (SELECT sp FROM s1) // (SELECT n_nodes FROM nn)))
+                         // 1000000 AS pr
+                FROM nodes n LEFT JOIN i2 ON n.w = i2.w2)
+         SELECT n.w AS token, CAST(COALESCE(ow.outw, 0) AS BIGINT) AS out_w,
+                CAST(p2.pr AS BIGINT) AS pr_e6
+         FROM nodes n LEFT JOIN ow ON n.w = ow.w1 JOIN p2 ON n.w = p2.w
          ORDER BY token""")
   )
+
+  /** Canonical (u < v, deduplicated, loop-free) undirected edge list of
+    * the documents' bigram graph — shared by the graph gates.
+    */
+  private def bigramCanonicalEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    TokenGraph.bigramEdges(Tables.documents(s, dir), col("text"))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("u"),
+        greatest(col("w1"), col("w2")).as("v"))
+      .distinct()
 }

@@ -85,46 +85,36 @@ object LlmQueries {
                 list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
          FROM $rel WHERE $pred)"""
 
-  val specs: Map[String, QuerySpec] = Map(
+  /** The MinHash+LSH near-dup pipeline (q21/q129): signatures →
+    * band-key equi-join candidates → exact-Jaccard verify ≥ 0.5. Never
+    * a cross join; candidates are bounded by band-bucket co-membership.
+    * `saltFactor > 1` routes candidate generation through the hot-band
+    * salting path — by contract result-identical, which q129 gates.
+    *
+    * The shingle/signature relation feeds BOTH sides of the band
+    * self-join and both probes of the verify join — persist it once or
+    * the md5-heavy subtree re-evaluates per consumer (measured 498s vs
+    * ~8s at sf0.1; at cluster scale this is where you checkpoint
+    * signatures).
+    */
+  private def lshPipeline(s: SparkSession, dir: String, saltFactor: Int): DataFrame = {
+    val sets = nearDupCorpus(s, dir)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .transform(graft.CacheScope.persist)
+    val banded = sets
+      .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+      .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+      .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+      .select(col("doc_id"), col("bands"))
+      .transform(graft.CacheScope.persist)
+    val pairs = Dedup.candidatePairs(banded, "doc_id", "bands", saltFactor)
+    Dedup.jaccardVerify(pairs, sets, "doc_id", "sh")
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id1", "id2")
+  }
 
-    // --- dedup --------------------------------------------------------------
-
-    // Exact dedup: content-hash group, keep smallest id (one shuffle on
-    // the md5 key, map-side combined).
-    "q20_exact_dedup" -> QuerySpec(
-      (s, dir) =>
-        Dedup.exactDuplicates(nearDupCorpus(s, dir), col("doc_id"), col("text"))
-          .orderBy("text_hash"),
-      s"""WITH $corpusSql
-          SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id,
-                 count(*) AS dup_count
-          FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""),
-
-    // MinHash + LSH banding near-dup pipeline: signatures → band-key
-    // equi-join candidates → exact-Jaccard verify ≥ 0.5. Never a cross
-    // join; candidates are bounded by band-bucket co-membership.
-    "q21_minhash_lsh" -> QuerySpec(
-      (s, dir) => {
-        // The shingle/signature relation feeds BOTH sides of the band
-        // self-join and both probes of the verify join — persist it once
-        // or the md5-heavy subtree re-evaluates per consumer (measured
-        // 498s vs ~8s at sf0.1; at cluster scale this is where you
-        // checkpoint signatures).
-        val sets = nearDupCorpus(s, dir)
-          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-          .transform(graft.CacheScope.persist)
-        val banded = sets
-          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
-          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
-          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
-          .select(col("doc_id"), col("bands"))
-          .transform(graft.CacheScope.persist)
-        val pairs = Dedup.candidatePairs(banded, "doc_id", "bands")
-        Dedup.jaccardVerify(pairs, sets, "doc_id", "sh")
-          .filter(col("jaccard") >= 0.5)
-          .orderBy("id1", "id2")
-      },
-      s"""WITH $corpusSql, $shingleSql, $coefSql,
+  private val lshOracleSql =
+    s"""WITH $corpusSql, $shingleSql, $coefSql,
           mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
                  FROM shh CROSS JOIN coef GROUP BY 1, 2),
           sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
@@ -146,7 +136,36 @@ object LlmQueries {
           JOIN sizes n1 ON n1.doc_id = i.id1
           JOIN sizes n2 ON n2.doc_id = i.id2
           WHERE i.i / (n1.n + n2.n - i.i) >= 0.5
-          ORDER BY id1, id2"""),
+          ORDER BY id1, id2"""
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // --- dedup --------------------------------------------------------------
+
+    // Exact dedup: content-hash group, keep smallest id (one shuffle on
+    // the md5 key, map-side combined).
+    "q20_exact_dedup" -> QuerySpec(
+      (s, dir) =>
+        Dedup.exactDuplicates(nearDupCorpus(s, dir), col("doc_id"), col("text"))
+          .orderBy("text_hash"),
+      s"""WITH $corpusSql
+          SELECT md5(text) AS text_hash, min(doc_id) AS kept_doc_id,
+                 count(*) AS dup_count
+          FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"""),
+
+    // MinHash + LSH banding near-dup pipeline: signatures → band-key
+    // equi-join candidates → exact-Jaccard verify ≥ 0.5. Never a cross
+    // join; candidates are bounded by band-bucket co-membership.
+    "q21_minhash_lsh" -> QuerySpec(
+      (s, dir) => lshPipeline(s, dir, saltFactor = 1),
+      lshOracleSql),
+
+    // The SAME pipeline through the hot-band salting path (saltFactor=4,
+    // the 100 TB degenerate-band defense): the salt must be invisible —
+    // the oracle is the identical unsalted band join.
+    "q129_salted_lsh" -> QuerySpec(
+      (s, dir) => lshPipeline(s, dir, saltFactor = 4),
+      lshOracleSql),
 
     // Inverted-index n-gram Jaccard: pairs sharing a shingle via
     // posting-list self-join (work ∝ posting sizes, not the pair matrix).

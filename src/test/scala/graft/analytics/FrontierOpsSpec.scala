@@ -111,6 +111,12 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestSession {
       .groupBy("a").agg(count(lit(1)).as("d"))
     assert(fanout.filter(col("a") === "h").count() == 0L)
     assert(fanout.agg(max("d")).head().getLong(0) <= 3L)
+    // per-node participation: the hub closes both triangles, each
+    // triangle leaf closes one, the other 36 leaves none (absent)
+    val perNode = Triangles.trianglesPerNode(e, col("u"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perNode == Map("h" -> 2L, "l01" -> 1L, "l02" -> 1L,
+      "l03" -> 1L, "l04" -> 1L))
   }
 
   test("salted candidatePairs equals unsalted under a forced hot band") {
