@@ -305,6 +305,44 @@ object ExtQueries {
                      ELSE CAST(greatest(1, trunc(h0 * scale)) AS INTEGER) END AS height,
                 CAST(f0 AS INTEGER) AS n_frames,
                 (w0 IS NOT NULL) AS decode_ok
-         FROM scaled ORDER BY asset_id""")
+         FROM scaled ORDER BY asset_id"""),
+
+    // Q130: stream-static enrichment — the standard "join the stream
+    // against a slowly-changing dimension" shape: events drain through
+    // a REAL readStream and each row picks up its customer's market
+    // segment via a stream-static BROADCAST join (stateless, append
+    // mode, no watermark: the static side is re-planned per microbatch,
+    // never held in stream state). The oracle is the plain batch join.
+    "q130_stream_static_enrich" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q130")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          round(col("value") * 100).cast("long").as("v_e2"))
+        ev.coalesce(1).write.parquet(s"$tmp/staging")
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/staging")
+        val q = stream
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("user_id"),
+            col("c_mktsegment").as("segment"), col("v_e2"))
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/checkpoint")
+          .format("parquet")
+          .option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        deleteRecursively(tmpPath.resolve("staging"))
+        deleteRecursively(tmpPath.resolve("checkpoint"))
+        deleteOnExit(tmpPath)
+        s.read.parquet(s"$tmp/out").orderBy("event_id")
+      },
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+                CAST(round(e.value * 100) AS BIGINT) AS v_e2
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""")
   )
 }

@@ -6,13 +6,16 @@ import graft.Tables
 import graft.analytics.{Skyline, Stats, Sweepline}
 import graft.llm.TokenGraph
 
-/** Round-7 gates for the analytics operators that shipped ungated in
-  * round 6 (VERDICT r6 "What's wrong" #2 / ADVICE): the interval sweep
-  * line, the 2-D Pareto frontier, the two-sample KS drift monitor, and
-  * frontier-expansion BFS. Each oracle follows the determinism recipes:
-  * integral arithmetic throughout (`div` on nonnegative operands ==
-  * DuckDB `//`), pinned ORDER BY, every computed column aliased
-  * identically on both sides.
+/** Round-7 gates. q120–q123 close the round-6 gap (operators that
+  * shipped ungated): the interval sweep line, the 2-D Pareto frontier,
+  * the two-sample KS drift monitor, and frontier-expansion BFS.
+  * q125–q128 and q131 add graph-statistics and similarity depth: local
+  * clustering coefficients, degree assortativity, the TPC-H Q7 join
+  * shape, redistribute-sink PageRank, and the FastSS deletion-
+  * neighborhood edit-distance join. Each oracle follows the
+  * determinism recipes: integral arithmetic throughout (`div` on
+  * nonnegative operands == DuckDB `//`), pinned ORDER BY, every
+  * computed column aliased identically on both sides.
   */
 object FrontierQueries {
 
@@ -317,7 +320,60 @@ object FrontierQueries {
          SELECT n.w AS token, CAST(COALESCE(ow.outw, 0) AS BIGINT) AS out_w,
                 CAST(p2.pr AS BIGINT) AS pr_e6
          FROM nodes n LEFT JOIN ow ON n.w = ow.w1 JOIN p2 ON n.w = p2.w
-         ORDER BY token""")
+         ORDER BY token"""),
+
+    // Q131: edit-distance-1 join via deletion neighborhoods (FastSS) —
+    // the spell-variant/fuzzy-vocab matcher. Candidate pairs come from
+    // an EQUI-join on single-character-deletion keys (each word emits
+    // |w|+1 keys), never a cross join: a distance-1 pair always shares
+    // a key (deletion → the shorter word itself; substitution → both
+    // drop position i), and the exact levenshtein verify removes the
+    // few untagged-key false candidates. The lexicon is the fixture
+    // vocabulary plus deterministic drop-first-char / plural variants
+    // (constructed identically in the oracle) so the result is
+    // non-trivial.
+    "q131_deletion_neighborhood" -> QuerySpec(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "").distinct()
+        val lex = graft.CacheScope.persist(
+          words
+            .unionAll(words.filter(length(col("w")) >= 3)
+              .select(col("w").substr(lit(2), length(col("w"))).as("w")))
+            .unionAll(words.select(concat(col("w"), lit("s")).as("w")))
+            .distinct())
+        val keys = graft.CacheScope.persist(
+          lex.select(col("w"), explode(
+            array_union(
+              array(col("w")),
+              transform(sequence(lit(1), length(col("w"))),
+                i => concat(
+                  col("w").substr(lit(1), i - lit(1)),
+                  col("w").substr(i + lit(1), length(col("w")))))))
+            .as("k")))
+        keys.select(col("k"), col("w").as("w1"))
+          .join(keys.select(col("k"), col("w").as("w2")), "k")
+          .filter(col("w1") < col("w2"))
+          .select("w1", "w2")
+          .distinct()
+          .filter(levenshtein(col("w1"), col("w2")) <= 1)
+          .select(col("w1"), col("w2"),
+            levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+          .orderBy("w1", "w2")
+      },
+      """WITH wd AS (SELECT DISTINCT w FROM
+                 (SELECT unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+                  FROM documents)),
+         lex AS (SELECT DISTINCT w FROM (
+                   SELECT w FROM wd
+                   UNION ALL SELECT substr(w, 2) FROM wd WHERE len(w) >= 3
+                   UNION ALL SELECT w || 's' FROM wd))
+         SELECT a.w AS w1, b.w AS w2, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+         FROM lex a JOIN lex b ON a.w < b.w
+         WHERE levenshtein(a.w, b.w) <= 1
+         ORDER BY 1, 2""")
   )
 
   /** Canonical (u < v, deduplicated, loop-free) undirected edge list of
