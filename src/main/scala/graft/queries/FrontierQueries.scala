@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -373,7 +374,142 @@ object FrontierQueries {
          SELECT a.w AS w1, b.w AS w2, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
          FROM lex a JOIN lex b ON a.w < b.w
          WHERE levenshtein(a.w, b.w) <= 1
-         ORDER BY 1, 2""")
+         ORDER BY 1, 2"""),
+
+    // Q132: explicit GROUPING SETS with grouping() disambiguation —
+    // the third grouping-sets surface next to CUBE (q102) and ROLLUP
+    // (q89): three hand-picked sets in ONE aggregate pass (the planner
+    // expands sets map-side, no per-set rescan), with grouping() flags
+    // telling a subtotal NULL from a data NULL.
+    "q132_grouping_sets" -> QuerySpec(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            (round(col("l_extendedprice") * 100).cast("long")
+              * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+              .as("rev_term"))
+          .createOrReplaceTempView("g_li_gs")
+        s.sql(
+          """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                    coalesce(l_linestatus, 'ALL') AS ls,
+                    cast(grouping(l_returnflag) AS bigint) AS g_rf,
+                    cast(grouping(l_linestatus) AS bigint) AS g_ls,
+                    count(*) AS cnt, sum(rev_term) AS rev_e4
+             FROM g_li_gs
+             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                     (l_returnflag, l_linestatus))
+             ORDER BY rf, ls""")
+      },
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+                CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                     AS BIGINT) AS rev_e4
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))
+         ORDER BY rf, ls"""),
+
+    // Q133: forward fill (last observation carried forward) — each
+    // user's hourly value grid with gaps filled from the most recent
+    // observed hour: `last(v, ignoreNulls)` over an unbounded-preceding
+    // row frame, the canonical LOCF window (q59's resample zero-fills;
+    // this carries state forward). One user-keyed shuffle; hours before
+    // a user's first observation stay NULL by contract in both engines.
+    "q133_forward_fill" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("user_id") < 30)
+          .select(col("user_id"),
+            (unix_micros(col("ts")) / 3600000000L).cast("bigint").as("hour"),
+            round(col("value") * 100).cast("long").as("v_e2"))
+        val hourly = ev.groupBy("user_id", "hour").agg(max("v_e2").as("v"))
+        val span = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+        val grid = span
+          .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+          .crossJoin(ev.select("user_id").distinct())
+        val w = Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "hour"), "left")
+          .select(col("user_id"), col("hour"),
+            last(col("v"), ignoreNulls = true).over(w).as("v_locf"),
+            col("v").isNotNull.as("observed"))
+          .orderBy("user_id", "hour")
+      },
+      """WITH e AS (SELECT user_id,
+                           CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+                           CAST(round(value * 100) AS BIGINT) AS v_e2
+                    FROM events WHERE user_id < 30),
+         hourly AS (SELECT user_id, hour, max(v_e2) AS v FROM e GROUP BY 1, 2),
+         span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM e),
+         grid AS (SELECT u.user_id, h.hour
+                  FROM (SELECT DISTINCT user_id FROM e) u
+                  CROSS JOIN (SELECT unnest(generate_series(
+                                (SELECT lo FROM span), (SELECT hi FROM span)))
+                              AS hour) h)
+         SELECT g.user_id, g.hour,
+                last_value(hourly.v IGNORE NULLS) OVER
+                  (PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf,
+                (hourly.v IS NOT NULL) AS observed
+         FROM grid g LEFT JOIN hourly
+              ON g.user_id = hourly.user_id AND g.hour = hourly.hour
+         ORDER BY g.user_id, g.hour""")
+  ) ++ layoutSpecs
+
+  /** Source-layout gates (q134/q135): hive-partitioned writes with
+    * partition pruning, and schema-evolution reads. Split out only so
+    * the big specs map stays under the compiler's method-size comfort
+    * (lazy: referenced from `specs` above its declaration point).
+    */
+  private lazy val layoutSpecs: Map[String, QuerySpec] = Map(
+
+    // Q134: hive-partitioned layout + partition pruning — write the
+    // documents partitioned by lang, read back with a lang predicate:
+    // the filter must resolve at PLANNING time against the directory
+    // tree (PartitionFilters, zero non-matching files opened — the
+    // mechanism partition-date pruning relies on at 100 TB). The spec
+    // asserts the pruned plan; this gate pins the result.
+    "q134_partition_pruning" -> QuerySpec(
+      (s, dir) => {
+        val tmp = GateTmp.dir("graft-q134").toString + "/docs_by_lang"
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("lang") === "en")
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents WHERE lang = 'en' ORDER BY doc_id"""),
+
+    // Q135: schema-evolution read (mergeSchema) — two writer
+    // generations with different columns land in one dataset; the
+    // merged read unions the schemas and nulls the absent columns per
+    // file, the ingest contract under schema drift. The oracle
+    // recomputes the same union from the base table.
+    "q135_schema_evolution" -> QuerySpec(
+      (s, dir) => {
+        val tmp = GateTmp.dir("graft-q135").toString + "/docs_evolving"
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") < 250).select("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/gen=1")
+        docs.filter(col("doc_id") >= 250).select("doc_id", "text", "lang")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/gen=2")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .select("doc_id", "text", "lang", "gen")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, 1 AS gen
+         FROM documents WHERE doc_id < 250
+         UNION ALL
+         SELECT doc_id, text, lang, 2 AS gen
+         FROM documents WHERE doc_id >= 250
+         ORDER BY doc_id""")
   )
 
   /** Canonical (u < v, deduplicated, loop-free) undirected edge list of

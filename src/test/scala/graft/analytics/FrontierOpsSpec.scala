@@ -135,6 +135,23 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(pairs(7) == plain)
   }
 
+  test("partitioned read prunes non-matching directories (planning-time filter)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "fr"))
+      .toDF("id", "t", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val df = spark.read.parquet(tmp).filter(col("lang") === "en")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty)
+    // pruning is physical, not cosmetic: of the three lang directories
+    // only en's file was opened
+    assert(scan.metrics("numFiles").value == 1L)
+  }
+
   test("pagerank sink redistribution conserves total mass; default drops it") {
     import spark.implicits._
     // a -> b, b is a sink: without redistribution b's mass drains each
