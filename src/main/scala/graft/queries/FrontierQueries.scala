@@ -13,10 +13,12 @@ import graft.llm.TokenGraph
   * q125–q128 and q131 add graph-statistics and similarity depth: local
   * clustering coefficients, degree assortativity, the TPC-H Q7 join
   * shape, redistribute-sink PageRank, and the FastSS deletion-
-  * neighborhood edit-distance join. Each oracle follows the
-  * determinism recipes: integral arithmetic throughout (`div` on
-  * nonnegative operands == DuckDB `//`), pinned ORDER BY, every
-  * computed column aliased identically on both sides.
+  * neighborhood edit-distance join. q132–q135 cover the GROUPING SETS
+  * surface, LOCF forward fill, planning-time partition pruning, and
+  * mergeSchema evolution reads. Each oracle follows the determinism
+  * recipes: integral arithmetic throughout (`div` on nonnegative
+  * operands == DuckDB `//`), pinned ORDER BY, every computed column
+  * aliased identically on both sides.
   */
 object FrontierQueries {
 
