@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.{Skyline, Stats, Sweepline}
+import graft.analytics.{GridQuantiles, Skyline, Stats, Sweepline}
 import graft.llm.TokenGraph
 
 /** Round-7 gates. q120–q123 close the round-6 gap (operators that
@@ -511,7 +511,38 @@ object FrontierQueries {
          UNION ALL
          SELECT doc_id, text, lang, 2 AS gen
          FROM documents WHERE doc_id >= 250
-         ORDER BY doc_id""")
+         ORDER BY doc_id"""),
+
+    // Q136: exact grid quantiles — p50/p95 per event type from the
+    // distinct-value grid (one count shuffle + per-group cumulative
+    // walk), the memory-bounded swap for `percentile()` whose buffers
+    // hold every raw value per group. Type-1 ("lower") definition in
+    // pure BIGINT predicates; the oracle replicates the definition, so
+    // the gate proves the distributed grid plan computes it.
+    "q136_grid_quantiles" -> QuerySpec(
+      (s, dir) =>
+        GridQuantiles.exact(
+          Tables.events(s, dir).select(
+            col("event_type"), round(col("value") * 100).cast("long").as("v_e2")),
+          col("event_type"), col("v_e2"),
+          Seq("p50_e2" -> ((1, 2)), "p95_e2" -> ((19, 20))))
+          .orderBy("g"),
+      """WITH e AS (SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS v
+                    FROM events),
+         grid AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+         cum AS (SELECT g, v,
+                        CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+                 FROM grid),
+         tot AS (SELECT g, CAST(max(cum) AS BIGINT) AS n FROM cum GROUP BY 1),
+         p50 AS (SELECT c.g, min(c.v) AS p50_e2 FROM cum c JOIN tot t ON c.g = t.g
+                 WHERE c.cum * 2 >= t.n * 1 GROUP BY 1),
+         p95 AS (SELECT c.g, min(c.v) AS p95_e2 FROM cum c JOIN tot t ON c.g = t.g
+                 WHERE c.cum * 20 >= t.n * 19 GROUP BY 1)
+         SELECT t.g, t.n, p50.p50_e2, p95.p95_e2
+         FROM tot t JOIN p50 ON t.g = p50.g JOIN p95 ON t.g = p95.g
+         ORDER BY t.g""")
   )
 
   /** Canonical (u < v, deduplicated, loop-free) undirected edge list of

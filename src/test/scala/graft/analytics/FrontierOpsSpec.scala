@@ -152,6 +152,20 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(scan.metrics("numFiles").value == 1L)
   }
 
+  test("grid quantiles match the type-1 definition on ties and skew") {
+    import spark.implicits._
+    val df = (Seq.fill(7)(("a", 1L)) ++ Seq(("a", 2L), ("a", 2L), ("a", 10L)) ++
+      Seq(("b", 5L))).toDF("g", "v")
+    val got = GridQuantiles.exact(df, col("g"), col("v"),
+      Seq("p50" -> ((1, 2)), "p90" -> ((9, 10))))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("p50"), r.getAs[Long]("p90"))).toMap
+    // a: n=10, cum(1)=7 -> p50 = 1 (7*2 >= 10); p90: need cum*10 >= 90,
+    // cum(2)=9 -> 90 >= 90 -> 2 (not the outlier 10)
+    assert(got("a") == ((10L, 1L, 2L)))
+    assert(got("b") == ((1L, 5L, 5L)))
+  }
+
   test("pagerank sink redistribution conserves total mass; default drops it") {
     import spark.implicits._
     // a -> b, b is a sink: without redistribution b's mass drains each
