@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
 import graft.llm.Multimodal
-import graft.streaming.StreamingEtl
+import graft.streaming.{StreamingEtl, StreamingUpsert}
 
 /** Gate queries for the two components that were spec-only in round 3
   * (r03 verdict stretch item): the streaming dedup path and the
@@ -344,5 +344,48 @@ object ExtQueries {
                 CAST(round(e.value * 100) AS BIGINT) AS v_e2
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""")
+  ) ++ Map(
+
+    // Q137: streaming upsert sink — the events changelog (event_id as
+    // the change sequence, every 11th a delete) drains through a REAL
+    // multi-microbatch stream (3 staged files, maxFilesPerTrigger=1)
+    // into a foreachBatch last-writer-wins merge with tombstone
+    // retention, so the final snapshot is INDEPENDENT of how files
+    // split into batches (a delete arriving "early" still beats a
+    // lower-sequence upsert arriving later). The oracle is the batch
+    // last-writer-wins per key.
+    "q137_streaming_upsert" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q137")
+        val tmp = tmpPath.toString
+        val changes = Tables.events(s, dir).select(
+          col("user_id"),
+          round(col("value") * 100).cast("long").as("v_e2"),
+          col("event_id").cast("long").as("__seq"),
+          when(pmod(col("event_id"), lit(11)) === 0, "delete")
+            .otherwise("upsert").as("__op"))
+        changes.repartition(3).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/staging")
+        val snapshot = StreamingUpsert.mergeStream(
+          s, stream, s"$tmp/snapshots", "user_id", s"$tmp/checkpoint")
+        val out = StreamingUpsert.finalSnapshot(s, snapshot)
+          .select(col("user_id"), col("__seq").as("src_seq"), col("v_e2"))
+          .orderBy("user_id")
+        deleteRecursively(tmpPath.resolve("staging"))
+        deleteRecursively(tmpPath.resolve("checkpoint"))
+        deleteOnExit(tmpPath)
+        out
+      },
+      """WITH c AS (SELECT user_id, CAST(event_id AS BIGINT) AS seq,
+                           CAST(round(value * 100) AS BIGINT) AS v_e2,
+                           CASE WHEN event_id % 11 = 0 THEN 'delete'
+                                ELSE 'upsert' END AS op
+                    FROM events),
+         w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                           ORDER BY seq DESC) AS rn
+               FROM c)
+         SELECT user_id, seq AS src_seq, v_e2
+         FROM w WHERE rn = 1 AND op = 'upsert' ORDER BY user_id""")
   )
 }
