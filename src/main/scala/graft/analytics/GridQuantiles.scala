@@ -24,6 +24,12 @@ import graft.CacheScope
   * Definition: quantile k/d (type-1, "lower") = the smallest v whose
   * cumulative count satisfies `cum·d ≥ k·n` — pure BIGINT predicates,
   * no interpolation, engine-portable by construction.
+  *
+  * Null contract: NULL values (or failed long casts) are EXCLUDED
+  * before the grid — `n` counts non-null values only. Engines disagree
+  * on where NULL sorts in a cumulative walk (Spark nulls-first, DuckDB
+  * nulls-last), so admitting them would shift every CDF point; SQL
+  * aggregates drop nulls, and so does this.
   */
 object GridQuantiles {
 
@@ -39,6 +45,7 @@ object GridQuantiles {
       quantiles: Seq[(String, (Int, Int))]): DataFrame = {
     require(quantiles.nonEmpty, "at least one quantile required")
     val grid = df.select(grp.as("g"), v.cast("long").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

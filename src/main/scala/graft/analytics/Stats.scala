@@ -64,6 +64,10 @@ object Stats {
     * overflows BIGINT once each population reaches ~3·10⁹ rows.
     * Contract: if either population is absent, `ks_e6` is NULL (never a
     * divide-by-zero); if both are absent the result has zero rows.
+    * NULL values (or failed long casts) are excluded before the grid —
+    * a NULL is not a point on a value axis, and engines disagree on
+    * where it would sort in the cumulative walk (Spark nulls-first,
+    * DuckDB nulls-last), so admitting it would shift both CDFs.
     */
   def ksDriftE6(
       df: DataFrame,
@@ -72,7 +76,7 @@ object Stats {
       popA: String,
       popB: String): DataFrame = {
     val grid = df.select(pop.as("p"), v.cast("long").as("v"))
-      .filter(col("p") === popA || col("p") === popB)
+      .filter((col("p") === popA || col("p") === popB) && col("v").isNotNull)
       .groupBy("v")
       .agg(
         sum(when(col("p") === popA, 1L).otherwise(0L)).as("ca"),

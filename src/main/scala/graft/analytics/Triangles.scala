@@ -22,10 +22,31 @@ import graft.CacheScope
   *
   * Shape: one node-sized degree aggregate, two equi-joins to attach
   * endpoint degrees, then the wedge equi-join on the low vertex and one
-  * closing equi-join — no theta join anywhere. The oriented relation
-  * feeds three join legs → persisted once.
+  * closing equi-join — no theta join anywhere. Each public entry point
+  * persists the edge relation ONCE and computes the degree aggregate
+  * ONCE, shared by every consumer inside it.
   */
 object Triangles {
+
+  /** One row per canonical edge, columns pinned to (u, v) strings. */
+  private def canonical(edges: DataFrame, u: Column, v: Column): DataFrame =
+    edges.select(u.cast("string").as("u"), v.cast("string").as("v"))
+
+  /** Undirected degree per node of a canonical edge relation. */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
+  /** Orientation against a PRECOMPUTED degree relation (n, deg). */
+  private def orientWith(e: DataFrame, deg: DataFrame): DataFrame = {
+    val ru = struct(col("du").as("d"), col("u").as("w"))
+    val rv = struct(col("dv").as("d"), col("v").as("w"))
+    e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(ru < rv, col("u")).otherwise(col("v")).as("a"),
+        when(ru < rv, rv).otherwise(ru).as("rb"))
+  }
 
   /** Orient canonical undirected edges by (degree, name). Input: one
     * row per undirected edge, endpoints distinct, already deduplicated
@@ -35,16 +56,8 @@ object Triangles {
     * rows because degree is a function of the node.
     */
   def orientByDegree(edges: DataFrame, u: Column, v: Column): DataFrame = {
-    val e = edges.select(u.cast("string").as("u"), v.cast("string").as("v"))
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
-    val ru = struct(col("du").as("d"), col("u").as("w"))
-    val rv = struct(col("dv").as("d"), col("v").as("w"))
-    e.join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
-      .select(
-        when(ru < rv, col("u")).otherwise(col("v")).as("a"),
-        when(ru < rv, rv).otherwise(ru).as("rb"))
+    val e = canonical(edges, u, v)
+    orientWith(e, degrees(e))
   }
 
   /** One row per triangle (a, b, c), enumerated exactly once via the
@@ -60,12 +73,18 @@ object Triangles {
       .select(col("a"), col("r1.w").as("b"), col("r2.w").as("c"))
   }
 
+  /** Per-node counts over an oriented relation's triangles. */
+  private def cornersPerNode(oriented: DataFrame): DataFrame =
+    triangleCorners(oriented)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+
   /** Count triangles of an undirected edge list (see [[orientByDegree]]
     * for the input contract). Returns ONE row: (n_triangles, n_edges).
     */
   def countTriangles(edges: DataFrame, u: Column, v: Column): DataFrame = {
-    val e = CacheScope.persist(edges.select(u.as("u"), v.as("v")))
-    val o = CacheScope.persist(orientByDegree(e, col("u"), col("v")))
+    val e = CacheScope.persist(canonical(edges, u, v))
+    val o = CacheScope.persist(orientWith(e, degrees(e)))
     triangleCorners(o).agg(count(lit(1)).as("n_triangles"))
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
   }
@@ -78,10 +97,25 @@ object Triangles {
     * which degree orientation already bounded).
     */
   def trianglesPerNode(edges: DataFrame, u: Column, v: Column): DataFrame = {
-    val e = CacheScope.persist(edges.select(u.as("u"), v.as("v")))
-    val o = CacheScope.persist(orientByDegree(e, col("u"), col("v")))
-    triangleCorners(o)
-      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    val e = CacheScope.persist(canonical(edges, u, v))
+    cornersPerNode(CacheScope.persist(orientWith(e, degrees(e))))
+  }
+
+  /** Local clustering coefficient per node in floored ppm:
+    * (token, deg, n_tri, lcc_e6 = 2·tri·10⁶ div deg·(deg−1); 0 for
+    * degree-1 nodes). One edge persist, one degree aggregate, one
+    * oriented persist — shared by the enumeration and the coefficient.
+    */
+  def localClusteringE6(edges: DataFrame, u: Column, v: Column): DataFrame = {
+    val e = CacheScope.persist(canonical(edges, u, v))
+    val deg = degrees(e)
+    val tc = cornersPerNode(CacheScope.persist(orientWith(e, deg)))
+    deg.join(tc, Seq("n"), "left")
+      .select(col("n").as("token"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("""case when deg > 1
+                then (2L * coalesce(n_tri, 0L) * 1000000L)
+                     div (deg * (deg - 1))
+                else 0L end""").as("lcc_e6"))
   }
 }

@@ -100,7 +100,9 @@ object FrontierQueries {
             round(col("value") * 100).cast("long").as("v_e2")),
           col("event_type"), col("v_e2"), "click", "purchase"),
       """WITH e AS (SELECT event_type AS p, CAST(round(value * 100) AS BIGINT) AS v
-                    FROM events WHERE event_type IN ('click', 'purchase')),
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase')
+                      AND value IS NOT NULL),
          g AS (SELECT v,
                       CAST(sum(CASE WHEN p = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
                       CAST(sum(CASE WHEN p = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
@@ -156,20 +158,10 @@ object FrontierQueries {
     // oracle enumerates triangles with the u<v orientation — per-node
     // participation is orientation-invariant.
     "q125_local_clustering" -> QuerySpec(
-      (s, dir) => {
-        val e = graft.CacheScope.persist(bigramCanonicalEdges(s, dir))
-        val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("deg"))
-        val tc = graft.analytics.Triangles.trianglesPerNode(e, col("u"), col("v"))
-        deg.join(tc, Seq("n"), "left")
-          .select(col("n").as("token"), col("deg"),
-            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-            expr("""case when deg > 1
-                    then (2L * coalesce(n_tri, 0L) * 1000000L)
-                         div (deg * (deg - 1))
-                    else 0L end""").as("lcc_e6"))
-          .orderBy("token")
-      },
+      (s, dir) =>
+        graft.analytics.Triangles.localClusteringE6(
+          bigramCanonicalEdges(s, dir), col("u"), col("v"))
+          .orderBy("token"),
       """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
          g AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
          bg AS (SELECT toks[i] AS wa, toks[i+1] AS wb FROM g
@@ -231,10 +223,15 @@ object FrontierQueries {
                     * 1000000.0) AS BIGINT) END AS corr_e6
          FROM s ORDER BY g"""),
 
-    // Q127: TPC-H Q7 shape (two-nation shipping volume) — the
-    // direction-symmetric nation-pair filter rides the two broadcast
-    // dimension legs; the only big shuffle is the lineitem ⋈ orders
-    // fact join, and the shipdate window is pushed into the scan.
+    // Q127: TPC-H Q7 shape (two-nation shipping volume) — only the
+    // 2-row nation slices are broadcast-HINTED; they pre-filter
+    // customer and supplier (to the two nations' rows) BEFORE those
+    // relations meet the facts, and customer/supplier themselves get
+    // no hint: they are fact-scaled at 100 TB, so the planner keeps
+    // them shuffle-joined at scale (AQE broadcasts them at gate scale
+    // where they measure small — the decision stays a statistics
+    // decision, not a hardcoded one). The shipdate window is pushed
+    // into the lineitem scan.
     "q127_two_nation_volume" -> QuerySpec(
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
@@ -246,19 +243,21 @@ object FrontierQueries {
               * (lit(100L) - round(col("l_discount") * 100).cast("long")))
               .as("rev_term"))
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
-        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
         val n1 = Tables.nation(s, dir)
           .filter(col("n_name").isin("NATION_1", "NATION_2"))
           .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
         val n2 = Tables.nation(s, dir)
           .filter(col("n_name").isin("NATION_1", "NATION_2"))
           .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+        val custF = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
           .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+        val supF = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(custF, col("o_custkey") === col("c_custkey"))
+          .join(supF, col("l_suppkey") === col("s_suppkey"))
           .filter(col("supp_nation") =!= col("cust_nation"))
           .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
           .agg(count(lit(1)).as("cnt"), sum(col("rev_term")).as("rev_e4"))
@@ -426,7 +425,7 @@ object FrontierQueries {
         val ev = Tables.events(s, dir)
           .filter(col("user_id") < 30)
           .select(col("user_id"),
-            (unix_micros(col("ts")) / 3600000000L).cast("bigint").as("hour"),
+            expr("unix_micros(ts) div 3600000000").as("hour"),
             round(col("value") * 100).cast("long").as("v_e2"))
         val hourly = ev.groupBy("user_id", "hour").agg(max("v_e2").as("v"))
         val span = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
@@ -528,7 +527,7 @@ object FrontierQueries {
           Seq("p50_e2" -> ((1, 2)), "p95_e2" -> ((19, 20))))
           .orderBy("g"),
       """WITH e AS (SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS v
-                    FROM events),
+                    FROM events WHERE value IS NOT NULL),
          grid AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
          cum AS (SELECT g, v,
                         CAST(sum(c) OVER (PARTITION BY g ORDER BY v

@@ -70,6 +70,30 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(r.head.getAs[Long]("ks_e6") == 500000L)
   }
 
+  test("ksDriftE6 excludes NULL values from the grid and the counts") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)),
+      ("b", Some(2L)), ("b", None), ("b", Some(3L))).toDF("p", "v")
+    val r = Stats.ksDriftE6(df, col("p"), col("v"), "a", "b").collect().head
+    // identical to the no-null A={1,2} B={2,3} case: nulls are not a
+    // point on the value axis and must not count toward n_a/n_b
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("n_grid") == 3L)
+    assert(r.getAs[Long]("ks_e6") == 500000L)
+  }
+
+  test("grid quantiles exclude NULL values") {
+    import spark.implicits._
+    val df = Seq(("g", Some(1L)), ("g", None), ("g", Some(2L)), ("g", Some(3L)))
+      .toDF("grp", "v")
+    val r = GridQuantiles.exact(df, col("grp"), col("v"), Seq("p50" -> ((1, 2))))
+      .collect().head
+    // n=3 non-null values; type-1 median of {1,2,3} = 2 (null must not
+    // shift the cumulative walk the way a nulls-first sort would)
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("p50") == 2L)
+  }
+
   test("ksDriftE6 yields NULL (not a division error) when a population is empty") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L)).toDF("p", "v")
