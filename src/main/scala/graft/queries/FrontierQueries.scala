@@ -541,7 +541,32 @@ object FrontierQueries {
                  WHERE c.cum * 20 >= t.n * 19 GROUP BY 1)
          SELECT t.g, t.n, p50.p50_e2, p95.p95_e2
          FROM tot t JOIN p50 ON t.g = p50.g JOIN p95 ON t.g = p95.g
-         ORDER BY t.g""")
+         ORDER BY t.g"""),
+
+    // Q138: TPC-H Q6 shape (forecast revenue change) — the pure
+    // predicate-pushdown aggregate: date window, discount band, and
+    // quantity cap ALL reach the parquet scan as pushed filters
+    // (`.explain` shows them in PushedFilters); what survives is one
+    // map-side-combined global sum. No join, no wide shuffle — the
+    // canonical "scan efficiency is the whole query" shape.
+    "q138_forecast_revenue" -> QuerySpec(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(to_date(col("l_shipdate")) >= to_date(lit("1996-01-01"))
+            && to_date(col("l_shipdate")) < to_date(lit("1997-01-01"))
+            && round(col("l_discount") * 100).cast("long").between(5, 7)
+            && col("l_quantity") < 24)
+          .select((round(col("l_extendedprice") * 100).cast("long")
+            * round(col("l_discount") * 100).cast("long")).as("rev_term"))
+          .agg(count(lit(1)).as("cnt"), sum(col("rev_term")).as("rev_e4")),
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                         * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS rev_e4
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+           AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+           AND l_quantity < 24""")
   )
 
   /** Canonical (u < v, deduplicated, loop-free) undirected edge list of
