@@ -77,11 +77,14 @@ object Bench {
     // (BENCH_r06 recorded q51 at 6.07 s; it isolates to 0.65 s with an
     // identical plan). Any query that came out >3× its prior-round
     // recorded time — or >2.5 s absolute when it has no prior — gets one
-    // more isolated measurement (fresh CacheScope, warmup + min-of-2)
-    // after the sweep's allocation pressure has drained, and the
-    // reported number is the minimum of all passes. Suspicious-but-
-    // genuinely-slow queries just cost one extra run and keep their
-    // time; phantom regressions disappear without hand adjudication.
+    // more isolated measurement after the sweep's allocation pressure
+    // has drained, under the SAME protocol as every other query (fresh
+    // CacheScope, warmup + min-of-2), and the re-measurement REPLACES
+    // the in-sweep number (round-7 advice: min-of-all-passes gave the
+    // slowest rows extra bites at the minimum — an asymmetric downward
+    // bias; replacement keeps the protocol uniform, and a genuinely slow
+    // query can come back SLOWER). The displaced in-sweep time is
+    // disclosed per query in `repassed_orig`.
     val fnByName = queries.toMap
     val suspicious = results.collect {
       case (name, t) if t >= 0 && !errors.contains(name) &&
@@ -92,7 +95,7 @@ object Bench {
     // reported as re-passed — a re-run that throws keeps the original
     // time, logs the failure, and stays OUT of the repassed list, so
     // the output never claims a measurement that didn't happen.
-    val repassed = scala.collection.mutable.TreeSet.empty[String]
+    val repassedOrig = scala.collection.mutable.TreeMap.empty[String, Double]
     val finalResults = results.map {
       case (name, t) if suspicious(name) =>
         val re: Option[Double] = CacheScope.scoped {
@@ -110,8 +113,8 @@ object Bench {
             None
           }
         }
-        re.foreach(_ => repassed += name)
-        name -> re.fold(t)(math.min(t, _))
+        re.foreach(_ => repassedOrig(name) = t)
+        name -> re.getOrElse(t)
       case kv => kv
     }
 
@@ -124,10 +127,12 @@ object Bench {
       } + "\""
     val qs = finalResults.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    val repassJson = repassed.toSeq.map(jq).mkString("[", ",", "]")
+    val repassJson = repassedOrig.keys.toSeq.map(jq).mkString("[", ",", "]")
+    val repassOrigJson = repassedOrig
+      .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"repassed":$repassJson,"sf":${jq(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"repassed":$repassJson,"repassed_orig":$repassOrigJson,"sf":${jq(sfDir)}}"""
 
     println(line)
     try Files.writeString(Paths.get(outPath), line + "\n")

@@ -44,6 +44,12 @@ object GridQuantiles {
       v: Column,
       quantiles: Seq[(String, (Int, Int))]): DataFrame = {
     require(quantiles.nonEmpty, "at least one quantile required")
+    quantiles.foreach { case (name, (k, d)) =>
+      // A fraction outside (0, 1] makes `cum·d ≥ k·n` unsatisfiable and
+      // the conditional min would silently NULL the column — fail loud.
+      require(d > 0 && k > 0 && k <= d,
+        s"quantile '$name' must satisfy 0 < k <= d, got $k/$d")
+    }
     val grid = df.select(grp.as("g"), v.cast("long").as("v"))
       .filter(col("v").isNotNull)
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
@@ -52,11 +58,15 @@ object GridQuantiles {
     val cum = CacheScope.persist(
       grid.select(col("g"), col("v"), sum(col("c")).over(w).as("cum")))
     val tot = cum.groupBy("g").agg(max(col("cum")).as("n"))
-    quantiles.foldLeft(tot) { case (acc, (name, (k, d))) =>
-      val qv = cum.join(tot, "g")
-        .filter(col("cum") * d >= col("n") * k)
-        .groupBy("g").agg(min(col("v")).as(name))
-      acc.join(qv, "g")
+    // Single pass over the grid for ALL requested quantiles: one
+    // cum ⋈ tot join, then one conditional min per quantile inside the
+    // same aggregate — plan shape is independent of the quantile count
+    // (the fold-of-joins alternative pays one join per quantile).
+    val qCols = quantiles.map { case (name, (k, d)) =>
+      min(when(col("cum") * d >= col("n") * k, col("v"))).as(name)
     }
+    cum.join(tot, "g")
+      .groupBy("g")
+      .agg(max(col("n")).as("n"), qCols: _*)
   }
 }

@@ -543,17 +543,24 @@ object FrontierQueries {
          FROM tot t JOIN p50 ON t.g = p50.g JOIN p95 ON t.g = p95.g
          ORDER BY t.g"""),
 
-    // Q138: TPC-H Q6 shape (forecast revenue change) — the pure
-    // predicate-pushdown aggregate: date window, discount band, and
-    // quantity cap ALL reach the parquet scan as pushed filters
-    // (`.explain` shows them in PushedFilters); what survives is one
-    // map-side-combined global sum. No join, no wide shuffle — the
+    // Q138: TPC-H Q6 shape (forecast revenue change) — the
+    // predicate-pushdown aggregate: the date window (unwrapped from
+    // `to_date` to raw timestamp bounds by the optimizer), the quantity
+    // cap, and a raw-column discount range all reach the parquet scan
+    // as PushedFilters so row-group stats can prune; the EXACT e2
+    // discount band (`round(l_discount*100) BETWEEN 5 AND 7`) wraps the
+    // column and therefore evaluates post-scan — the raw range is a
+    // deliberately slack superset of it ([0.0449, 0.0751] ⊇
+    // round⁻¹([5,7]) with margin for the float boundary), so adding it
+    // cannot change the result, only skip row groups. What survives is
+    // one map-side-combined global sum: no join, no wide shuffle — the
     // canonical "scan efficiency is the whole query" shape.
     "q138_forecast_revenue" -> QuerySpec(
       (s, dir) =>
         Tables.lineitem(s, dir)
           .filter(to_date(col("l_shipdate")) >= to_date(lit("1996-01-01"))
             && to_date(col("l_shipdate")) < to_date(lit("1997-01-01"))
+            && col("l_discount") > 0.0449 && col("l_discount") < 0.0751
             && round(col("l_discount") * 100).cast("long").between(5, 7)
             && col("l_quantity") < 24)
           .select((round(col("l_extendedprice") * 100).cast("long")

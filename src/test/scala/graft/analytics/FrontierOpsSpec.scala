@@ -190,6 +190,31 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got("b") == ((1L, 5L, 5L)))
   }
 
+  test("grid quantiles: one join regardless of quantile count") {
+    import spark.implicits._
+    val df = (1L to 20L).map(v => ("g", v)).toDF("g", "v")
+    val many = GridQuantiles.exact(df, col("g"), col("v"),
+      Seq("p10" -> ((1, 10)), "p25" -> ((1, 4)), "p50" -> ((1, 2)),
+        "p75" -> ((3, 4)), "p90" -> ((9, 10)), "p99" -> ((99, 100))))
+    // all six quantiles ride ONE cum ⋈ tot join + one aggregate — the
+    // per-quantile-join fold would show six
+    val joins = many.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length == 1, s"expected 1 join, got ${joins.length}")
+    val r = many.collect().head
+    assert(r.getAs[Long]("p50") == 10L && r.getAs[Long]("p99") == 20L)
+  }
+
+  test("grid quantiles reject malformed fractions instead of dropping groups") {
+    import spark.implicits._
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    for (bad <- Seq((3, 2), (0, 2), (1, 0), (1, -1)))
+      intercept[IllegalArgumentException] {
+        GridQuantiles.exact(df, col("g"), col("v"), Seq("q" -> bad))
+      }
+  }
+
   test("pagerank sink redistribution conserves total mass; default drops it") {
     import spark.implicits._
     // a -> b, b is a sink: without redistribution b's mass drains each

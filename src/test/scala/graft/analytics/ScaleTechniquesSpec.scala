@@ -73,6 +73,35 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("q138 discount band reaches the parquet scan as pushed filters") {
+    val q = graft.SparkEntry.queries("q138_forecast_revenue")
+    val df = q(spark, "/root/testdata/sf0.001")
+    // plan.toString truncates the PushedFilters list — read the scan
+    // node's metadata, which carries it in full (descending through the
+    // AdaptiveSparkPlanExec leaf AQE wraps the plan in)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case f: FileSourceScanExec => Some(f)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val pushed = findScan(df.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+      .metadata("PushedFilters")
+    // the raw-column slack range is what makes the band row-group-
+    // prunable; the exact round() band stays post-scan by construction
+    assert(pushed.contains("GreaterThan(l_discount,0.0449)"),
+      s"discount lower bound not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_discount,0.0751)"),
+      s"discount upper bound not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24.0)"),
+      s"quantity cap not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date window not pushed: $pushed")
+    assert(df.collect().head.getLong(0) > 0L)
+  }
+
   test("partitioned layout prunes non-matching partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
