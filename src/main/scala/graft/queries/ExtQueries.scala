@@ -352,7 +352,11 @@ object ExtQueries {
     // into a foreachBatch last-writer-wins merge with tombstone
     // retention, so the final snapshot is INDEPENDENT of how files
     // split into batches (a delete arriving "early" still beats a
-    // lower-sequence upsert arriving later). The oracle is the batch
+    // lower-sequence upsert arriving later). The snapshot is hash-
+    // bucketed and manifest-tracked: each microbatch rewrites only the
+    // buckets its keys land in (untouched buckets carry forward by
+    // reference — see StreamingUpsertSpec for the byte-identical and
+    // restart-recovery contracts). The oracle is the batch
     // last-writer-wins per key.
     "q137_streaming_upsert" -> QuerySpec(
       (s, dir) => {

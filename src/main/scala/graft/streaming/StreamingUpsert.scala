@@ -1,5 +1,10 @@
 package graft.streaming
 
+import java.nio.charset.StandardCharsets
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,9 +13,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** The `foreachBatch` upsert sink — the standard production pattern for
   * landing a CDC stream in a keyed snapshot when the sink has no native
   * MERGE: each microbatch is compacted against the previous snapshot
-  * with last-writer-wins semantics and written to a fresh versioned
-  * directory (ping-pong — never read and overwrite the same files in
-  * one job).
+  * with last-writer-wins semantics.
+  *
+  * The snapshot is HASH-BUCKETED by key (`pmod(hash(key), buckets)`)
+  * and tracked through a versioned MANIFEST (bucket → data directory):
+  * a microbatch rewrites ONLY the buckets its keys land in, writing
+  * them to a fresh per-batch delta directory (ping-pong — never read
+  * and overwrite the same files in one job); every untouched bucket
+  * carries forward BY REFERENCE — its manifest entry keeps pointing at
+  * the files a previous batch wrote, byte-untouched. Per-batch write
+  * volume is therefore O(touched buckets), not O(snapshot): at a
+  * 100 TB snapshot a 1 GB microbatch rewrites ~1 GB · (buckets touched
+  * / keys-per-bucket locality), never the whole 100 TB.
   *
   * Deletes are retained as TOMBSTONES in the snapshot rather than
   * dropped, which makes the per-batch merge ASSOCIATIVE and
@@ -18,14 +32,42 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * earlier microbatch than an upsert at sequence 5 still wins, so the
   * final snapshot is independent of how the source splits files into
   * batches. Readers filter tombstones at the end ([[finalSnapshot]]).
-  * Production adds tombstone expiry after the out-of-order horizon.
+  *
+  * Tombstone EXPIRY is governed by `tombstoneHorizon`: at compaction,
+  * tombstones whose `__seq` has fallen more than `horizon` below the
+  * high-water sequence are dropped — their job (outranking late lower-
+  * sequence upserts) is done, because incoming rows older than the
+  * same horizon are REJECTED as too late before the merge. The two
+  * cutoffs are paired deliberately: rejection uses the PRE-batch high
+  * water and expiry the POST-batch one, and the high water is
+  * monotonic, so an admitted row can never have lost to an already-
+  * expired tombstone — expiry without late-record rejection would let
+  * an ancient upsert resurrect a deleted key.
+  *
+  * RESTART SAFETY: the manifest is durable next to the data
+  * (`_graft_manifest/v<batchId>.json`, written after the batch's data
+  * commit). [[mergeStream]] recovers the latest manifest at start, so
+  * a JVM restart against an existing streaming checkpoint resumes from
+  * the previously merged snapshot instead of silently compacting
+  * against nothing (the committed source offsets mean earlier files
+  * are never re-read). Delta dirs and manifests are named by batch id,
+  * so a batch replayed after a crash between data write and checkpoint
+  * commit overwrites its own output — idempotent.
   *
   * Scale shape: each merge is ONE hash shuffle on the key with
-  * WindowGroupLimit keeping one row of state per key; the snapshot
-  * rewrite is the compaction write a MERGE-less sink pays. State lives
-  * in the snapshot files, not in stream state — no watermark needed.
+  * WindowGroupLimit keeping one row of state per key, over the touched
+  * buckets only. State lives in the snapshot files, not in stream
+  * state — no watermark needed.
   */
 object StreamingUpsert {
+
+  /** Snapshot state: per-bucket data directory, the high-water `__seq`
+    * across everything merged so far, and the batch id that wrote it.
+    */
+  final case class Manifest(
+      buckets: SortedMap[Int, String],
+      highWater: Long,
+      version: Long)
 
   /** Last-writer-wins compaction of `prev` (snapshot rows) with
     * `batch` (new change rows). Both carry `keyCol`, payload columns,
@@ -41,34 +83,180 @@ object StreamingUpsert {
       .drop("__rn")
   }
 
+  /** `highWater - horizon`, saturating at Long.MinValue (a fresh run's
+    * high water starts there, and `horizon = Long.MaxValue` means "no
+    * expiry").
+    */
+  private def cutoff(highWater: Long, horizon: Long): Long =
+    if (highWater < Long.MinValue + horizon) Long.MinValue
+    else highWater - horizon
+
   /** Drain `stream` (shaped: keyCol, payload…, __seq, __op) through a
-    * foreachBatch merge into versioned snapshot dirs under `dir`.
-    * Returns the final snapshot path after the drain completes.
+    * foreachBatch merge into a bucketed, manifest-tracked snapshot
+    * under `dir`. Returns `dir`; read it back with [[finalSnapshot]].
+    *
+    * @param buckets          key-hash bucket count — the rewrite
+    *                         granularity. Size so one bucket ≈ one
+    *                         comfortable task input at the target
+    *                         scale (buckets ≫ executors for skew).
+    * @param tombstoneHorizon max `__seq` lag before a tombstone is
+    *                         expired AND an incoming row is rejected
+    *                         as too late. Default Long.MaxValue:
+    *                         retain forever, reject nothing.
     */
   def mergeStream(
       spark: SparkSession,
       stream: DataFrame,
       dir: String,
       keyCol: String,
-      checkpoint: String): String = {
-    @volatile var current: Option[String] = None
+      checkpoint: String,
+      buckets: Int = 16,
+      tombstoneHorizon: Long = Long.MaxValue): String = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    require(tombstoneHorizon >= 0,
+      s"tombstoneHorizon must be >= 0, got $tombstoneHorizon")
+    @volatile var state: Manifest = readLatestManifest(spark, dir)
+      .getOrElse(Manifest(SortedMap.empty, Long.MinValue, -1L))
+
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val prev = current.map(spark.read.parquet(_)).getOrElse(batch.limit(0))
-        val next = s"$dir/v$id"
-        compact(prev, batch, keyCol)
-          .coalesce(4).write.mode("overwrite").parquet(next)
-        current = Some(next)
+        val st = state
+        // Late-record rejection against the PRE-batch high water (see
+        // the pairing argument in the scaladoc).
+        val admitted =
+          batch.filter(col("__seq") >= cutoff(st.highWater, tombstoneHorizon))
+            .persist()
+        try {
+          val bucketOf = pmod(hash(col(keyCol)), lit(buckets))
+          val touched = admitted.select(bucketOf.as("__bucket"))
+            .distinct().collect().map(_.getInt(0)).toSet // ≤ `buckets` rows
+          val batchMax = admitted.agg(max(col("__seq"))).head()
+          val newHigh =
+            if (batchMax.isNullAt(0)) st.highWater
+            else math.max(st.highWater, batchMax.getLong(0))
+
+          val newBuckets: SortedMap[Int, String] =
+            if (touched.isEmpty) st.buckets
+            else {
+              val prevPaths = touched.toSeq.sorted.flatMap(st.buckets.get)
+              val prev =
+                if (prevPaths.isEmpty) admitted.limit(0)
+                else spark.read.parquet(prevPaths: _*)
+              val delta = s"$dir/delta-v$id"
+              compact(prev, admitted, keyCol)
+                // expiry against the POST-batch high water
+                .filter(!(col("__op") === "delete"
+                  && col("__seq") < cutoff(newHigh, tombstoneHorizon)))
+                .withColumn("__bucket", bucketOf)
+                .repartition(math.min(buckets, touched.size), col("__bucket"))
+                .write.mode("overwrite").partitionBy("__bucket").parquet(delta)
+              st.buckets ++ touched.toSeq.sorted.map(b =>
+                b -> s"$delta/__bucket=$b")
+            }
+          val next = Manifest(newBuckets, newHigh, id)
+          writeManifest(spark, dir, next)
+          state = next
+        } finally admitted.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .start()
     q.awaitTermination()
-    current.getOrElse(
-      throw new IllegalStateException("stream produced no microbatch"))
+    if (state.version < 0)
+      throw new IllegalStateException("stream produced no microbatch")
+    dir
   }
 
-  /** The reader view of a snapshot: live rows only (tombstones out). */
-  def finalSnapshot(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).filter(col("__op") === "upsert")
+  /** The reader view of a snapshot: live rows only (tombstones out),
+    * assembled from the latest manifest's per-bucket directories.
+    */
+  def finalSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val m = readLatestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no snapshot manifest under $dir"))
+    if (m.buckets.isEmpty)
+      throw new IllegalStateException(s"snapshot under $dir holds no buckets")
+    spark.read.parquet(m.buckets.values.toSeq: _*)
+      .filter(col("__op") === "upsert")
+  }
+
+  /** Drop delta directories and manifests no longer referenced by the
+    * LATEST manifest (superseded buckets accumulate otherwise). Safe
+    * for readers of the latest snapshot; a reader pinned to an older
+    * manifest must finish first — run vacuum between drains, not
+    * concurrently with reads.
+    */
+  def vacuum(spark: SparkSession, dir: String): Unit =
+    readLatestManifest(spark, dir).foreach { m =>
+      val root = new HPath(dir)
+      val fs = fileSystem(spark, root)
+      val live: Set[String] =
+        m.buckets.values.map(p => new HPath(p).getParent.toUri.getPath).toSet
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        if (name.startsWith("delta-v")
+            && !live.contains(s.getPath.toUri.getPath))
+          fs.delete(s.getPath, true)
+      }
+      val mdir = new HPath(root, ManifestDir)
+      fs.listStatus(mdir).foreach { s =>
+        if (s.getPath.getName != s"v${m.version}.json")
+          fs.delete(s.getPath, false)
+      }
+    }
+
+  // ---- manifest persistence (tiny hand-rolled JSON — no new deps) ----
+
+  private val ManifestDir = "_graft_manifest"
+  private val ManifestName = raw"v(\d+)\.json".r
+
+  private def fileSystem(spark: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
+    val mdir = new HPath(s"$dir/$ManifestDir")
+    val fs = fileSystem(spark, mdir)
+    fs.mkdirs(mdir)
+    val body = m.buckets
+      .map { case (b, p) => s""""$b":"${esc(p)}"""" }
+      .mkString(s"""{"version":${m.version},"highWater":${m.highWater},"buckets":{""", ",", "}}")
+    // write-then-rename so a reader never sees a torn manifest
+    val tmp = new HPath(mdir, s"v${m.version}.json.tmp")
+    val fin = new HPath(mdir, s"v${m.version}.json")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    if (!fs.rename(tmp, fin))
+      throw new IllegalStateException(s"manifest rename failed: $fin")
+  }
+
+  private[streaming] def readLatestManifest(
+      spark: SparkSession, dir: String): Option[Manifest] = {
+    val mdir = new HPath(s"$dir/$ManifestDir")
+    val fs = fileSystem(spark, mdir)
+    if (!fs.exists(mdir)) return None
+    val versions = fs.listStatus(mdir).toSeq.flatMap(s =>
+      s.getPath.getName match {
+        case ManifestName(v) => Some(v.toLong -> s.getPath)
+        case _ => None
+      })
+    if (versions.isEmpty) return None
+    val (version, path) = versions.maxBy(_._1)
+    val in = fs.open(path)
+    val body =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    val highWater = """"highWater":(-?\d+)""".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"bad manifest: $path"))
+    val bucketsBody = body.substring(body.indexOf(""""buckets":{""") + 11)
+    val buckets = SortedMap.from(
+      """"(\d+)":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(bucketsBody)
+        .map(m => m.group(1).toInt -> unesc(m.group(2))))
+    Some(Manifest(buckets, highWater, version))
+  }
 }

@@ -1,14 +1,25 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
 
-/** The associativity contract of the foreachBatch upsert sink: with
-  * tombstone retention, batch arrival order cannot change the final
-  * snapshot — a high-sequence delete arriving BEFORE a low-sequence
-  * upsert still deletes the key.
+/** Contracts of the bucketed foreachBatch upsert sink:
+  *
+  *  - compaction associativity: with tombstone retention, batch arrival
+  *    order cannot change the final snapshot;
+  *  - bucket carry-forward: a microbatch rewrites ONLY the buckets its
+  *    keys hash into — untouched buckets keep their exact files
+  *    (byte-identical, same path) across the batch;
+  *  - restart recovery: a second drain against the same snapshot dir
+  *    and checkpoint compacts against the RECOVERED manifest, not an
+  *    empty one;
+  *  - tombstone horizon: expired tombstones leave the snapshot, and the
+  *    paired late-record rejection keeps an ancient upsert from
+  *    resurrecting the deleted key.
   */
 class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
 
@@ -17,18 +28,47 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     t.toDF("k", "v", "__seq", "__op")
   }
 
+  /** Stage `batch` as one parquet file and drain it through mergeStream
+    * (AvailableNow) — each call is a separate run: a fresh JVM's worth
+    * of state against the same snapshot dir and checkpoint.
+    */
+  private def drain(
+      root: Path,
+      batch: Seq[(Long, Long, Long, String)],
+      buckets: Int,
+      horizon: Long = Long.MaxValue): String = {
+    val staging = root.resolve("staging").toString
+    rows(batch: _*).coalesce(1).write.mode("append").parquet(staging)
+    val stream = spark.readStream.schema(rows().schema).parquet(staging)
+    StreamingUpsert.mergeStream(spark, stream, root.resolve("snap").toString,
+      "k", root.resolve("checkpoint").toString, buckets, horizon)
+  }
+
+  private def live(snapDir: String): Map[Long, Long] =
+    StreamingUpsert.finalSnapshot(spark, snapDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** All (path, bytes) under a bucket data dir, sorted by path. */
+  private def bucketBytes(p: String): Seq[(String, Seq[Byte])] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Path.of(p)).iterator().asScala.toSeq
+      .filter(Files.isRegularFile(_))
+      .sortBy(_.toString)
+      .map(f => f.toString -> Files.readAllBytes(f).toSeq)
+  }
+
   test("compact is order-independent: early tombstone beats late low-seq upsert") {
     val b1 = rows((1L, 0L, 10L, "delete"), (2L, 20L, 3L, "upsert"))
     val b2 = rows((1L, 99L, 5L, "upsert"), (2L, 21L, 4L, "upsert"))
     val empty = b1.limit(0)
-    def live(df: org.apache.spark.sql.DataFrame) =
+    def liveOf(df: org.apache.spark.sql.DataFrame) =
       df.filter(col("__op") === "upsert")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ab = StreamingUpsert.compact(StreamingUpsert.compact(empty, b1, "k"), b2, "k")
     val ba = StreamingUpsert.compact(StreamingUpsert.compact(empty, b2, "k"), b1, "k")
     // key 1: delete@10 wins over upsert@5 in BOTH orders; key 2: seq 4
-    assert(live(ab) == Map(2L -> 21L))
-    assert(live(ba) == Map(2L -> 21L))
+    assert(liveOf(ab) == Map(2L -> 21L))
+    assert(liveOf(ba) == Map(2L -> 21L))
     // the tombstone itself is retained (not dropped) so a further
     // merge of an even later batch still sees it
     assert(ab.filter(col("k") === 1 && col("__op") === "delete").count() == 1L)
@@ -38,5 +78,88 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     val b = rows((7L, 1L, 5L, "upsert"), (7L, 2L, 5L, "delete"))
     val out = StreamingUpsert.compact(b.limit(0), b, "k").collect()
     assert(out.length == 1 && out.head.getString(3) == "delete")
+  }
+
+  test("untouched buckets carry forward byte-identical; restart recovers the manifest") {
+    val buckets = 8
+    // pick three keys: kA alone in its bucket, kB/kB2 sharing a different one
+    val byBucket = spark.range(64)
+      .select(col("id"), pmod(hash(col("id")), lit(buckets)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val (bA, bB) = {
+      val bs = byBucket.filter(_._2.size >= 2).keys.toSeq.sorted
+      (bs.head, bs(1))
+    }
+    val kA = byBucket(bA).head
+    val (kB, kB2) = (byBucket(bB).head, byBucket(bB)(1))
+
+    val root = Files.createTempDirectory("graft-upsert-cf")
+    // run 1: kA and kB land in different buckets
+    val snap = drain(root, Seq((kA, 10L, 1L, "upsert"), (kB, 20L, 2L, "upsert")),
+      buckets)
+    assert(live(snap) == Map(kA -> 10L, kB -> 20L))
+    val m1 = StreamingUpsert.readLatestManifest(spark, snap).get
+    val bytesA1 = bucketBytes(m1.buckets(bA))
+
+    // run 2 (restart: same snapshot dir + checkpoint, new staged file):
+    // touches ONLY kB's bucket
+    drain(root, Seq((kB2, 30L, 3L, "upsert")), buckets)
+    val m2 = StreamingUpsert.readLatestManifest(spark, snap).get
+    // recovery: kA survives a merge it did not participate in — a lost
+    // manifest would have compacted against nothing and dropped it
+    assert(live(snap) == Map(kA -> 10L, kB -> 20L, kB2 -> 30L))
+    // carry-forward by reference: the untouched bucket keeps its PATH...
+    assert(m2.buckets(bA) == m1.buckets(bA))
+    assert(m2.buckets(bB) != m1.buckets(bB))
+    // ...and its exact bytes
+    assert(bucketBytes(m2.buckets(bA)) == bytesA1)
+    // high water advanced across the restart
+    assert(m2.highWater == 3L && m1.highWater == 2L)
+  }
+
+  test("tombstone expiry drops old tombstones; late-record rejection blocks resurrection") {
+    val root = Files.createTempDirectory("graft-upsert-ttl")
+    val horizon = 10L
+    // batch 1: key 7 deleted at 105; key 5 deleted at 199 (in-horizon);
+    // key 9's upsert at 200 sets the high water -> expiry cutoff 190
+    val snap = drain(root, Seq(
+      (7L, 1L, 100L, "upsert"), (7L, 0L, 105L, "delete"),
+      (5L, 2L, 150L, "upsert"), (5L, 0L, 199L, "delete"),
+      (9L, 3L, 200L, "upsert")), buckets = 1, horizon = horizon)
+    val all1 = spark.read.parquet(
+      StreamingUpsert.readLatestManifest(spark, snap).get.buckets.values.toSeq: _*)
+    // key 7's tombstone (seq 105 < 190) expired — no row at all; key 5's
+    // (199 >= 190) retained
+    assert(all1.filter(col("k") === 7L).count() == 0L)
+    assert(all1.filter(col("k") === 5L && col("__op") === "delete").count() == 1L)
+    assert(live(snap) == Map(9L -> 3L))
+
+    // batch 2 (restart): an ancient upsert for key 7 (seq 108 < 190) is
+    // REJECTED as too late -> the expired tombstone cannot be bypassed;
+    // an in-horizon late upsert for key 5 (seq 195 >= 190) is admitted
+    // but still loses to the retained tombstone at 199
+    drain(root, Seq((7L, 99L, 108L, "upsert"), (5L, 98L, 195L, "upsert")),
+      buckets = 1, horizon = horizon)
+    assert(live(snap) == Map(9L -> 3L))
+  }
+
+  test("vacuum drops superseded deltas and keeps the snapshot readable") {
+    val root = Files.createTempDirectory("graft-upsert-vac")
+    val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
+    drain(root, Seq((1L, 11L, 2L, "upsert")), buckets = 1)
+    StreamingUpsert.vacuum(spark, snap)
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(java.nio.file.Path.of(snap)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    // delta-v0 was fully superseded by delta-v1
+    assert(!dirs.contains("delta-v0") && dirs.contains("delta-v1"))
+    assert(live(snap) == Map(1L -> 11L))
+    // only the latest manifest remains (ignoring checksum sidecars the
+    // local Hadoop FS keeps for retained files)
+    val manifests = Files.list(java.nio.file.Path.of(snap, "_graft_manifest"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).toSet
+    assert(manifests == Set("v1.json"))
   }
 }
