@@ -60,13 +60,26 @@ object TokenGraph {
     * is shared equally across all nodes before damping, so total mass is
     * conserved up to integral-division quantization. Cost: one extra
     * anti-join + scalar broadcast per round, still vocabulary-sized.
+    *
+    * Deep iteration: beyond [[LineageCutAfter]] rounds the score
+    * relation is localCheckpoint'ed each round — unrolled lineage grows
+    * a plan per iteration and the analyzer/optimizer cost goes
+    * quadratic around ~10 rounds otherwise (the same per-round cut the
+    * connected-components operator uses; at cluster scale prefer a
+    * reliable `checkpoint()` so executor loss can't orphan rounds).
+    * Below the threshold plans are left unrolled so the shallow gated
+    * shapes (q111/q128, 2 rounds) stay byte-identical.
     */
+  /** Rounds beyond which [[pagerankE6]] cuts lineage per round. */
+  val LineageCutAfter: Int = 4
+
   def pagerankE6(
       spark: SparkSession,
       docs: DataFrame,
       text: Column,
       iters: Int,
       redistributeSinks: Boolean = false): DataFrame = {
+    val cutLineage = iters > LineageCutAfter
     val edges = CacheScope.persist(bigramEdges(docs, text))
     val nodes = CacheScope.persist(
       edges.select(col("w1").as("w"))
@@ -103,6 +116,7 @@ object TokenGraph {
               col("w"),
               expr("150000L div n_nodes + (850000L * coalesce(inc, 0L)) div 1000000L")
                 .as("pr"))
+      if (cutLineage) pr = pr.localCheckpoint()
     }
     nodes.join(outw, nodes("w") === outw("w1"), "left")
       .join(pr.withColumnRenamed("w", "w_pr"), nodes("w") === col("w_pr"))

@@ -390,6 +390,36 @@ object ExtQueries {
                            ORDER BY seq DESC) AS rn
                FROM c)
          SELECT user_id, seq AS src_seq, v_e2
-         FROM w WHERE rn = 1 AND op = 'upsert' ORDER BY user_id""")
+         FROM w WHERE rn = 1 AND op = 'upsert' ORDER BY user_id"""),
+
+    // Q139: multimodal frame sampling — the full decode chain end to
+    // end: synthesize StubCodec payloads from doc_id arithmetic (as
+    // q33), resize, partition-batched decode, then explode every
+    // 3rd frame index per decodable asset into (asset_id, frame_idx)
+    // work units. The oracle recomputes n_frames from doc_id and
+    // unnests the same strided series; undecodable assets (every 13th)
+    // must yield no frames.
+    "q139_frame_sampling" -> QuerySpec(
+      (s, dir) => {
+        val mkPayload = udf { id: Long =>
+          if (id % 13 == 0) Array[Byte](1, 2, 3)
+          else Multimodal.StubCodec.encodeHeader(
+            (16 + id % 64).toInt, (16 + (id * 3) % 64).toInt, (1 + id % 10).toInt)
+        }
+        val assets = Tables.documents(s, dir).select(
+          col("doc_id").as("asset_id"),
+          mkPayload(col("doc_id")).as("payload"),
+          lit("video/x-graft").as("mime"),
+          concat(lit("mem://assets/"), col("doc_id")).as("uri"))
+        Multimodal.sampleFrames(
+          Multimodal.decodeAssets(Multimodal.resize(assets, maxDim = 32)),
+          stride = 3)
+          .orderBy("asset_id", "frame_idx")
+      },
+      """WITH hdr AS (SELECT doc_id AS asset_id, 1 + doc_id%10 AS f0
+                      FROM documents WHERE doc_id%13 <> 0)
+         SELECT asset_id,
+                CAST(unnest(generate_series(0, f0 - 1, 3)) AS INTEGER) AS frame_idx
+         FROM hdr ORDER BY asset_id, frame_idx""")
   )
 }

@@ -230,4 +230,19 @@ class FrontierOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(kept - 1000000L) <= 16L) // <= 2 ppm quantization/round
     assert(dropped < 900000L)
   }
+
+  test("deep pagerank (10 rounds) cuts lineage per round and converges") {
+    import spark.implicits._
+    // 3-cycle a->b->c->a: no sinks, out-degree 1 everywhere, so the
+    // stationary distribution is uniform (≈ 333333 ppm each). Ten
+    // unrolled rounds without the per-round localCheckpoint cut blow up
+    // analyzer/optimizer time quadratically — completing promptly IS
+    // the lineage assertion; the values check it's still PageRank.
+    val docs = Seq("a b c a").toDF("text")
+    val got = TokenGraph.pagerankE6(spark, docs, col("text"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    got.values.foreach(pr => assert(math.abs(pr - 333333L) <= 40L,
+      s"not converged: $got"))
+  }
 }
