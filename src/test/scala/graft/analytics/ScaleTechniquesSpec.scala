@@ -115,4 +115,68 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
     assert(pruned.count() ===
       ev.filter(col("event_type") === "click").count())
   }
+
+  test("q144 fact scan is pruned by a runtime dynamicpruning filter") {
+    // The dim is an aggregate of the base table, so no static
+    // constraint can reach the fact's partition column — if the scan
+    // still shows a partition filter, it can only be DPP's runtime
+    // subquery fed by the reused broadcast.
+    val q = graft.SparkEntry.queries("q144_dynamic_pruning")
+    val df = q(spark, "/root/testdata/sf0.001")
+    assert(df.collect().nonEmpty)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // after AQE execution the tree's leaves are QueryStageExec wrappers
+    // whose real subplans hang off `.plan`, not `children`
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val factScan = scans(df.queryExecution.executedPlan)
+      .find(_.partitionFilters.nonEmpty)
+      .getOrElse(fail("no partitioned scan in q144 plan"))
+    assert(factScan.partitionFilters.mkString.contains("dynamicpruning"),
+      s"no runtime pruning on the fact scan: ${factScan.partitionFilters}")
+  }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    import spark.implicits._
+    // one hot key dwarfing the tail: the hot shuffle partition is both
+    // > skewedPartitionThresholdInBytes and ≫ 5× the median, so AQE's
+    // OptimizeSkewedJoin must split it into advisory-sized slices —
+    // the runtime answer to skew the salted-agg/salted-join gates
+    // (q57/q104) solve by rewrite
+    // payload must be INCOMPRESSIBLE — a constant pad shrinks to
+    // nothing in the compressed shuffle blocks and AQE sees no skew
+    val hot = spark.range(20000).select(lit("hot").as("k"),
+      expr("repeat(md5(cast(id as string)), 8)").as("payload"))
+    val tail = spark.range(64L * 50).select(
+      concat(lit("k"), (col("id") % 64).cast("string")).as("k"),
+      expr("repeat(md5(cast(id + 1000000 as string)), 8)").as("payload"))
+    val left = hot.unionAll(tail)
+    val right = ("hot" +: (0 until 64).map(i => s"k$i")).toDF("rk")
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      val joined = left.join(right, col("k") === col("rk"))
+      // execute THIS df (count() would spawn its own QueryExecution and
+      // leave joined's AQE plan un-finalized)
+      assert(joined.collect().length === 20000 + 64 * 50)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"skewed partition not split by AQE:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
