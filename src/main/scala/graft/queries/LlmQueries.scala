@@ -723,6 +723,32 @@ object LlmQueries {
                      ELSE 'test' END AS split
          FROM documents ORDER BY doc_id"""),
 
+    // Q145: cross-document exact repeated substrings — the character-
+    // level suffix-array dedup shape (memorization-hazard spans),
+    // approximated by strided 40-char windows. Corpus text never
+    // shuffles: spans reduce map-side to the portable 60-bit hash, the
+    // recurring set is a two-level distinct-doc aggregate, and the
+    // persisted span relation feeds both that set and the per-doc
+    // probe. Oracle recomputes the identical windows via
+    // unnest(generate_series) + substr (both engines are 1-based,
+    // inclusive-stop, character-counting).
+    "q145_repeated_substrings" -> QuerySpec(
+      (s, dir) =>
+        ExactSubstrings.repeatedSpanCounts(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          window = 40, stride = 20)
+          .orderBy("doc_id"),
+      """WITH pos AS (SELECT doc_id, text,
+                             unnest(generate_series(1, length(text)-39, 20)) AS p
+                      FROM documents WHERE length(text) >= 40),
+         spans AS (SELECT doc_id,
+                          ('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 40)), 1, 15))::BIGINT AS h
+                   FROM pos),
+         rep AS (SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_rep_spans
+         FROM spans s JOIN rep USING (h)
+         GROUP BY 1 ORDER BY 1"""),
+
     // Within-document repetition (repeated-3-gram ratio): the classic
     // looping-text quality filter, map-only per row.
     "q40_repetition" -> QuerySpec(
