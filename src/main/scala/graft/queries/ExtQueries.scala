@@ -264,6 +264,73 @@ object ExtQueries {
                       AND c.c_us <= p.p_us
          ORDER BY click_id, purchase_id"""),
 
+    // Q146: stream-stream LEFT OUTER interval join — the state-
+    // EVICTION semantics q85's inner join never exercises. An
+    // unmatched click emits null-extended only when the global
+    // watermark (min over both inputs of max event time − 2 days)
+    // passes the last instant a purchase could still match it
+    // (click ts + 6 h); newer unmatched clicks stay in state and are
+    // correctly ABSENT from the sink. The oracle encodes exactly that:
+    // batch inner join ∪ unmatched clicks with c_us + 6h < watermark.
+    // At 100 TB this is the always-on attribution pipeline: state
+    // stays watermark-bounded and every click is eventually accounted
+    // for, matched or expired.
+    "q146_streaming_outer_join" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q146")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click").select(
+          col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase").select(
+          col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        clicks.coalesce(1).write.parquet(s"$tmp/clicks")
+        purchases.coalesce(1).write.parquet(s"$tmp/purchases")
+        val cs = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
+        val ps = s.readStream.schema(purchases.schema).parquet(s"$tmp/purchases")
+        val joined = graft.streaming.StreamJoin.intervalJoin(
+          cs, ps, "c_user", "p_user", "c_ts", "p_ts",
+          lookback = "6 HOURS", watermark = "2 DAYS", joinType = "leftOuter")
+          .select(col("c_user").as("user_id"), col("click_id"),
+            col("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delta_us"))
+        val q = withStatePartitions(s, 4) {
+          joined.writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
+        q.awaitTermination()
+        deleteRecursively(tmpPath.resolve("clicks"))
+        deleteRecursively(tmpPath.resolve("purchases"))
+        deleteRecursively(tmpPath.resolve("checkpoint"))
+        deleteOnExit(tmpPath)
+        s.read.parquet(s"$tmp/out").orderBy("click_id", "purchase_id")
+      },
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS c_us, event_id AS click_id
+                    FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us, event_id AS purchase_id
+               FROM events WHERE event_type = 'purchase'),
+         w AS (SELECT least((SELECT max(c_us) FROM c), (SELECT max(p_us) FROM p))
+                      - 172800000000 AS wm),
+         m AS (SELECT c.user_id, c.click_id, p.purchase_id,
+                      p.p_us - c.c_us AS delta_us
+               FROM c JOIN p ON c.user_id = p.user_id
+                            AND c.c_us >= p.p_us - 21600000000
+                            AND c.c_us <= p.p_us)
+         SELECT user_id, click_id, purchase_id, delta_us FROM m
+         UNION ALL
+         SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+                CAST(NULL AS BIGINT) AS delta_us
+         FROM c CROSS JOIN w
+         WHERE c.click_id NOT IN (SELECT click_id FROM m)
+           AND c.c_us + 21600000000 < w.wm
+         ORDER BY click_id, purchase_id"""),
+
     // Q33: multimodal binary plumbing without codecs — synthesize each
     // asset's payload as a StubCodec header from doc_id arithmetic
     // (every 13th doc gets undecodable bytes), push it through resize

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * rows have arrived; state is bounded by watermark + lookback however
   * long the streams run.
   *
+  * With `joinType = "leftOuter"` the join also EMITS unmatched left
+  * rows null-extended — but only once the watermark proves no future
+  * right row can match them (left ts + lookback below the global
+  * watermark); unmatched rows newer than that stay in state, correctly
+  * unemitted. That eviction-driven emission is the semantic difference
+  * from a batch left join and is what q146's oracle encodes explicitly.
+  *
   * Callers pass uniquely-named columns on the two sides (the join
   * output keeps both sides' columns).
   */
@@ -29,12 +36,14 @@ object StreamJoin {
       leftTs: String,
       rightTs: String,
       lookback: String,
-      watermark: String): DataFrame = {
+      watermark: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(leftTs) >= col(rightTs) - expr(s"INTERVAL $lookback") &&
-        col(leftTs) <= col(rightTs))
+        col(leftTs) <= col(rightTs),
+      joinType)
   }
 }

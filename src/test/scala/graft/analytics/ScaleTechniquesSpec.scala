@@ -179,4 +179,33 @@ class ScaleTechniquesSpec extends AnyFunSuite with SparkTestSession {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the ROW-level companion to q144's partition-level DPP: a bloom
+    // built from the filtered dim's join keys is pushed into the fact
+    // scan, dropping rows before the shuffle. Thresholds here only
+    // undo the 10 GB production default so the 6 MB fixture qualifies.
+    val dir = "/root/testdata/sf0.001"
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = graft.Tables.lineitem(spark, dir)
+      val urgent = graft.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("qty"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.collect().length === 1)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
