@@ -749,6 +749,38 @@ object LlmQueries {
          FROM spans s JOIN rep USING (h)
          GROUP BY 1 ORDER BY 1"""),
 
+    // Q147: content-defined chunking dedup — segment boundaries sit
+    // where the rolling 8-gram hash ≡ 0 (mod 16), a property of the
+    // text itself, so two documents sharing a long run at DIFFERENT
+    // offsets still produce identical segments (the recall case q145's
+    // doc-aligned stride grid misses when offsets disagree mod stride —
+    // the rsync/CDC insight). Oracle rebuilds the identical boundary
+    // list with list_filter over the same md5-prefix hash grid.
+    "q147_cdc_segment_dedup" -> QuerySpec(
+      (s, dir) =>
+        ExactSubstrings.sharedSegmentCounts(
+          Tables.documents(s, dir), col("doc_id"), col("text"),
+          gram = 8, modulus = 16, minLen = 20)
+          .orderBy("doc_id"),
+      """WITH bp AS (SELECT doc_id, text,
+                            list_concat(list_concat([CAST(1 AS BIGINT)],
+                              list_filter(range(2, greatest(length(text)-6, 2)),
+                                p -> ('0x'||substr(md5(substr(text,p,8)),1,15))::BIGINT % 16 = 0)),
+                              [length(text)+1]) AS bounds
+                     FROM documents),
+         segs AS (SELECT doc_id,
+                         ('0x'||substr(md5(seg),1,15))::BIGINT AS h
+                  FROM (SELECT doc_id,
+                          unnest(list_transform(range(1, len(bounds)),
+                            i -> substr(text, CAST(bounds[i] AS INTEGER),
+                                        CAST(bounds[i+1]-bounds[i] AS INTEGER)))) AS seg
+                        FROM bp)
+                  WHERE length(seg) >= 20),
+         rep AS (SELECT h FROM segs GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_rep_segments
+         FROM segs s JOIN rep USING (h)
+         GROUP BY 1 ORDER BY 1"""),
+
     // Within-document repetition (repeated-3-gram ratio): the classic
     // looping-text quality filter, map-only per row.
     "q40_repetition" -> QuerySpec(
