@@ -19,6 +19,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => graft.plans.RewriteMd5PrefixChain)
     extensions.injectOptimizerRule(_ => graft.plans.RewriteLongDotChain)
+    // the native as-of join: marker function consumed by an analysis
+    // rule that swaps the marked Join for the dedicated logical node,
+    // planned by the injected strategy into the single-pass merge
+    extensions.injectResolutionRule(_ => graft.plans.RewriteAsOfMarkerJoin)
+    extensions.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    extensions.injectFunction((
+      FunctionIdentifier("graft_asof_marker"),
+      new ExpressionInfo(
+        classOf[graft.plans.GraftAsOfMarker].getName,
+        null,
+        "graft_asof_marker",
+        "graft_asof_marker(left_ts, right_ts, right_id) - as-of join " +
+          "condition marker: attach the right row with the greatest " +
+          "right_ts <= left_ts (ties: greatest right_id)",
+        ""),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"graft_asof_marker takes 3 arguments, got ${children.size}")
+        graft.plans.GraftAsOfMarker(children(0), children(1), children(2))
+      }))
     extensions.injectFunction((
       FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(

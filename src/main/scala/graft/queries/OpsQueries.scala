@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.AsOfJoin
+import graft.analytics.{AsOfJoin, AsOfJoinNative}
 import graft.llm.{Curation, IncrementalDedup, SequencePacker, TextAnalysis, TextChunker, TextHash}
 
 /** Round-5 extension operators, gated: as-of join, token chunking,
@@ -15,6 +15,42 @@ import graft.llm.{Curation, IncrementalDedup, SequencePacker, TextAnalysis, Text
 object OpsQueries {
 
   val specs: Map[String, QuerySpec] = Map(
+
+    // Q148: the NATIVE as-of join (custom logical node + planner
+    // strategy + single-pass merge exec, `plans/AsOfJoin*.scala`) on
+    // exactly q46's query and oracle: the two implementations compute
+    // identical rows through entirely different physical plans — the
+    // union+window's one combined shuffle + running window vs the
+    // native per-side shuffles + O(1)-state forward merge.
+    "q148_native_asof_join" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+        val clicks = ev.filter(col("event_type") === "click")
+        AsOfJoinNative.asOf(purchases, clicks, "user_id", "ts_us", "event_id",
+          payloadCols = Seq("event_id", "ts_us"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                    FROM events),
+         u AS (
+           SELECT user_id, ts_us, event_id, 0 AS tag,
+                  event_id AS r_id, ts_us AS r_ts
+           FROM e WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts_us, event_id, 1 AS tag, NULL, NULL
+           FROM e WHERE event_type = 'purchase'),
+         m AS (
+           SELECT user_id, ts_us, event_id, tag,
+                  last_value(r_id IGNORE NULLS) OVER w AS asof_event_id,
+                  last_value(r_ts IGNORE NULLS) OVER w AS asof_ts_us
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts_us, event_id, asof_event_id, asof_ts_us
+         FROM m WHERE tag = 1 ORDER BY event_id"""),
 
     // Q46: as-of join — for each purchase event, the most recent click
     // by the same user at-or-before the purchase. Union+window plan:
