@@ -30,14 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.plans.GraftAsOfMarker].getName,
         null,
         "graft_asof_marker",
-        "graft_asof_marker(left_ts, right_ts, right_id) - as-of join " +
-          "condition marker: attach the right row with the greatest " +
-          "right_ts <= left_ts (ties: greatest right_id)",
+        "graft_asof_marker(left_ts, right_ts, right_id[, tolerance_us]) " +
+          "- as-of join condition marker: attach the right row with the " +
+          "greatest right_ts <= left_ts (ties: greatest right_id), " +
+          "discarded when older than left_ts - tolerance_us",
         ""),
       (children: Seq[Expression]) => {
-        require(children.size == 3,
-          s"graft_asof_marker takes 3 arguments, got ${children.size}")
-        graft.plans.GraftAsOfMarker(children(0), children(1), children(2))
+        require(children.size == 3 || children.size == 4,
+          s"graft_asof_marker takes 3 or 4 arguments, got ${children.size}")
+        graft.plans.GraftAsOfMarker(children(0), children(1), children(2),
+          children.lift(3).getOrElse(
+            org.apache.spark.sql.catalyst.expressions.Literal(null,
+              org.apache.spark.sql.types.LongType)))
       }))
     extensions.injectFunction((
       FunctionIdentifier("md5_prefix60"),

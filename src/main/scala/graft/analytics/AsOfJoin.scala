@@ -36,6 +36,11 @@ object AsOfJoin {
     * @param right rows to look up; same three columns required
     * @param payloadCols right-side columns to carry onto each left row,
     *        emitted as `asof_<name>` (null when no right row precedes)
+    * @param toleranceUs optional max lookback (µs): a match older than
+    *        `left ts − toleranceUs` is discarded (null-extended), the
+    *        pandas `merge_asof(tolerance=…)` bound. Implemented as a
+    *        second running window over the matched right row's ts plus
+    *        a post-filter — the window plan itself is unchanged.
     *
     * Every other left column rides along unchanged (packed into a
     * struct through the union so the two sides stay schema-compatible).
@@ -46,7 +51,10 @@ object AsOfJoin {
       keyCol: String,
       tsCol: String,
       idCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
+    toleranceUs.foreach(t =>
+      require(t >= 0, s"toleranceUs must be >= 0, got $t"))
     val anchor = Seq(keyCol, tsCol, idCol)
     val leftExtra = left.columns.filterNot(anchor.contains).toSeq
     val payload = struct(payloadCols.map(col): _*)
@@ -65,8 +73,20 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol).orderBy(tsCol, "__tag", idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matchedRight = last(col("__r"), ignoreNulls = true).over(w)
-    rTagged.unionByName(lTagged2)
+    val withMatch = rTagged.unionByName(lTagged2)
       .withColumn("__m", matchedRight)
+    val bounded = toleranceUs match {
+      case None => withMatch
+      case Some(t) =>
+        // ts of the matched right row rides the same running last (null
+        // exactly when __m is null), so the bound is one conditional
+        withMatch
+          .withColumn("__mts", last(when(col("__tag") === 0, col(tsCol)),
+            ignoreNulls = true).over(w))
+          .withColumn("__m",
+            when(col(tsCol) - col("__mts") <= t, col("__m")))
+    }
+    bounded
       .filter(col("__tag") === 1)
       .select(
         Seq(col(keyCol), col(tsCol), col(idCol)) ++

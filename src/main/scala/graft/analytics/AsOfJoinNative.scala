@@ -27,7 +27,8 @@ object AsOfJoinNative {
       keyCol: String,
       tsCol: String,
       idCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame = {
     val anchor = Seq(keyCol, tsCol, idCol)
     val leftExtra = left.columns.filterNot(anchor.contains).toSeq
     // rename the right side so the join output has no duplicate names;
@@ -35,10 +36,12 @@ object AsOfJoinNative {
     // node is opaque to column pruning, so pruning happens here
     val rCols = (anchor ++ payloadCols).distinct
     val r = right.select(rCols.map(c => col(c).as(s"__r_$c")): _*)
+    val tolLit = toleranceUs
+      .map(t => lit(t)).getOrElse(lit(null).cast("bigint"))
     val joined = left.join(r,
       col(keyCol) === col(s"__r_$keyCol") &&
         call_function("graft_asof_marker",
-          col(tsCol), col(s"__r_$tsCol"), col(s"__r_$idCol")))
+          col(tsCol), col(s"__r_$tsCol"), col(s"__r_$idCol"), tolLit))
     joined.select(
       (anchor ++ leftExtra).map(col) ++
         payloadCols.map(c => col(s"__r_$c").as(s"asof_$c")): _*)

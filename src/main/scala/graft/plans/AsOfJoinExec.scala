@@ -15,7 +15,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: GraftAsOfJoin =>
       GraftAsOfJoinExec(p.leftKeys, p.rightKeys, p.leftTs, p.rightTs,
-        p.rightId, planLater(p.left), planLater(p.right)) :: Nil
+        p.rightId, p.toleranceUs, planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }
@@ -49,6 +49,7 @@ case class GraftAsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightId: Expression,
+    toleranceUs: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -89,7 +90,7 @@ case class GraftAsOfJoinExec(
     val rKeys = rightKeys
     val lTs = leftTs
     val rTs = rightTs
-    val rId = rightId
+    val tol = toleranceUs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -104,9 +105,12 @@ case class GraftAsOfJoinExec(
 
       new Iterator[InternalRow] {
         // best right row seen for `curKey` (a defensive copy — the
-        // child iterator reuses its row object)
+        // child iterator reuses its row object) and its ts; a match
+        // that later falls out of tolerance needs no replacement
+        // scan — any earlier right row is older still
         private var curKey: InternalRow = null
         private var lastMatch: InternalRow = null
+        private var lastMatchTs: Long = Long.MinValue
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -138,12 +142,16 @@ case class GraftAsOfJoinExec(
               else {
                 val rtAny = rTsBound.eval(head)
                 if (rtAny == null) rBuf.next() // unmatchable, skip
-                else if (rtAny.asInstanceOf[Long] <= lt)
+                else if (rtAny.asInstanceOf[Long] <= lt) {
+                  lastMatchTs = rtAny.asInstanceOf[Long]
                   lastMatch = rBuf.next().copy()
-                else take = false
+                } else take = false
               }
             }
-            matched = lastMatch
+            matched =
+              if (lastMatch != null && tol.exists(t => lt - lastMatchTs > t))
+                null
+              else lastMatch
           }
           numOutputRows += 1
           if (matched != null) {

@@ -42,14 +42,16 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * an explicit analysis error, not a silent wrong answer.
   */
 case class GraftAsOfMarker(leftTs: Expression, rightTs: Expression,
-    rightId: Expression) extends Expression with Unevaluable {
-  override def children: Seq[Expression] = Seq(leftTs, rightTs, rightId)
+    rightId: Expression, tolerance: Expression) extends Expression
+    with Unevaluable {
+  override def children: Seq[Expression] =
+    Seq(leftTs, rightTs, rightId, tolerance)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(leftTs = newChildren(0), rightTs = newChildren(1),
-      rightId = newChildren(2))
+      rightId = newChildren(2), tolerance = newChildren(3))
 }
 
 /** Backward as-of join: output = every left row ++ the matched right
@@ -67,7 +69,8 @@ case class GraftAsOfJoin(
     rightKeys: Seq[Expression],
     leftTs: Expression,
     rightTs: Expression,
-    rightId: Expression) extends BinaryNode {
+    rightId: Expression,
+    toleranceUs: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -128,7 +131,17 @@ object RewriteAsOfMarkerJoin extends Rule[LogicalPlan] {
         for (e <- Seq(m.leftTs, m.rightTs, m.rightId))
           if (e.dataType != LongType)
             fail(s"$e must be BIGINT (epoch micros / id), got ${e.dataType}")
+        val tol = m.tolerance match {
+          case e if !e.foldable =>
+            fail(s"tolerance must be a literal, got $e")
+          case e => Option(e.eval(null)) map {
+            case t: Long if t >= 0 => t
+            case t: Long => fail(s"tolerance must be >= 0, got $t")
+            case other => fail(s"tolerance must be BIGINT µs, got $other " +
+              s"of ${m.tolerance.dataType}")
+          }
+        }
         GraftAsOfJoin(l, r, keys.map(_._1), keys.map(_._2),
-          m.leftTs, m.rightTs, m.rightId)
+          m.leftTs, m.rightTs, m.rightId, tol)
     }
 }

@@ -52,6 +52,44 @@ object OpsQueries {
          SELECT user_id, ts_us, event_id, asof_event_id, asof_ts_us
          FROM m WHERE tag = 1 ORDER BY event_id"""),
 
+    // Q149: tolerance-bounded as-of (pandas merge_asof parity) on the
+    // native exec: a click older than 30 minutes before the purchase
+    // is no attribution — matched rows outside the bound null-extend.
+    // The oracle carries the matched right ts through the same running
+    // window and applies the identical conditional.
+    "q149_asof_tolerance" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+        val clicks = ev.filter(col("event_type") === "click")
+        AsOfJoinNative.asOf(purchases, clicks, "user_id", "ts_us", "event_id",
+          payloadCols = Seq("event_id", "ts_us"),
+          toleranceUs = Some(1800000000L))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+                    FROM events),
+         u AS (
+           SELECT user_id, ts_us, event_id, 0 AS tag,
+                  event_id AS r_id, ts_us AS r_ts
+           FROM e WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts_us, event_id, 1 AS tag, NULL, NULL
+           FROM e WHERE event_type = 'purchase'),
+         m AS (
+           SELECT user_id, ts_us, event_id, tag,
+                  last_value(r_id IGNORE NULLS) OVER w AS a_id,
+                  last_value(r_ts IGNORE NULLS) OVER w AS a_ts
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts_us, event_id,
+                CASE WHEN ts_us - a_ts <= 1800000000 THEN a_id END AS asof_event_id,
+                CASE WHEN ts_us - a_ts <= 1800000000 THEN a_ts END AS asof_ts_us
+         FROM m WHERE tag = 1 ORDER BY event_id"""),
+
     // Q46: as-of join — for each purchase event, the most recent click
     // by the same user at-or-before the purchase. Union+window plan:
     // ONE shuffle on user_id, no range explosion (see AsOfJoin). The

@@ -103,11 +103,25 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
         rnd.nextInt(50).toLong, rnd.nextInt(100000).toLong))
         .distinct.map { case (k, t, i) => (k, t, i, s"v$i") }
         .toDF("k", "ts_us", "id", "v")
-      val a = AsOfJoinNative.asOf(lf, rf, "k", "ts_us", "id", Seq("v"))
-        .orderBy("k", "ts_us", "id").collect().toSeq
-      val b = AsOfJoin.asOf(lf, rf, "k", "ts_us", "id", Seq("v"))
-        .orderBy("k", "ts_us", "id").collect().toSeq
-      assert(a === b, s"trial $trial diverged")
+      for (tol <- Seq(None, Some(0L), Some(7L), Some(1000L))) {
+        val a = AsOfJoinNative.asOf(lf, rf, "k", "ts_us", "id", Seq("v"), tol)
+          .orderBy("k", "ts_us", "id").collect().toSeq
+        val b = AsOfJoin.asOf(lf, rf, "k", "ts_us", "id", Seq("v"), tol)
+          .orderBy("k", "ts_us", "id").collect().toSeq
+        assert(a === b, s"trial $trial tol=$tol diverged")
+      }
+    }
+  }
+
+  test("tolerance discards stale matches in both implementations") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, 1L), (1L, 103L, 2L)).toDF("k", "ts_us", "id")
+    val r = Seq((1L, 98L, 20L, "recent")).toDF("k", "ts_us", "id", "v")
+    for (impl <- Seq(AsOfJoinNative.asOf _, AsOfJoin.asOf _)) {
+      val out = impl(l, r, "k", "ts_us", "id", Seq("v"), Some(3L))
+        .orderBy("id").collect()
+      assert(out(0).getString(3) === "recent") // 100-98 = 2 <= 3
+      assert(out(1).isNullAt(3)) // 103-98 = 5 > 3: stale, discarded
     }
   }
 
