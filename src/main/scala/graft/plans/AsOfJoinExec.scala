@@ -24,9 +24,11 @@ object AsOfJoinStrategy extends SparkStrategy {
   *
   * Physical contract: both children hash-clustered on their keys
   * (`ClusteredDistribution` — the same requirement SortMergeJoinExec
-  * declares, so EnsureRequirements co-partitions them and AQE treats
-  * the two exchanges like any shuffle join's), left sorted by
-  * (keys, ts), right by (keys, ts, id). Each partition is then ONE
+  * declares, so EnsureRequirements co-partitions them and AQE
+  * coalesces the two exchanges like any shuffle join's; note AQE's
+  * skew-join SPLIT rewrites only the built-in SMJ/SHJ nodes, so a
+  * pathologically hot key here needs the library's salting pattern,
+  * not AQE), left sorted by (keys, ts), right by (keys, ts, id). Each partition is then ONE
   * forward merge: the right cursor never rewinds (left ts is
   * nondecreasing within a key), and the only retained state is the
   * single best-so-far right row for the current key — O(1), against
@@ -100,7 +102,12 @@ case class GraftAsOfJoinExec(
         RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.size)
-      val resultProj = UnsafeProjection.create(output, lOut ++ rOut)
+      // bind against the NULL-PADDED schema (right side forced
+      // nullable): binding to rOut as-is would let a non-nullable
+      // right column elide its null check and read 0 from the
+      // null-extension row instead of null
+      val resultProj =
+        UnsafeProjection.create(output, lOut ++ rOut.map(_.withNullability(true)))
       val rBuf = rIter.buffered
 
       new Iterator[InternalRow] {

@@ -113,6 +113,29 @@ class AsOfJoinNativeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("20k-row skewed corpus agrees across partition boundaries") {
+    // one hot key holding half the rows (long key group spanning sort
+    // runs) plus a wide tail across all shuffle partitions; duplicates
+    // ARE allowed — identical (k, ts, id) right rows are
+    // indistinguishable, so either copy matching is the same output
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def gen(n: Int) = Seq.fill(n) {
+      val k = if (rnd.nextBoolean()) 0L else rnd.nextInt(200).toLong
+      (k, rnd.nextInt(2000).toLong, rnd.nextInt(1000000).toLong)
+    }
+    val lf = gen(10000).toDF("k", "ts_us", "id")
+    val rf = gen(10000).map { case (k, t, i) => (k, t, i, i * 31) }
+      .toDF("k", "ts_us", "id", "v")
+    for (tol <- Seq(None, Some(50L))) {
+      val a = AsOfJoinNative.asOf(lf, rf, "k", "ts_us", "id", Seq("v"), tol)
+        .orderBy("k", "ts_us", "id").collect().toSeq
+      val b = AsOfJoin.asOf(lf, rf, "k", "ts_us", "id", Seq("v"), tol)
+        .orderBy("k", "ts_us", "id").collect().toSeq
+      assert(a === b, s"tol=$tol diverged")
+    }
+  }
+
   test("tolerance discards stale matches in both implementations") {
     import spark.implicits._
     val l = Seq((1L, 100L, 1L), (1L, 103L, 2L)).toDF("k", "ts_us", "id")
