@@ -228,6 +228,92 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the production-scale alternative to
+    * [[connectedComponents]]'s label propagation. Propagation needs
+    * O(diameter) rounds, so an adversarial chain-shaped duplicate
+    * cluster (doc A ≈ B ≈ C ≈ … — common when a template drifts one
+    * edit per generation) costs rounds linear in the chain length.
+    * Star operations contract the graph toward each component's
+    * minimum in O(log n) rounds REGARDLESS of diameter:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(N(u) ∪ {u}) — emits (v, m);
+    *  - small-star(u), edges oriented high→low: every neighbor v ≤ u
+    *    (and u itself) re-attaches to m = min(N⁻(u) ∪ {u}).
+    *
+    * Each round is one groupBy(min) + one equi-join on the node id —
+    * the SAME shuffle shape per round as label propagation, just
+    * fewer rounds. Per-round `localCheckpoint` cuts lineage exactly
+    * as in [[connectedComponents]] (reliable `checkpoint()` on a real
+    * cluster). At fixpoint the edge set IS the star (node → component
+    * min), so labels fall out without a final propagation pass.
+    *
+    * Returns (id, cluster_id) for every node on an edge — same
+    * contract and same result as [[connectedComponents]] (gated
+    * result-identical against the q36 oracle; the equivalence is also
+    * property-tested on random graphs).
+    */
+  def connectedComponentsStars(
+      pairs: DataFrame,
+      id1: String,
+      id2: String,
+      maxIter: Int = 16): DataFrame = {
+    // Canonical directed form: high → low, self-loops out, distinct.
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    // large-star: group the SYMMETRIZED neighborhood by u, attach every
+    // strictly-larger neighbor to min(N(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src").as("u"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      sym.join(m, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    // small-star: edges already high→low, so N⁻(u) = the dst side;
+    // every low neighbor AND u itself attach to the neighborhood min.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val joined = e.join(m, col("src") === col("u"))
+      joined.select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(joined.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var edges = canon(
+      pairs.select(col(id1).as("src"), col(id2).as("dst")))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = canon(smallStar(largeStar(edges))).localCheckpoint(true)
+      // Both sides are DISTINCT sets, so equal-count + empty one-sided
+      // difference ⇔ set equality. At cluster scale swap the exceptAll
+      // for a (count, xor-of-hash) checksum to avoid the extra join.
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+      iter += 1
+    }
+    // Fixpoint edge set is the star: src = member, dst = component min.
+    edges.select(col("src").as("id"), col("dst").as("cluster_id"))
+      .unionByName(
+        edges.select(col("dst").as("id"), col("dst").as("cluster_id")))
+      .distinct()
+  }
+
   /** The end-to-end near-dup DROP: cluster the verified pairs, keep
     * each cluster's smallest id, anti-join the rest out of the corpus.
     * Documents on no edge pass through untouched (no shuffle applies to

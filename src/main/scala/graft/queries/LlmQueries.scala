@@ -138,6 +138,43 @@ object LlmQueries {
           WHERE i.i / (n1.n + n2.n - i.i) >= 0.5
           ORDER BY id1, id2"""
 
+  /** Connected components over the verified near-dup pairs, as a
+    * recursive reachability closure — shared by q36 (label propagation)
+    * and q150 (large-star/small-star): two algorithms, one pinned
+    * answer.
+    */
+  private val clustersOracleSql =
+    s"""WITH RECURSIVE $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bandt a JOIN bandt b USING (band)
+                   WHERE a.doc_id < b.doc_id),
+          inter AS (SELECT p.id1, p.id2, count(*) AS i
+                    FROM cand p
+                    JOIN sh s1 ON s1.doc_id = p.id1
+                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
+                    GROUP BY 1, 2),
+          vp AS (SELECT i.id1, i.id2
+                 FROM inter i
+                 JOIN sizes n1 ON n1.doc_id = i.id1
+                 JOIN sizes n2 ON n2.doc_id = i.id2
+                 WHERE i.i / (n1.n + n2.n - i.i) >= 0.5),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM vp
+                    UNION ALL SELECT id2, id1 FROM vp),
+          reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+          SELECT id AS doc_id, min(lab) AS cluster_id,
+                 id = min(lab) AS is_canonical
+          FROM reach GROUP BY id ORDER BY doc_id"""
+
   val specs: Map[String, QuerySpec] = Map(
 
     // --- dedup --------------------------------------------------------------
@@ -525,36 +562,28 @@ object LlmQueries {
             (col("id") === col("cluster_id")).as("is_canonical"))
           .orderBy("doc_id")
       },
-      s"""WITH RECURSIVE $corpusSql, $shingleSql, $coefSql,
-          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
-                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
-          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
-          bandt AS (SELECT doc_id,
-                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
-                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
-                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
-          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-                   FROM bandt a JOIN bandt b USING (band)
-                   WHERE a.doc_id < b.doc_id),
-          inter AS (SELECT p.id1, p.id2, count(*) AS i
-                    FROM cand p
-                    JOIN sh s1 ON s1.doc_id = p.id1
-                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
-                    GROUP BY 1, 2),
-          vp AS (SELECT i.id1, i.id2
-                 FROM inter i
-                 JOIN sizes n1 ON n1.doc_id = i.id1
-                 JOIN sizes n2 ON n2.doc_id = i.id2
-                 WHERE i.i / (n1.n + n2.n - i.i) >= 0.5),
-          edges AS (SELECT id1 AS src, id2 AS dst FROM vp
-                    UNION ALL SELECT id2, id1 FROM vp),
-          reach(id, lab) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
-          SELECT id AS doc_id, min(lab) AS cluster_id,
-                 id = min(lab) AS is_canonical
-          FROM reach GROUP BY id ORDER BY doc_id"""),
+      clustersOracleSql),
+
+    // Same clusters, O(log n) rounds: large-star/small-star contraction
+    // (Kiveris et al.) over the SAME verified pairs, pinned to the SAME
+    // recursive-CTE oracle as q36 — an algorithm swap gated
+    // result-identical, the q129 salted-LSH precedent applied to graph
+    // contraction. Label propagation pays O(diameter) rounds, so a
+    // template-drift chain (A≈B≈C≈…, one edit per generation) 40 docs
+    // deep costs 40 join rounds at 100 TB; star contraction collapses
+    // the same chain in ~log₂(40) rounds with the identical per-round
+    // shuffle shape (one min-aggregate + one node-id equi-join).
+    "q150_cc_two_phase" -> QuerySpec(
+      (s, dir) => {
+        val verified = lshPipeline(s, dir, saltFactor = 1)
+          .select("id1", "id2")
+          .transform(graft.CacheScope.persist)
+        Dedup.connectedComponentsStars(verified, "id1", "id2")
+          .select(col("id").as("doc_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      clustersOracleSql),
 
     // The near-dup DROP end to end: cluster q36's verified pairs, keep
     // one canonical doc per cluster, anti-join the rest out of the

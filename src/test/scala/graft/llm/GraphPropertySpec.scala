@@ -46,4 +46,24 @@ object GraphPropertySpec extends Properties("GraphProperties") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == unionFind(edges)
     }
+
+  // The O(log n) star-contraction variant must agree with union-find
+  // (and hence with label propagation) on every random graph —
+  // including long chains, where propagation's round count is the
+  // diameter but contraction's is logarithmic.
+  property("large-star/small-star labels equal the component minimum") =
+    forAll(graphGen) { edges =>
+      import spark.implicits._
+      val pairs = edges.toDF("id1", "id2")
+      val got = Dedup.connectedComponentsStars(pairs, "id1", "id2")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == unionFind(edges)
+    }
+
+  property("star contraction resolves a 30-node chain") = {
+    import spark.implicits._
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id1", "id2")
+    Dedup.connectedComponentsStars(chain, "id1", "id2")
+      .collect().forall(r => r.getLong(1) == 0L)
+  }
 }
