@@ -37,7 +37,8 @@ object SparkEntry {
   private lazy val specs: Map[String, QuerySpec] =
     CoreQueries.specs ++ EtlQueries.specs ++ LlmQueries.specs ++
       ExtQueries.specs ++ OpsQueries.specs ++ ScaleQueries.specs ++
-      DeepQueries.specs ++ FrontierQueries.specs ++ DecorrelationQueries.specs
+      DeepQueries.specs ++ FrontierQueries.specs ++ DecorrelationQueries.specs ++
+      JoinShapeQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }
