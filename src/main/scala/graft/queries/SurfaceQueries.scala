@@ -1,0 +1,227 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** SQL-surface and engine-native-operator gates that round out the
+  * declarative surface a reference user would reach for:
+  *
+  *   - q159: the engine's NATIVE session-window operator
+  *     (`session_window`) driven through a real watermarked stream —
+  *     the state-store-merged counterpart of the hand-rolled
+  *     `flatMapGroupsWithState` sessionizer (q56) and the batch
+  *     gaps-and-islands form (q44).
+  *   - q160: `WITH RECURSIVE` through `spark.sql` — the recursive-CTE
+  *     surface (date-spine zero-fill), previously exercised only on
+  *     the DuckDB oracle side.
+  *   - q161: correlated LATERAL subquery with ORDER BY + LIMIT — the
+  *     optimizer decorrelates it to a WindowGroupLimit plan (verified
+  *     in SurfaceGatesSpec), never a per-outer-row re-execution.
+  *
+  * Reference anchor: the reference dashboards sessionize audit rows
+  * and zero-fill date ranges client-side after SELECTing raw rows
+  * (/root/reference/ui/audit_dashboard.py); here both are engine-side
+  * relational operators that keep the work distributed.
+  */
+object SurfaceQueries {
+
+  /** Scoped shuffle-partition override for stream starts — state lives
+    * in one store per shuffle partition (see ExtQueries scaladoc); the
+    * conf is read when the stream starts, so the override scopes to
+    * the call.
+    */
+  private def withStatePartitions[A](
+      s: SparkSession, n: Int)(start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Stage `parts` as single-file parquet inputs under `dir` with
+    * strictly ascending modification times, so the file stream source
+    * (which orders by mtime) delivers them as microbatches in exactly
+    * this order. Seconds-apart mtimes dodge filesystem timestamp
+    * granularity; names are ordered too for human debugging.
+    */
+  private def stageOrdered(parts: Seq[DataFrame], dir: Path): Unit = {
+    val now = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (df, i) =>
+      val scratch = Files.createTempDirectory(dir, s"stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = Files.list(scratch).iterator()
+      val src = {
+        import scala.jdk.CollectionConverters._
+        part.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val dst = dir.resolve(f"$i%02d-batch.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(
+        dst, FileTime.fromMillis(now - (parts.size - i) * 10000L))
+      GateTmp.deleteRecursively(scratch)
+    }
+  }
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q159: native session windows through a REAL stream. The engine
+    // merges per-key session state in the state store (sessions that
+    // touch within the 30-minute gap coalesce as events arrive) and
+    // emits a session only when the event-time watermark passes its
+    // end — the operator Spark ships for what q56 hand-rolls. Two
+    // far-future sentinel batches (+3 h, +6 h, user −1) push the
+    // watermark past every real session's end so the AvailableNow
+    // drain deterministically closes them all, without relying on a
+    // trailing no-data microbatch: the batch that processes sentinel 2
+    // already plans with watermark = sentinel 1. Scale shape: one hash
+    // shuffle on user_id; state is one struct per OPEN session per
+    // key, evicted at watermark — bounded by concurrent open sessions,
+    // not corpus size. Tie rule (pinned by SurfaceGatesSpec on a
+    // crafted exact-gap corpus, where the fixture's random microsecond
+    // timestamps never land): an event exactly `gap` after its
+    // predecessor MERGES into the session — Spark treats the window
+    // end inclusively when merging — so the oracle's island test is
+    // strict `>`, matching q44's hand-rolled sessionizer.
+    "q159_session_window_stream" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q159")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val maxTs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        def sentinel(offsetUs: Long): DataFrame =
+          ev.sparkSession.range(1).select(
+            lit(-1L).as("user_id"),
+            timestamp_micros(lit(maxTs + offsetUs)).as("ts"),
+            lit(-1L).as("event_id"))
+        val staging = Files.createDirectories(tmpPath.resolve("staging"))
+        stageOrdered(
+          Seq(ev, sentinel(3L * 3600 * 1000000), sentinel(6L * 3600 * 1000000)),
+          staging)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+        val sessions = stream
+          .withWatermark("ts", "0 seconds")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+        val q = withStatePartitions(s, 4) {
+          sessions.writeStream
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
+        q.awaitTermination()
+        GateTmp.deleteRecursively(tmpPath.resolve("staging"))
+        GateTmp.deleteRecursively(tmpPath.resolve("checkpoint"))
+        s.read.parquet(s"$tmp/out")
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "start_us")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         f AS (SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         g AS (SELECT user_id, us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS sid
+               FROM f)
+         SELECT user_id, min(us) AS start_us,
+                max(us) + 1800000000 AS end_us, count(*) AS n_events
+         FROM g GROUP BY user_id, sid ORDER BY user_id, start_us"""),
+
+    // Q160: recursive CTE date spine — the WITH RECURSIVE surface in
+    // Spark SQL itself (4.x), zero-filling days with no events so a
+    // downstream consumer sees an unbroken daily series. Recursion
+    // depth equals the CALENDAR SPAN in days (engine default limit
+    // 100 covers the fixture's one-month span with wide margin), not
+    // the corpus size: the spine is the tiny side and joins broadcast
+    // against the per-day aggregate, so 100 TB of events changes the
+    // aggregate's shuffle, never the recursion. Day indexing is
+    // integral micros arithmetic — engine-exact on both sides.
+    "q160_recursive_spine" -> QuerySpec(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_q160_events")
+        s.sql("""
+          WITH RECURSIVE
+          b AS (SELECT min(unix_micros(ts)) AS mn,
+                       (max(unix_micros(ts)) - min(unix_micros(ts)))
+                         div 86400000000L AS days
+                FROM g_q160_events),
+          spine(d) AS (
+            SELECT CAST(0 AS BIGINT)
+            UNION ALL
+            SELECT d + 1 FROM spine WHERE d + 1 <= (SELECT days FROM b)),
+          e AS (SELECT (unix_micros(ts) - (SELECT mn FROM b))
+                         div 86400000000L AS d,
+                       count(*) AS n
+                FROM g_q160_events GROUP BY 1)
+          SELECT s.d AS day_idx, coalesce(e.n, CAST(0 AS BIGINT)) AS n_events
+          FROM spine s LEFT JOIN e ON s.d = e.d
+          ORDER BY day_idx""")
+      },
+      """WITH RECURSIVE
+         b AS (SELECT min(epoch_us(ts)) AS mn,
+                      (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000 AS days
+               FROM events),
+         spine(d) AS (
+           SELECT CAST(0 AS BIGINT)
+           UNION ALL
+           SELECT d + 1 FROM spine WHERE d + 1 <= (SELECT days FROM b)),
+         e AS (SELECT (epoch_us(ts) - (SELECT mn FROM b)) // 86400000000 AS d,
+                      count(*) AS n
+               FROM events GROUP BY 1)
+         SELECT s.d AS day_idx, CAST(coalesce(e.n, 0) AS BIGINT) AS n_events
+         FROM spine s LEFT JOIN e ON s.d = e.d
+         ORDER BY day_idx"""),
+
+    // Q161: correlated LATERAL subquery with ORDER BY + LIMIT — the
+    // SQL spelling of per-group top-k. The optimizer DECORRELATES it:
+    // the plan is a WindowGroupLimit over one customer sort plus a
+    // broadcast join of nations (asserted in SurfaceGatesSpec), i.e.
+    // identical machinery to the window-function form (q91), NOT a
+    // re-executed subquery per outer row. Both the top-3 SELECTION and
+    // the projection use the e2-quantized balance: ordering by the
+    // quantized value keeps the decorrelated window's order spec on a
+    // deterministic engine-exact key (ordering by the raw double
+    // instead regresses the plan to a global range sort + unordered
+    // row_number — pinned in SurfaceGatesSpec).
+    "q161_lateral_topk" -> QuerySpec(
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("g_q161_nation")
+        Tables.customer(s, dir).createOrReplaceTempView("g_q161_customer")
+        s.sql("""
+          SELECT n.n_name, t.c_custkey, t.bal_e2
+          FROM g_q161_nation n,
+          LATERAL (SELECT c_custkey,
+                          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2
+                   FROM g_q161_customer c
+                   WHERE c.c_nationkey = n.n_nationkey
+                   ORDER BY bal_e2 DESC, c_custkey
+                   LIMIT 3) t
+          ORDER BY n_name, bal_e2 DESC, c_custkey""")
+      },
+      """SELECT n.n_name, t.c_custkey, t.bal_e2
+         FROM nation n,
+         LATERAL (SELECT c_custkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY bal_e2 DESC, c_custkey
+                  LIMIT 3) t
+         ORDER BY n_name, bal_e2 DESC, c_custkey""")
+  )
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantics and plan-shape guards for the SQL-surface gates
+  * (q159–q161). The sf0.01 oracle proves the answers; these pin the
+  * session-window tie rule on a crafted micro-corpus (the oracle's
+  * random timestamps essentially never land exactly on the gap) and
+  * the decorrelated plan shapes that make q160/q161 scale.
+  */
+class SurfaceGatesSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("session_window tie rule: exact-gap event MERGES; gap+1 splits") {
+    import spark.implicits._
+    // gap = 30 min. The event exactly `gap` after its predecessor
+    // joins the session (inclusive merge — this pins the oracle's
+    // strict `>` island test); one microsecond beyond splits.
+    val t0 = 1700000000000000L
+    val gap = 1800000000L
+    val ev = Seq(
+      (7L, t0),
+      (7L, t0 + gap),         // exactly gap later → merges
+      (7L, t0 + 2 * gap + 1)  // gap+1 after the second → new session
+    ).toDF("user_id", "us").select(
+      col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val out = ev
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s"),
+        unix_micros(col("session_window.end")).as("e"),
+        col("n"))
+      .orderBy("s")
+      .collect()
+    assert(out.toSeq === Seq(
+      Row(7L, t0, t0 + 2 * gap, 2L),
+      Row(7L, t0 + 2 * gap + 1, t0 + 3 * gap + 1, 1L)))
+  }
+
+  test("q159 stream drain equals batch session_window on the same input") {
+    // the gate's oracle is gaps-and-islands SQL; this asserts the
+    // STREAMING path (watermark + sentinel flush) loses/duplicates no
+    // session vs the batch operator on identical data.
+    val streamed = graft.SparkEntry
+      .queries("q159_session_window_stream")(spark, dir)
+      .collect()
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+      .collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("q160 spine zero-fills interior days on a crafted two-event corpus") {
+    import spark.implicits._
+    // two events 3 days apart → spine must carry days 1 and 2 with 0.
+    val tmp = Files.createTempDirectory("q160spec").toString
+    val t0 = 1700000000000000L
+    // Tables.events expects the fixture encoding: INT64 nanoseconds
+    // (read as LongType via nanosAsLong) — stage ts as nano longs.
+    Seq((1L, t0, 1L), (2L, t0 + 3L * 86400000000L, 2L))
+      .toDF("event_id", "us", "user_id")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"),
+        col("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.SparkEntry.queries("q160_recursive_spine")(spark, tmp)
+      .collect()
+    assert(out.toSeq === Seq(
+      Row(0L, 1L), Row(1L, 0L), Row(2L, 0L), Row(3L, 1L)))
+  }
+
+  test("q161 lateral top-k decorrelates to WindowGroupLimit, no re-execution") {
+    val df = graft.SparkEntry.queries("q161_lateral_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral LIMIT not decorrelated to a group-limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"lateral degenerated to a cartesian product:\n$plan")
+    // per-group top-3 with |groups| bounded by nations → the join back
+    // to nation must broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation join lost its broadcast:\n$plan")
+    // ordering the lateral by the raw double used to regress this to a
+    // GLOBAL range sort of the whole customer table before the window —
+    // exactly one range partitioning may remain (the final ORDER BY)
+    val rangeSorts = "rangepartitioning".r.findAllIn(plan).size
+    assert(rangeSorts <= 1,
+      s"customer table globally range-sorted before the group limit:\n$plan")
+  }
+}
