@@ -31,17 +31,23 @@ import graft.Tables
   */
 object SurfaceQueries {
 
-  /** Scoped shuffle-partition override for stream starts — state lives
-    * in one store per shuffle partition (see ExtQueries scaladoc); the
-    * conf is read when the stream starts, so the override scopes to
-    * the call.
+  /** Scoped conf overrides for stream starts — stream confs are read
+    * when the stream STARTS, so overrides scope to the call (see the
+    * ExtQueries scaladoc for the state-partition sizing rationale).
     */
-  private def withStatePartitions[A](
-      s: SparkSession, n: Int)(start: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def withStreamConf[A](
+      s: SparkSession, confs: (String, String)*)(start: => A): A = {
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try start finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
+
+  private def withStatePartitions[A](
+      s: SparkSession, n: Int)(start: => A): A =
+    withStreamConf(s, "spark.sql.shuffle.partitions" -> n.toString)(start)
 
   /** Stage `parts` as single-file parquet inputs under `dir` with
     * strictly ascending modification times, so the file stream source
@@ -150,23 +156,30 @@ object SurfaceQueries {
     // 100 covers the fixture's one-month span with wide margin), not
     // the corpus size: the spine is the tiny side and joins broadcast
     // against the per-day aggregate, so 100 TB of events changes the
-    // aggregate's shuffle, never the recursion. Day indexing is
-    // integral micros arithmetic — engine-exact on both sides.
+    // aggregate's shuffle, never the recursion. The [mn, days] bounds
+    // are resolved ONCE up front and inlined as literals: leaving them
+    // as scalar subqueries inside the recursion made the loop re-plan
+    // the bound per step — a full events aggregate × depth (measured
+    // 3.7 s → 0.2 s at sf0.1). Day indexing is integral micros
+    // arithmetic — engine-exact on both sides.
     "q160_recursive_spine" -> QuerySpec(
       (s, dir) => {
         Tables.events(s, dir).createOrReplaceTempView("g_q160_events")
-        s.sql("""
+        val Array(mn, days) = {
+          val r = s.sql(
+            """SELECT min(unix_micros(ts)),
+                      (max(unix_micros(ts)) - min(unix_micros(ts)))
+                        div 86400000000L
+               FROM g_q160_events""").head()
+          Array(r.getLong(0), r.getLong(1))
+        }
+        s.sql(s"""
           WITH RECURSIVE
-          b AS (SELECT min(unix_micros(ts)) AS mn,
-                       (max(unix_micros(ts)) - min(unix_micros(ts)))
-                         div 86400000000L AS days
-                FROM g_q160_events),
           spine(d) AS (
             SELECT CAST(0 AS BIGINT)
             UNION ALL
-            SELECT d + 1 FROM spine WHERE d + 1 <= (SELECT days FROM b)),
-          e AS (SELECT (unix_micros(ts) - (SELECT mn FROM b))
-                         div 86400000000L AS d,
+            SELECT d + 1 FROM spine WHERE d + 1 <= ${days}L),
+          e AS (SELECT (unix_micros(ts) - ${mn}L) div 86400000000L AS d,
                        count(*) AS n
                 FROM g_q160_events GROUP BY 1)
           SELECT s.d AS day_idx, coalesce(e.n, CAST(0 AS BIGINT)) AS n_events
@@ -222,6 +235,60 @@ object SurfaceQueries {
                   WHERE c.c_nationkey = n.n_nationkey
                   ORDER BY bal_e2 DESC, c_custkey
                   LIMIT 3) t
-         ORDER BY n_name, bal_e2 DESC, c_custkey""")
+         ORDER BY n_name, bal_e2 DESC, c_custkey"""),
+
+    // Q162: sessionization on `transformWithState` — Spark 4's current
+    // arbitrary-stateful API (typed ValueState handles, RocksDB-native
+    // state, incremental checkpoints) — against the SAME oracle as the
+    // legacy flatMapGroupsWithState form (q56) and the batch form
+    // (q44): three implementations of one semantic, each on the
+    // engine surface a different Spark generation offers. The RocksDB
+    // provider is REQUIRED by the operator and scoped to the stream
+    // start; per-user flush sentinels close every real session in the
+    // final batch exactly as in q56.
+    "q162_tws_sessionize" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val tmpPath = GateTmp.dir("graft-q162")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        val flushUs = ev.agg(max("ts_us")).head().getLong(0) + 3L * 3600 * 1000000
+        val staged = ev.unionByName(
+          ev.select(col("user_id")).distinct()
+            .select(col("user_id"), lit(flushUs).as("ts_us"),
+              lit(-1L).as("event_id")))
+        staged.coalesce(1).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
+          .as[graft.streaming.StreamingSessions.Ev]
+        val q = withStreamConf(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          graft.streaming.StreamingSessionsTws.sessionize(stream)
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
+        q.awaitTermination()
+        GateTmp.deleteRecursively(tmpPath.resolve("staging"))
+        GateTmp.deleteRecursively(tmpPath.resolve("checkpoint"))
+        s.read.parquet(s"$tmp/out").orderBy("user_id", "session_idx")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         f AS (SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (SELECT user_id, ts_us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 }

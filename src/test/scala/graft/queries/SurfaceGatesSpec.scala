@@ -103,4 +103,15 @@ class SurfaceGatesSpec extends AnyFunSuite with SparkTestSession {
     assert(rangeSorts <= 1,
       s"customer table globally range-sorted before the group limit:\n$plan")
   }
+
+  test("q162 transformWithState sessionizer matches the legacy operator row for row") {
+    // two engine generations of the same semantic must agree exactly
+    // (both gates also share one oracle; this catches a divergence
+    // without a DuckDB run).
+    val tws = graft.SparkEntry.queries("q162_tws_sessionize")(spark, dir)
+      .collect()
+    val legacy = graft.SparkEntry.queries("q56_streaming_sessionize")(spark, dir)
+      .collect()
+    assert(tws.toSeq === legacy.toSeq)
+  }
 }
