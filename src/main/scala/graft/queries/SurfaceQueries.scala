@@ -289,6 +289,69 @@ object SurfaceQueries {
                FROM f)
          SELECT user_id, session_idx, count(*) AS n_events,
                 min(ts_us) AS start_us, max(ts_us) AS end_us
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // Q163: event-time TIMER sessionization — sessions close
+    // THEMSELVES when the watermark passes last+gap (StatefulProcessor
+    // handleExpiredTimer), not when the user's next event arrives: the
+    // production semantics q56/q162 approximate with per-user flush
+    // sentinels. Staging needs only GLOBAL watermark-advancing
+    // sentinel batches (user −1, filtered from output); every real
+    // user's final session emits from its own timer. Same oracle as
+    // q44/q56/q162 — four implementations, one semantic.
+    "q163_timer_sessionize" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val tmpPath = GateTmp.dir("graft-q163")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+        val maxUs = ev.agg(max("ts_us")).head().getLong(0)
+        def sentinel(offsetUs: Long): DataFrame =
+          ev.sparkSession.range(1).select(
+            lit(-1L).as("user_id"),
+            timestamp_micros(lit(maxUs + offsetUs)).as("ts"),
+            lit(maxUs + offsetUs).as("ts_us"),
+            lit(-1L).as("event_id"))
+        val staging = Files.createDirectories(tmpPath.resolve("staging"))
+        stageOrdered(
+          Seq(ev, sentinel(3L * 3600 * 1000000), sentinel(6L * 3600 * 1000000)),
+          staging)
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.StreamingSessionsTws.EvT]
+        val q = withStreamConf(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          graft.streaming.StreamingSessionsTws.sessionizeWithTimers(stream)
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
+        q.awaitTermination()
+        GateTmp.deleteRecursively(tmpPath.resolve("staging"))
+        GateTmp.deleteRecursively(tmpPath.resolve("checkpoint"))
+        s.read.parquet(s"$tmp/out")
+          .filter(col("user_id") >= 0)
+          .orderBy("user_id", "session_idx")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         f AS (SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         g AS (SELECT user_id, ts_us,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                      AS BIGINT) AS session_idx
+               FROM f)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts_us) AS start_us, max(ts_us) AS end_us
          FROM g GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 }

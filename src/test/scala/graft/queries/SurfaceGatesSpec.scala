@@ -104,6 +104,70 @@ class SurfaceGatesSpec extends AnyFunSuite with SparkTestSession {
       s"customer table globally range-sorted before the group limit:\n$plan")
   }
 
+  test("timer sessionizer: timer-closed session, then later events resume numbering") {
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    import graft.streaming.StreamingSessionsTws
+    val tmp = Files.createTempDirectory("q163spec")
+    val staging = Files.createDirectories(tmp.resolve("staging"))
+    val t0 = 1700000000000000L
+    val h = 3600000000L
+    def mkFile(i: Int, rows: Seq[(Long, Long, Long)]): Unit = {
+      val scratch = Files.createTempDirectory(tmp, s"s$i")
+      rows.toDF("user_id", "us", "event_id")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("us").as("ts_us"), col("event_id"))
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val src = {
+        import scala.jdk.CollectionConverters._
+        Files.list(scratch).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val dst = staging.resolve(f"$i%02d.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(
+        dst, FileTime.fromMillis(System.currentTimeMillis() - (9 - i) * 10000L))
+    }
+    // u1: two events 10 min apart (one session) — its timer fires once
+    // the sentinel watermark passes; a LATER u1 event must open
+    // session #2, not restart numbering at 1.
+    mkFile(0, Seq((1L, t0, 1L), (1L, t0 + 600000000L, 2L)))
+    mkFile(1, Seq((-1L, t0 + 3 * h, -1L)))
+    mkFile(2, Seq((1L, t0 + 4 * h, 3L)))
+    mkFile(3, Seq((-1L, t0 + 7 * h, -1L)))
+    mkFile(4, Seq((-1L, t0 + 10 * h, -1L)))
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, ts_us BIGINT, event_id BIGINT")
+        .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+        .withWatermark("ts", "0 seconds")
+        .as[StreamingSessionsTws.EvT]
+      val q = StreamingSessionsTws.sessionizeWithTimers(stream)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("parquet").option("path", tmp.resolve("out").toString)
+        .start()
+      q.awaitTermination()
+      val out = spark.read.parquet(tmp.resolve("out").toString)
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "session_idx")
+        .collect()
+      assert(out.toSeq === Seq(
+        Row(1L, 1L, 2L, t0, t0 + 600000000L),
+        Row(1L, 2L, 1L, t0 + 4 * h, t0 + 4 * h)))
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("q162 transformWithState sessionizer matches the legacy operator row for row") {
     // two engine generations of the same semantic must agree exactly
     // (both gates also share one oracle; this catches a divergence
