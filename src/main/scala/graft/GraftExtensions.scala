@@ -77,5 +77,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_bitmap_distinct"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapDistinct].getName,
+        null,
+        "graft_bitmap_distinct",
+        "graft_bitmap_distinct(hash, numBuckets) - occupied-bucket count " +
+          "of an m-bit linear-counting bitmap sketch over hash mod m; " +
+          "fixed-size mergeable buffer (bitwise OR)",
+        ""),
+      graft.functions.BitmapDistinct.fromArguments _))
   }
 }

@@ -352,6 +352,32 @@ object SurfaceQueries {
                FROM f)
          SELECT user_id, session_idx, count(*) AS n_events,
                 min(ts_us) AS start_us, max(ts_us) AS end_us
-         FROM g GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM g GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // Q164: mergeable bitmap distinct sketch — the native
+    // TypedImperativeAggregate (`functions/BitmapDistinct.scala`)
+    // called through its SQL registration, counting occupied
+    // linear-counting buckets per source over the portable 60-bit
+    // content hash. The occupied count is exact for a given hash
+    // column, so the oracle recomputes it as COUNT(DISTINCT bucket).
+    // Scale shape: per-group state is a FIXED 512-byte bitmap (m=4096)
+    // that map-side combines and merges by bitwise OR — the shuffle
+    // carries one bitmap per group per partition, never per-value
+    // state, and pre-aggregated shard sketches OR into rollups without
+    // re-touching rows.
+    "q164_bitmap_distinct" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q164_documents")
+        s.sql("""
+          SELECT source,
+                 graft_bitmap_distinct(md5_prefix60(text), 4096) AS occupied
+          FROM g_q164_documents
+          GROUP BY source ORDER BY source""")
+      },
+      """SELECT source,
+                CAST(count(DISTINCT
+                       ('0x' || substr(md5(text), 1, 15))::BIGINT % 4096)
+                     AS BIGINT) AS occupied
+         FROM documents GROUP BY source ORDER BY source""")
   )
 }
