@@ -378,6 +378,121 @@ object SurfaceQueries {
                 CAST(count(DISTINCT
                        ('0x' || substr(md5(text), 1, 15))::BIGINT % 4096)
                      AS BIGINT) AS occupied
-         FROM documents GROUP BY source ORDER BY source""")
+         FROM documents GROUP BY source ORDER BY source"""),
+
+    // Q165: SCD2 point-in-time lookup — the companion to the SCD2
+    // BUILD gate (q106): enrich each click with the dimension version
+    // (purchase-derived tier per user) that was ACTIVE at click time,
+    // by composing Scd.type2 with the native single-pass as-of join
+    // (q148's operator ladder). This is the classic dimensional-
+    // warehouse temporal join, and the as-of form is its scale shape:
+    // one co-partitioned merge, no BETWEEN-range nested loop and no
+    // per-fact-row interval probe. Clicks before a user's first tier
+    // version null-extend. The oracle rebuilds the run-collapsed
+    // dimension as CTEs and resolves the lookup with the tagged-union
+    // running-last_value pattern (dimension rows sort before facts at
+    // the same instant — a version is visible AT its own start).
+    "q165_scd2_lookup" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        val changes = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"),
+            expr("CAST(round(value) AS BIGINT) div 10").as("tier"),
+            col("event_id"))
+        val dim = graft.analytics.Scd.type2(
+          changes, col("user_id"), col("ts_us"), col("tier"), col("event_id"))
+          .select(col("k").as("user_id"), col("valid_from").as("ts_us"),
+            lit(-1L).as("event_id"), col("a"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        graft.analytics.AsOfJoinNative.asOf(
+          clicks, dim, "user_id", "ts_us", "event_id",
+          payloadCols = Seq("a", "ts_us"))
+          .withColumnRenamed("asof_a", "tier")
+          .withColumnRenamed("asof_ts_us", "tier_since_us")
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type, value FROM events),
+         p AS (SELECT user_id, ts_us,
+                      CAST(round(value) AS BIGINT) // 10 AS tier, event_id
+               FROM e WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, ts_us, tier,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+               FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         r AS (SELECT user_id, ts_us, tier,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM f),
+         dim AS (SELECT user_id, min(tier) AS tier, min(ts_us) AS valid_from
+                 FROM r GROUP BY user_id, run),
+         u AS (SELECT user_id, valid_from AS ts_us,
+                      CAST(NULL AS BIGINT) AS event_id, 0 AS tag,
+                      tier AS r_tier, valid_from AS r_vf
+               FROM dim
+               UNION ALL
+               SELECT user_id, ts_us, event_id, 1, NULL, NULL
+               FROM e WHERE event_type = 'click'),
+         m AS (SELECT user_id, ts_us, event_id, tag,
+                 last_value(r_tier IGNORE NULLS) OVER w AS tier,
+                 last_value(r_vf IGNORE NULLS) OVER w AS tier_since_us
+               FROM u
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts_us, event_id, tier, tier_since_us
+         FROM m WHERE tag = 1 ORDER BY event_id"""),
+
+    // Q166: streaming per-user top-k digest on ListState — the
+    // list-typed rung of the transformWithState state surface
+    // (ValueState: q162, timers: q163). State per user is AT MOST k
+    // entries pruned on every fold — the bounded-state form of a
+    // per-key leaderboard that `collect_list` aggregation can't
+    // provide on an unbounded stream. Per-user sentinels flush the
+    // ranked digest; the oracle is the batch row_number top-3.
+    "q166_tws_topk" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val tmpPath = GateTmp.dir("graft-q166")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("v_e2"),
+            col("event_id"))
+        val staged = ev.unionByName(
+          ev.select(col("user_id")).distinct()
+            .select(col("user_id"), lit(0L).as("v_e2"), lit(-1L).as("event_id")))
+        staged.coalesce(1).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
+          .as[graft.streaming.StreamingTopK.In]
+        val q = withStreamConf(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          graft.streaming.StreamingTopK.topK(stream, k = 3)
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
+        q.awaitTermination()
+        GateTmp.deleteRecursively(tmpPath.resolve("staging"))
+        GateTmp.deleteRecursively(tmpPath.resolve("checkpoint"))
+        s.read.parquet(s"$tmp/out").orderBy("user_id", "rank")
+      },
+      """WITH p AS (SELECT user_id,
+                           CAST(round(value * 100) AS BIGINT) AS v_e2, event_id
+                    FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, v_e2, event_id,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY v_e2 DESC, event_id) AS BIGINT) AS rank
+               FROM p)
+         SELECT user_id, rank, v_e2, event_id
+         FROM r WHERE rank <= 3 ORDER BY user_id, rank""")
   )
 }

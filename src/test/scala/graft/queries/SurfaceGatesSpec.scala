@@ -168,6 +168,61 @@ class SurfaceGatesSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("topk ListState digest merges across microbatches and prunes to k") {
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    import graft.streaming.StreamingTopK
+    val tmp = Files.createTempDirectory("q166spec")
+    val staging = Files.createDirectories(tmp.resolve("staging"))
+    def mkFile(i: Int, rows: Seq[(Long, Long, Long)]): Unit = {
+      val scratch = Files.createTempDirectory(tmp, s"s$i")
+      rows.toDF("user_id", "v_e2", "event_id")
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val src = {
+        import scala.jdk.CollectionConverters._
+        Files.list(scratch).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      }
+      val dst = staging.resolve(f"$i%02d.parquet")
+      Files.move(src, dst)
+      Files.setLastModifiedTime(
+        dst, FileTime.fromMillis(System.currentTimeMillis() - (9 - i) * 10000L))
+    }
+    // batch 1: u1 has 4 values → state prunes to top-3 {90,80,70};
+    // batch 2: 85 displaces 70; a tie (85, lower id wins) checks the
+    // deterministic order; sentinel flushes.
+    mkFile(0, Seq((1L, 70L, 10L), (1L, 90L, 11L), (1L, 80L, 12L), (1L, 60L, 13L)))
+    mkFile(1, Seq((1L, 85L, 24L), (1L, 85L, 20L), (1L, 0L, -1L)))
+    val stream = spark.readStream
+      .schema("user_id BIGINT, v_e2 BIGINT, event_id BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(staging.toString)
+      .as[StreamingTopK.In]
+    val prevProv = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamingTopK.topK(stream, k = 3)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("parquet").option("path", tmp.resolve("out").toString)
+        .start()
+      q.awaitTermination()
+      val out = spark.read.parquet(tmp.resolve("out").toString)
+        .orderBy("rank").collect()
+      assert(out.toSeq === Seq(
+        Row(1L, 1L, 90L, 11L),
+        Row(1L, 2L, 85L, 20L),
+        Row(1L, 3L, 85L, 24L)))
+    } finally prevProv match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("q162 transformWithState sessionizer matches the legacy operator row for row") {
     // two engine generations of the same semantic must agree exactly
     // (both gates also share one oracle; this catches a divergence
