@@ -579,7 +579,7 @@ object FrontierQueries {
   /** Canonical (u < v, deduplicated, loop-free) undirected edge list of
     * the documents' bigram graph — shared by the graph gates.
     */
-  private def bigramCanonicalEdges(
+  private[queries] def bigramCanonicalEdges(
       s: org.apache.spark.sql.SparkSession, dir: String) =
     TokenGraph.bigramEdges(Tables.documents(s, dir), col("text"))
       .filter(col("w1") =!= col("w2"))

@@ -3,6 +3,8 @@ package graft.queries
 import java.nio.file.{Files, Path}
 import java.nio.file.attribute.FileTime
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -493,6 +495,126 @@ object SurfaceQueries {
                         ORDER BY v_e2 DESC, event_id) AS BIGINT) AS rank
                FROM p)
          SELECT user_id, rank, v_e2, event_id
-         FROM r WHERE rank <= 3 ORDER BY user_id, rank""")
+         FROM r WHERE rank <= 3 ORDER BY user_id, rank"""),
+
+    // Q167: per-user grouped counters on MapState — the map-typed rung
+    // of the transformWithState surface. One store entry per (user,
+    // event_type); updating one counter never rewrites the family
+    // (each map entry is its own RocksDB key) — the right state shape
+    // for wide counter families vs a ValueState[struct] read-modify-
+    // write. Sentinels flush; the oracle is the batch 2-key count.
+    "q167_tws_map_counters" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val tmpPath = GateTmp.dir("graft-q167")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val staged = ev.unionByName(
+          ev.select(col("user_id")).distinct()
+            .select(col("user_id"), lit("__flush").as("event_type"),
+              lit(-1L).as("event_id")))
+        staged.coalesce(1).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
+          .as[graft.streaming.StreamingCounters.In]
+        val q = withStreamConf(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          graft.streaming.StreamingCounters.countsByType(stream)
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
+        q.awaitTermination()
+        GateTmp.deleteRecursively(tmpPath.resolve("staging"))
+        GateTmp.deleteRecursively(tmpPath.resolve("checkpoint"))
+        s.read.parquet(s"$tmp/out").orderBy("user_id", "event_type")
+      },
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // Q168: k-core peeling on the token co-occurrence graph — the
+    // corpus-density filter that strips low-degree periphery until
+    // minimum degree ≥ k. The gate pins the BOUNDED form (exactly 3
+    // peel rounds) so the oracle can unroll the rounds as CTEs; the
+    // fixpoint form and its equivalence-at-convergence are spec'd
+    // (KCoreSpec). Per round: one map-side-combined degree aggregate
+    // + two left-semi restrictions; lineage cut per round.
+    "q168_kcore_peel" -> QuerySpec(
+      (s, dir) =>
+        graft.analytics.KCore.peelBounded(
+          FrontierQueries.bigramCanonicalEdges(s, dir),
+          col("u"), col("v"), k = 2, rounds = 3)
+          .select(col("n").as("token"), col("deg"))
+          .orderBy("token"),
+      """WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+         g AS (SELECT toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+         bg AS (SELECT toks[i] AS wa, toks[i+1] AS wb FROM g
+                WHERE toks[i] <> toks[i+1]),
+         e0 AS (SELECT DISTINCT least(wa, wb) AS u, greatest(wa, wb) AS v FROM bg),
+         d1 AS (SELECT n, count(*) AS deg FROM
+                 (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+         k1 AS (SELECT n FROM d1 WHERE deg >= 2),
+         e1 AS (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1)
+                                      AND v IN (SELECT n FROM k1)),
+         d2 AS (SELECT n, count(*) AS deg FROM
+                 (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+         k2 AS (SELECT n FROM d2 WHERE deg >= 2),
+         e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2)
+                                      AND v IN (SELECT n FROM k2)),
+         d3 AS (SELECT n, count(*) AS deg FROM
+                 (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+         k3 AS (SELECT n FROM d3 WHERE deg >= 2),
+         e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3)
+                                      AND v IN (SELECT n FROM k3))
+         SELECT n AS token, CAST(count(*) AS BIGINT) AS deg FROM
+           (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)
+         GROUP BY 1 ORDER BY 1"""),
+
+    // Q169: malformed-record handling on the SQL plane — PERMISSIVE
+    // from_json with a corrupt-record column, the engine-side form of
+    // the reference's per-document error accumulation (T9): bad
+    // payloads quarantine into `_corrupt_record` instead of failing
+    // the job, and the aggregate reports corruption per event type.
+    // Corruption is synthesized deterministically (every 7th event
+    // loses its closing byte). Map-only; the parse is one codegen'd
+    // Jackson pass per row, no shuffle before the final aggregate.
+    "q169_corrupt_json" -> QuerySpec(
+      (s, dir) => {
+        val mutated = Tables.events(s, dir).select(
+          col("event_type"),
+          when(pmod(col("event_id"), lit(7)) === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")).as("js"))
+        val parsed = mutated.select(
+          col("event_type"),
+          from_json(col("js"), "k BIGINT, _corrupt_record STRING",
+            Map("columnNameOfCorruptRecord" -> "_corrupt_record").asJava)
+            .as("p"))
+        parsed
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("p._corrupt_record").isNotNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            sum(col("p.k")).as("k_sum"))
+          .orderBy("event_type")
+      },
+      """WITH j AS (SELECT event_type,
+                      CASE WHEN event_id % 7 = 0
+                           THEN substr(props, 1, length(props) - 1)
+                           ELSE props END AS js
+                    FROM events)
+         SELECT event_type, count(*) AS n_total,
+                CAST(sum(CASE WHEN json_valid(js) THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_corrupt,
+                CAST(sum(CASE WHEN json_valid(js)
+                              THEN CAST(json_extract(js, '$.k') AS BIGINT)
+                         END) AS BIGINT) AS k_sum
+         FROM j GROUP BY 1 ORDER BY 1""")
   )
 }
