@@ -615,6 +615,55 @@ object SurfaceQueries {
                 CAST(sum(CASE WHEN json_valid(js)
                               THEN CAST(json_extract(js, '$.k') AS BIGINT)
                          END) AS BIGINT) AS k_sum
-         FROM j GROUP BY 1 ORDER BY 1""")
+         FROM j GROUP BY 1 ORDER BY 1"""),
+
+    // Q170: warm-started stateful stream — the
+    // StatefulProcessorWithInitialState constructor: history (even
+    // event ids) is recomputed ONCE as a batch aggregate and seeded
+    // into state before the first microbatch; the stream carries only
+    // the increment (odd ids). Seed + increment must equal the full
+    // recount — the oracle is the whole-corpus 2-key count, identical
+    // to q167's, proving the cutover pattern loses nothing. At scale
+    // this replaces replaying the entire historical stream through the
+    // stateful operator with one batch shuffle.
+    "q170_tws_warm_start" -> QuerySpec(
+      (s, dir) => {
+        import s.implicits._
+        val tmpPath = GateTmp.dir("graft-q170")
+        val tmp = tmpPath.toString
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+        val initial = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .as[graft.streaming.StreamingCounters.CountRow]
+        val streamHalf = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        val staged = streamHalf.unionByName(
+          ev.select(col("user_id")).distinct()
+            .select(col("user_id"), lit("__flush").as("event_type"),
+              lit(-1L).as("event_id")))
+        staged.coalesce(1).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(staged.schema).parquet(s"$tmp/staging")
+          .as[graft.streaming.StreamingCounters.In]
+        val q = withStreamConf(s,
+          "spark.sql.shuffle.partitions" -> "4",
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+          graft.streaming.StreamingCounters
+            .countsByTypeWarmStart(stream, initial)
+            .writeStream
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$tmp/checkpoint")
+            .format("parquet")
+            .option("path", s"$tmp/out")
+            .start()
+        }
+        q.awaitTermination()
+        GateTmp.deleteRecursively(tmpPath.resolve("staging"))
+        GateTmp.deleteRecursively(tmpPath.resolve("checkpoint"))
+        s.read.parquet(s"$tmp/out").orderBy("user_id", "event_type")
+      },
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 }

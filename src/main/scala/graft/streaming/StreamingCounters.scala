@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{
-  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState,
+  TTLConfig, TimeMode, TimerValues}
 
 /** Streaming per-key grouped counters on `transformWithState` using
   * MAP-typed state — the third rung of the typed-state surface
@@ -25,6 +26,28 @@ object StreamingCounters {
   implicit val inEncoder: Encoder[In] = Encoders.product[In]
   implicit val countEncoder: Encoder[CountRow] = Encoders.product[CountRow]
 
+  /** Shared fold: bump one map entry per event; sentinel rows flush
+    * the family as ranked rows and clear.
+    */
+  private def foldCounts(
+      counts: MapState[String, Long], user: Long,
+      rows: Iterator[In]): Iterator[CountRow] = {
+    val (sentinels, events) = rows.toSeq.partition(_.event_id < 0)
+    events.foreach { e =>
+      val cur = if (counts.containsKey(e.event_type))
+        counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, cur + 1L)
+    }
+    if (sentinels.isEmpty) Iterator.empty
+    else {
+      val out = counts.iterator().map {
+        case (t, n) => CountRow(user, t, n)
+      }.toSeq.sortBy(_.event_type)
+      counts.clear()
+      out.iterator
+    }
+  }
+
   class CounterProcessor extends StatefulProcessor[Long, In, CountRow] {
 
     @transient private var counts: MapState[String, Long] = _
@@ -35,22 +58,8 @@ object StreamingCounters {
 
     override def handleInputRows(
         user: Long, rows: Iterator[In],
-        timers: TimerValues): Iterator[CountRow] = {
-      val (sentinels, events) = rows.toSeq.partition(_.event_id < 0)
-      events.foreach { e =>
-        val cur = if (counts.containsKey(e.event_type))
-          counts.getValue(e.event_type) else 0L
-        counts.updateValue(e.event_type, cur + 1L)
-      }
-      if (sentinels.isEmpty) Iterator.empty
-      else {
-        val out = counts.iterator().map {
-          case (t, n) => CountRow(user, t, n)
-        }.toSeq.sortBy(_.event_type)
-        counts.clear()
-        out.iterator
-      }
-    }
+        timers: TimerValues): Iterator[CountRow] =
+      foldCounts(counts, user, rows)
   }
 
   def countsByType(events: Dataset[In]): Dataset[CountRow] = {
@@ -58,5 +67,49 @@ object StreamingCounters {
     events.groupByKey(_.user_id)
       .transformWithState(
         new CounterProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** WARM-STARTED counters — `StatefulProcessorWithInitialState`, the
+    * bootstrap constructor of the transformWithState family: state is
+    * seeded from a BATCH relation (a backfill snapshot) before the
+    * first microbatch, then the stream increments it. The production
+    * migration pattern: recompute history once as a batch aggregate,
+    * then run the stream from the cutover offset — no replay of the
+    * historical stream through the stateful operator.
+    *
+    * `handleInitialState` is invoked per initial-state row (a key may
+    * carry several — one per event type here) and ADDS into the map,
+    * so seeding composes with itself and with early stream rows
+    * regardless of invocation order within the first batch.
+    */
+  class WarmStartCounterProcessor
+      extends StatefulProcessorWithInitialState[Long, In, CountRow, CountRow] {
+
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(
+        user: Long, init: CountRow, timers: TimerValues): Unit = {
+      val cur = if (counts.containsKey(init.event_type))
+        counts.getValue(init.event_type) else 0L
+      counts.updateValue(init.event_type, cur + init.n)
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[In],
+        timers: TimerValues): Iterator[CountRow] =
+      foldCounts(counts, user, rows)
+  }
+
+  def countsByTypeWarmStart(
+      events: Dataset[In], initial: Dataset[CountRow]): Dataset[CountRow] = {
+    implicit val keyEncoder: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_.user_id)
+      .transformWithState(
+        new WarmStartCounterProcessor, TimeMode.None(), OutputMode.Append(),
+        initial.groupByKey(_.user_id))
   }
 }
