@@ -40,6 +40,16 @@ object KCore {
   def kCore(edges: DataFrame, u: Column, v: Column, k: Int): DataFrame =
     degrees(peelLoop(edges.select(u.as("u"), v.as("v")), k, Int.MaxValue))
 
+  /** Above this many dropped nodes the per-round anti join falls back
+    * from broadcast to a shuffled join: round 1 of a heavy-tailed
+    * graph can shed a large fraction of ALL nodes (high k, or a
+    * mostly-degree-1 periphery), and force-broadcasting a set that
+    * size would OOM the driver. 4M longs ≈ tens of MB broadcast —
+    * comfortably under executor/driver budgets; later rounds shrink
+    * and re-qualify for broadcast automatically.
+    */
+  private val BroadcastDropLimit = 4L * 1000 * 1000
+
   private def peelLoop(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     // persist, don't checkpoint, the base: the first round's degree
     // aggregate materializes it in cache and the first anti join reads
@@ -50,17 +60,24 @@ object KCore {
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      // the drop set is materialized once: it is the small periphery
-      // by construction (vocabulary-bounded, shrinks per round), and
-      // the isEmpty convergence test needs it anyway; broadcast anti
-      // joins keep the surviving edge majority unshuffled
+      // the drop set is materialized once: usually the small periphery
+      // (peeling converges because few nodes fall per round), and the
+      // count doubles as the convergence test; broadcast anti joins
+      // keep the surviving edge majority unshuffled — but only while
+      // the drop set is genuinely small (see BroadcastDropLimit)
       val drop = degrees(e).filter(col("deg") < k).select("n").localCheckpoint()
-      if (drop.isEmpty) converged = true
-      else e = e
-        .join(broadcast(drop.withColumnRenamed("n", "u")), Seq("u"), "left_anti")
-        .join(broadcast(drop.withColumnRenamed("n", "v")), Seq("v"), "left_anti")
-        .select("u", "v")
-        .localCheckpoint()
+      val nDrop = drop.count()
+      if (nDrop == 0L) converged = true
+      else {
+        val side =
+          if (nDrop <= BroadcastDropLimit) (d: DataFrame) => broadcast(d)
+          else (d: DataFrame) => d
+        e = e
+          .join(side(drop.withColumnRenamed("n", "u")), Seq("u"), "left_anti")
+          .join(side(drop.withColumnRenamed("n", "v")), Seq("v"), "left_anti")
+          .select("u", "v")
+          .localCheckpoint()
+      }
       r += 1
     }
     e

@@ -20,8 +20,9 @@ object ExtQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(f => Files.deleteIfExists(f))
     }
 
   private val exitReaper = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]

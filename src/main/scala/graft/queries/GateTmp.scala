@@ -19,8 +19,9 @@ private[queries] object GateTmp {
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
+      val walk = Files.walk(p)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      all.reverse.foreach(f => Files.deleteIfExists(f))
     }
 
   /** Memory-backed scratch when the host offers it: gate artifacts

@@ -62,11 +62,12 @@ object SurfaceQueries {
     parts.zipWithIndex.foreach { case (df, i) =>
       val scratch = Files.createTempDirectory(dir, s"stage$i")
       df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val part = Files.list(scratch).iterator()
-      val src = {
+      val listing = Files.list(scratch)
+      val src = try {
         import scala.jdk.CollectionConverters._
-        part.asScala.find(_.getFileName.toString.endsWith(".parquet")).get
-      }
+        listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally listing.close()
       val dst = dir.resolve(f"$i%02d-batch.parquet")
       Files.move(src, dst)
       Files.setLastModifiedTime(
@@ -421,12 +422,12 @@ object SurfaceQueries {
          p AS (SELECT user_id, ts_us,
                       CAST(round(value) AS BIGINT) // 10 AS tier, event_id
                FROM e WHERE event_type = 'purchase'),
-         f AS (SELECT user_id, ts_us, tier,
+         f AS (SELECT user_id, ts_us, tier, event_id,
                  CASE WHEN lag(tier) OVER w IS NULL
                         OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
                FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          r AS (SELECT user_id, ts_us, tier,
-                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
                FROM f),
          dim AS (SELECT user_id, min(tier) AS tier, min(ts_us) AS valid_from
@@ -601,7 +602,13 @@ object SurfaceQueries {
             count(lit(1)).as("n_total"),
             sum(when(col("p._corrupt_record").isNotNull, 1L).otherwise(0L))
               .as("n_corrupt"),
-            sum(col("p.k")).as("k_sum"))
+            // exclude corrupt rows EXPLICITLY rather than riding on
+            // partial-results parsing leaving k NULL: for other payload
+            // shapes Jackson can retain already-parsed fields of a
+            // truncated object, which would leak corrupt rows into the
+            // sum while the oracle's json_valid CASE excludes them
+            sum(when(col("p._corrupt_record").isNull, col("p.k")))
+              .as("k_sum"))
           .orderBy("event_type")
       },
       """WITH j AS (SELECT event_type,

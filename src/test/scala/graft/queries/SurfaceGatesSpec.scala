@@ -118,11 +118,12 @@ class SurfaceGatesSpec extends AnyFunSuite with SparkTestSession {
         .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
           col("us").as("ts_us"), col("event_id"))
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val src = {
+      val listing = Files.list(scratch)
+      val src = try {
         import scala.jdk.CollectionConverters._
-        Files.list(scratch).iterator().asScala
+        listing.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
-      }
+      } finally listing.close()
       val dst = staging.resolve(f"$i%02d.parquet")
       Files.move(src, dst)
       Files.setLastModifiedTime(
@@ -178,11 +179,12 @@ class SurfaceGatesSpec extends AnyFunSuite with SparkTestSession {
       val scratch = Files.createTempDirectory(tmp, s"s$i")
       rows.toDF("user_id", "v_e2", "event_id")
         .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-      val src = {
+      val listing = Files.list(scratch)
+      val src = try {
         import scala.jdk.CollectionConverters._
-        Files.list(scratch).iterator().asScala
+        listing.iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet")).get
-      }
+      } finally listing.close()
       val dst = staging.resolve(f"$i%02d.parquet")
       Files.move(src, dst)
       Files.setLastModifiedTime(
