@@ -38,7 +38,8 @@ object SparkEntry {
     CoreQueries.specs ++ EtlQueries.specs ++ LlmQueries.specs ++
       ExtQueries.specs ++ OpsQueries.specs ++ ScaleQueries.specs ++
       DeepQueries.specs ++ FrontierQueries.specs ++ DecorrelationQueries.specs ++
-      JoinShapeQueries.specs ++ SurfaceQueries.specs ++ AlgebraQueries.specs
+      JoinShapeQueries.specs ++ SurfaceQueries.specs ++ AlgebraQueries.specs ++
+      SketchQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }
