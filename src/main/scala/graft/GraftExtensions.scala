@@ -88,5 +88,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "fixed-size mergeable buffer (bitwise OR)",
         ""),
       graft.functions.BitmapDistinct.fromArguments _))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_bitmap_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapSketchAgg].getName,
+        null,
+        "graft_bitmap_agg",
+        "graft_bitmap_agg(hash, numBuckets) - the m-bit bitmap sketch " +
+          "itself (binary) over hash mod m; combine already-aggregated " +
+          "sketches with graft_bitmap_{popcount,and_count,or_count}",
+        ""),
+      graft.functions.BitmapSketchAgg.fromArguments _))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_bitmap_popcount"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapPopCount].getName,
+        null,
+        "graft_bitmap_popcount",
+        "graft_bitmap_popcount(binary) - occupied-bucket count of a bitmap sketch",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.BitmapPopCount(children.head)))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_bitmap_and_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapAndCount].getName,
+        null,
+        "graft_bitmap_and_count",
+        "graft_bitmap_and_count(binary, binary) - popcount of the sketch intersection",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.BitmapAndCount(children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_bitmap_or_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapOrCount].getName,
+        null,
+        "graft_bitmap_or_count",
+        "graft_bitmap_or_count(binary, binary) - popcount of the sketch union",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.BitmapOrCount(children(0), children(1))))
   }
 }

@@ -51,6 +51,48 @@ object SketchQueries {
          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(bit_xor(d) AS BIGINT) AS fp_xor,
                 CAST(sum(d) AS DECIMAL(38,0)) AS fp_sum
-         FROM h GROUP BY 1 ORDER BY 1""")
+         FROM h GROUP BY 1 ORDER BY 1"""),
+
+    // Q177: bitmap sketch ALGEBRA — audience-overlap matrix between
+    // event types from pre-aggregated per-type user bitmaps. One scan
+    // builds five 4096-bit sketches; every pairwise intersection/union
+    // is then a scalar popcount over kilobytes (the tiny sketch
+    // relation self-joins broadcast). At 100 TB this answers the whole
+    // question matrix without ever re-shuffling raw rows — the
+    // property exact distinct-join overlap can never have. Counts are
+    // exact over occupied buckets (hash mod m), which is what the
+    // oracle recomputes set-theoretically.
+    "q177_bitmap_setops" -> QuerySpec(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_q177_events")
+        s.sql("""
+          WITH sk AS (
+            SELECT event_type,
+                   graft_bitmap_agg(
+                     md5_prefix60(CAST(user_id AS STRING)), 4096) AS bm
+            FROM g_q177_events GROUP BY event_type)
+          SELECT a.event_type AS et_a, b.event_type AS et_b,
+                 graft_bitmap_popcount(a.bm) AS n_a,
+                 graft_bitmap_popcount(b.bm) AS n_b,
+                 graft_bitmap_and_count(a.bm, b.bm) AS n_and,
+                 graft_bitmap_or_count(a.bm, b.bm) AS n_or
+          FROM sk a JOIN sk b ON a.event_type < b.event_type
+          ORDER BY et_a, et_b""")
+      },
+      """WITH b AS (SELECT DISTINCT event_type AS et,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 4096 AS bucket
+                    FROM events),
+         sz AS (SELECT et, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+         inter AS (SELECT x.et AS et_a, y.et AS et_b,
+                          CAST(count(*) AS BIGINT) AS n_and
+                   FROM b x JOIN b y ON x.bucket = y.bucket AND x.et < y.et
+                   GROUP BY 1, 2)
+         SELECT sa.et AS et_a, sb.et AS et_b, sa.n AS n_a, sb.n AS n_b,
+                COALESCE(i.n_and, 0) AS n_and,
+                sa.n + sb.n - COALESCE(i.n_and, 0) AS n_or
+         FROM sz sa JOIN sz sb ON sa.et < sb.et
+         LEFT JOIN inter i ON i.et_a = sa.et AND i.et_b = sb.et
+         ORDER BY et_a, et_b""")
   )
 }
