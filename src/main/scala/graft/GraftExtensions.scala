@@ -129,5 +129,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) =>
         graft.functions.BitmapOrCount(children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_frequent"),
+      new ExpressionInfo(
+        classOf[graft.functions.FrequentItemsAgg].getName,
+        null,
+        "graft_frequent",
+        "graft_frequent(item, capacity) - SpaceSaving heavy-hitters summary: " +
+          "array<struct<item,cnt,err>> sorted (cnt desc, item asc); at most " +
+          "capacity counters per state, true count in [cnt-err, cnt]",
+        ""),
+      graft.functions.FrequentItemsAgg.fromArguments _))
   }
 }

@@ -93,6 +93,40 @@ object SketchQueries {
                 sa.n + sb.n - COALESCE(i.n_and, 0) AS n_or
          FROM sz sa JOIN sz sb ON sa.et < sb.et
          LEFT JOIN inter i ON i.et_a = sa.et AND i.et_b = sb.et
-         ORDER BY et_a, et_b""")
+         ORDER BY et_a, et_b"""),
+
+    // Q178: SpaceSaving heavy hitters — per-source top-5 tokens from a
+    // bounded-memory mergeable summary (≤ 64 counters per state, any
+    // corpus size). The gate runs in the exact regime (vocabulary <
+    // capacity ⇒ no eviction, err = 0, counts exact — what the oracle
+    // recomputes as a plain grouped count); the approximate regime's
+    // ε ≤ N/capacity bound is pinned by FrequentItemsSpec. At 100 TB
+    // the summary IS the point: per-partition partials of fixed size
+    // shuffle instead of the full token distribution, and per-shard
+    // summaries merge into corpus rollups without re-reading text.
+    "q178_frequent_tokens" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q178_documents")
+        s.sql("""
+          WITH f AS (SELECT source, graft_frequent(tok, 64) AS fi
+                     FROM (SELECT source, explode(split(text, ' ')) AS tok
+                           FROM g_q178_documents)
+                     GROUP BY source)
+          SELECT source, CAST(pos + 1 AS BIGINT) AS rank,
+                 e.item AS token, e.cnt, e.err
+          FROM f LATERAL VIEW posexplode(fi) AS pos, e
+          WHERE pos < 5 ORDER BY source, rank""")
+      },
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+         c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+               FROM t GROUP BY 1, 2),
+         r AS (SELECT source, token, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, token) AS rank
+               FROM c)
+         SELECT source, CAST(rank AS BIGINT) AS rank, token, cnt,
+                CAST(0 AS BIGINT) AS err
+         FROM r WHERE rank <= 5 ORDER BY source, rank""")
   )
 }
