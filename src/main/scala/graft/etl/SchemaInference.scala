@@ -41,6 +41,19 @@ object SchemaInference {
     coalesce(formats.map(f =>
       try_to_timestamp(s, lit(StrptimeFormats.toParsePattern(f)))): _*)
 
+  /** Cheap structural pre-filters in front of the `try_to_timestamp`
+    * ladders. Every configured datetime format contains a literal `:`
+    * (so no colon-free string can ever parse), and every date-only
+    * format is exactly three unsigned digit groups joined by one of
+    * `-/.` — a string failing these shapes skips all 5–10 per-format
+    * parse attempts. Pure short-circuit: the guards accept a superset
+    * of what the parse ladder accepts, so labels are unchanged; they
+    * exist because exception-driven format probing dominates inference
+    * cost on non-date strings (free text, numeric strings), which at
+    * corpus scale is most of the values.
+    */
+  private val dateShape = "^[0-9]+[-/.][0-9]+[-/.][0-9]+$"
+
   /** I3 — the per-value type label for a variant value (null for JSON
     * nulls, which must not vote).
     *
@@ -52,8 +65,9 @@ object SchemaInference {
     val vt = schema_of_variant(vv)
     val s = vv.try_cast("string")
     val stringLabel = {
-      val base = when(firstMatch(s, datetimeFormats).isNotNull, "datetime")
-        .when(firstMatch(s, dateOnlyFormats).isNotNull, "date")
+      val base = when(
+        s.contains(":") && firstMatch(s, datetimeFormats).isNotNull, "datetime")
+        .when(s.rlike(dateShape) && firstMatch(s, dateOnlyFormats).isNotNull, "date")
       if (sniffNumericStrings)
         // int(s): integral strings only (DuckDB's try_cast would round,
         // so both engines sniff integers with this regex)
