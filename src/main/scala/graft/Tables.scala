@@ -13,17 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS) which Spark
-    * does not read natively; `spark.sql.legacy.parquet.nanosAsLong`
-    * (set session-wide in [[GraftSession]]) maps it to LongType and we
-    * convert to a microsecond timestamp exactly the way DuckDB's reader
-    * truncates nanos → micros (integer division, no rounding), keeping
-    * oracle parity.
+  /** `events.parquet` has shipped `ts` in two encodings across driver
+    * rounds, so the loader dispatches on the RESOLVED schema:
+    *
+    *  - INT64 TIMESTAMP(NANOS) (rounds ≤ 8): Spark cannot read nanos
+    *    natively; `spark.sql.legacy.parquet.nanosAsLong` (set
+    *    session-wide in [[GraftSession]]) maps it to LongType, and we
+    *    convert to microseconds exactly the way DuckDB's reader
+    *    truncates nanos → micros (integer division, no rounding).
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 9+):
+    *    reads natively as TIMESTAMP_NTZ; cast to TimestampType under
+    *    the session's pinned UTC zone — identical microsecond values,
+    *    and downstream `unix_micros`/window code keeps one input type.
+    *
+    * Either way callers see a TimestampType `ts` with the same values
+    * DuckDB reads, keeping oracle parity.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
