@@ -130,6 +130,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.BitmapOrCount(children(0), children(1))))
     extensions.injectFunction((
+      FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(
+        classOf[graft.functions.HyperLogLogAgg].getName,
+        null,
+        "graft_hll",
+        "graft_hll(hash, numRegisters) - dense-register HyperLogLog over " +
+          "a 60-bit hash: struct(v empty registers, s_scaled exact " +
+          "harmonic denominator, est integer-exact raw estimate); " +
+          "merge = register-wise max",
+        ""),
+      graft.functions.HyperLogLogAgg.fromArguments _))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_cms_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.CountMinAgg].getName,
+        null,
+        "graft_cms_agg",
+        "graft_cms_agg(buckets, depth, width) - Count-Min sketch from " +
+          "precomputed per-depth bucket indices; binary depth*width " +
+          "counter grid, merge = cell-wise sum",
+        ""),
+      graft.functions.CountMinAgg.fromArguments _))
+    extensions.injectFunction((
+      FunctionIdentifier("graft_cms_query"),
+      new ExpressionInfo(
+        classOf[graft.functions.CountMinQuery].getName,
+        null,
+        "graft_cms_query",
+        "graft_cms_query(sketch, buckets) - Count-Min point estimate: " +
+          "min over the item's depth cells",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.CountMinQuery(children(0), children(1))))
+    extensions.injectFunction((
       FunctionIdentifier("graft_frequent"),
       new ExpressionInfo(
         classOf[graft.functions.FrequentItemsAgg].getName,

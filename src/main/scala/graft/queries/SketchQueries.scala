@@ -127,6 +127,121 @@ object SketchQueries {
                FROM c)
          SELECT source, CAST(rank AS BIGINT) AS rank, token, cnt,
                 CAST(0 AS BIGINT) AS err
-         FROM r WHERE rank <= 5 ORDER BY source, rank""")
+         FROM r WHERE rank <= 5 ORDER BY source, rank"""),
+
+    // Q186: HyperLogLog distinct users per event type — the
+    // constant-size mergeable distinct sketch next to the exact bitmap
+    // family (q164/q177): 1 KiB per group at m=1024 regardless of
+    // corpus size, registers merge by max under any partitioning.
+    // DETERMINISM: the emitted raw estimate is an exact integer
+    // division (see HyperLogLogAgg's rational rewrite of
+    // alpha_m*m^2/S) — the oracle rebuilds the registers from the same
+    // md5 hash split (index = h mod m, rho from the bin() bit length
+    // of h div m) and reproduces v / s_scaled / est bit-for-bit.
+    // exact_n rides along to exhibit the estimate against truth, and
+    // `regime` makes the estimator's published decision rule explicit:
+    // raw HLL overestimates below ~2.5m (visible here: 150 distinct
+    // users -> est 887 at m=1024), where the standard correction is
+    // linear counting m*ln(m/v) over the SAME emitted v — the
+    // transcendental step is left out of the gate to stay bit-exact.
+    "q186_hll_users" -> QuerySpec(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_q186_events")
+        s.sql("""
+          WITH h AS (SELECT event_type,
+                            graft_hll(md5_prefix60(CAST(user_id AS STRING)),
+                                      1024) AS hll,
+                            count(DISTINCT user_id) AS exact_n
+                     FROM g_q186_events GROUP BY event_type)
+          SELECT event_type, hll.v AS v, hll.s_scaled AS s_scaled,
+                 hll.est AS est, CAST(exact_n AS BIGINT) AS exact_n,
+                 CASE WHEN hll.v > 0 AND hll.est <= 2560
+                      THEN 'small_range_lc' ELSE 'raw_hll' END AS regime
+          FROM h ORDER BY event_type""")
+      },
+      """WITH h AS (SELECT event_type,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                        AS hv
+                    FROM events),
+         b AS (SELECT event_type, hv % 1024 AS reg, hv // 1024 AS w FROM h),
+         r AS (SELECT event_type, reg,
+                      max(CASE WHEN w = 0 THEN 51
+                               ELSE 51 - length(bin(w)) END) AS mj
+               FROM b GROUP BY 1, 2),
+         a AS (SELECT event_type,
+                      CAST(1024 - count(*) AS BIGINT) AS v,
+                      sum(CAST(CAST(1 AS BIGINT) << (60 - mj) AS HUGEINT))
+                        + CAST(1024 - count(*) AS HUGEINT)
+                          * (CAST(1 AS BIGINT) << 60) AS s
+               FROM r GROUP BY 1),
+         x AS (SELECT event_type, v, s,
+                      (CAST(7213 AS HUGEINT) * 1073741824
+                       * (CAST(1 AS BIGINT) << 60))
+                        // (CAST(10250790 AS HUGEINT) * s) AS est
+               FROM a),
+         e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                        AS exact_n
+               FROM events GROUP BY 1)
+         SELECT x.event_type AS event_type, x.v,
+                CAST(x.s AS DECIMAL(38,0)) AS s_scaled,
+                CAST(x.est AS BIGINT) AS est, e.exact_n,
+                CASE WHEN x.v > 0 AND x.est <= 2560
+                     THEN 'small_range_lc' ELSE 'raw_hll' END AS regime
+         FROM x JOIN e ON x.event_type = e.event_type
+         ORDER BY x.event_type"""),
+
+    // Q187: Count-Min sketch over the document token stream — build
+    // one 4x512 counter grid in a single aggregate (hash family made
+    // explicit as a transform() over depths so the oracle recomputes
+    // identical cells), then answer point queries for the top-10 true
+    // tokens from the sketch alone. est_cnt >= true_cnt always (CMS
+    // never undercounts); the gap IS the collision error the
+    // depth/width tradeoff controls. The query side joins a 1-row
+    // sketch relation broadcast against the query items — at 100 TB
+    // the corpus is scanned once and every later frequency question
+    // costs kilobytes.
+    "q187_cms_tokens" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q187_documents")
+        s.sql("""
+          WITH tok AS (SELECT explode(split(text, ' ')) AS t
+                       FROM g_q187_documents),
+          b AS (SELECT t, transform(sequence(0, 3),
+                           d -> md5_prefix60(concat(CAST(d AS STRING), '|', t))
+                                  % 512) AS bk
+                FROM tok),
+          sk AS (SELECT graft_cms_agg(bk, 4, 512) AS s FROM b),
+          truth AS (SELECT t, CAST(count(*) AS BIGINT) AS true_cnt
+                    FROM tok GROUP BY 1),
+          top AS (SELECT t, true_cnt FROM truth
+                  ORDER BY true_cnt DESC, t LIMIT 10)
+          SELECT top.t AS token, top.true_cnt,
+                 graft_cms_query(sk.s,
+                   transform(sequence(0, 3),
+                     d -> md5_prefix60(concat(CAST(d AS STRING), '|', top.t))
+                            % 512)) AS est_cnt
+          FROM top CROSS JOIN sk
+          ORDER BY true_cnt DESC, token""")
+      },
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         truth AS (SELECT t, CAST(count(*) AS BIGINT) AS true_cnt
+                   FROM tok GROUP BY 1),
+         d AS (SELECT unnest([0, 1, 2, 3]) AS d),
+         tb AS (SELECT d.d, t.t, t.true_cnt,
+                       ('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || t.t), 1, 15))::BIGINT
+                         % 512 AS bucket
+                FROM truth t CROSS JOIN d),
+         cell AS (SELECT d, bucket, CAST(sum(true_cnt) AS BIGINT) AS c
+                  FROM tb GROUP BY 1, 2),
+         top AS (SELECT t, true_cnt FROM truth
+                 ORDER BY true_cnt DESC, t LIMIT 10),
+         est AS (SELECT top.t, top.true_cnt, min(cell.c) AS est_cnt
+                 FROM top
+                 JOIN tb ON tb.t = top.t
+                 JOIN cell ON cell.d = tb.d AND cell.bucket = tb.bucket
+                 GROUP BY 1, 2)
+         SELECT t AS token, true_cnt, CAST(est_cnt AS BIGINT) AS est_cnt
+         FROM est ORDER BY true_cnt DESC, token""")
   )
 }
