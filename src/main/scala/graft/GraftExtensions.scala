@@ -130,6 +130,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.BitmapOrCount(children(0), children(1))))
     extensions.injectFunction((
+      FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(
+        classOf[graft.functions.DamerauLevenshtein].getName,
+        null,
+        "graft_damerau",
+        "graft_damerau(str, str) - true (unrestricted) Damerau-Levenshtein " +
+          "edit distance: insert/delete/substitute/transpose, " +
+          "Lowrance-Wagner algorithm",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.DamerauLevenshtein(children(0), children(1))))
+    extensions.injectFunction((
       FunctionIdentifier("graft_hll"),
       new ExpressionInfo(
         classOf[graft.functions.HyperLogLogAgg].getName,

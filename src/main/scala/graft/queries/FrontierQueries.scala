@@ -377,6 +377,65 @@ object FrontierQueries {
          WHERE levenshtein(a.w, b.w) <= 1
          ORDER BY 1, 2"""),
 
+    // Q188: transposition-aware typo join — q131's deletion-
+    // neighborhood candidates verified with the NATIVE true
+    // Damerau-Levenshtein expression (graft_damerau, Lowrance-Wagner)
+    // instead of levenshtein. The lexicon adds a swap-first-two-chars
+    // variant family, so the result contains pairs at DL 1 that
+    // levenshtein scores 2 — the typo class (adjacent transposition)
+    // plain edit-distance joins over-reject. Candidate completeness
+    // is unchanged: a DL<=1 pair always shares a deletion key
+    // (transposition: delete either swapped char from both sides).
+    // The oracle is DuckDB's damerau_levenshtein over the same
+    // lexicon, pinning the unrestricted-DL semantics end to end.
+    "q188_damerau_neighbors" -> QuerySpec(
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "").distinct()
+        val lex = graft.CacheScope.persist(
+          words
+            .unionAll(words.filter(length(col("w")) >= 3)
+              .select(col("w").substr(lit(2), length(col("w"))).as("w")))
+            .unionAll(words.filter(length(col("w")) >= 4)
+              .select(concat(
+                col("w").substr(lit(2), lit(1)),
+                col("w").substr(lit(1), lit(1)),
+                col("w").substr(lit(3), length(col("w")))).as("w")))
+            .distinct())
+        val keys = graft.CacheScope.persist(
+          lex.select(col("w"), explode(
+            array_union(
+              array(col("w")),
+              transform(sequence(lit(1), length(col("w"))),
+                i => concat(
+                  col("w").substr(lit(1), i - lit(1)),
+                  col("w").substr(i + lit(1), length(col("w")))))))
+            .as("k")))
+        keys.select(col("k"), col("w").as("w1"))
+          .join(keys.select(col("k"), col("w").as("w2")), "k")
+          .filter(col("w1") < col("w2"))
+          .select("w1", "w2")
+          .distinct()
+          .withColumn("dist", expr("graft_damerau(w1, w2)"))
+          .filter(col("dist") <= 1)
+          .orderBy("w1", "w2")
+      },
+      """WITH wd AS (SELECT DISTINCT w FROM
+                 (SELECT unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS w
+                  FROM documents)),
+         lex AS (SELECT DISTINCT w FROM (
+                   SELECT w FROM wd
+                   UNION ALL SELECT substr(w, 2) FROM wd WHERE len(w) >= 3
+                   UNION ALL SELECT substr(w, 2, 1) || substr(w, 1, 1) || substr(w, 3)
+                   FROM wd WHERE len(w) >= 4))
+         SELECT a.w AS w1, b.w AS w2,
+                CAST(damerau_levenshtein(a.w, b.w) AS BIGINT) AS dist
+         FROM lex a JOIN lex b ON a.w < b.w
+         WHERE damerau_levenshtein(a.w, b.w) <= 1
+         ORDER BY 1, 2"""),
+
     // Q132: explicit GROUPING SETS with grouping() disambiguation —
     // the third grouping-sets surface next to CUBE (q102) and ROLLUP
     // (q89): three hand-picked sets in ONE aggregate pass (the planner
