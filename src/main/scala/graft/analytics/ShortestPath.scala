@@ -1,0 +1,51 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hop-bounded single-source weighted shortest paths as iterated
+  * min-plus products (distributed Bellman-Ford) — the weighted
+  * companion to the unweighted BFS frontier operator
+  * (`llm/TokenGraph.bfsHops`).
+  *
+  * Round r relaxes every edge once:
+  * `dist_{r+1}(v) = min(dist_r(v), min_{(u,v,w)} dist_r(u) + w)` —
+  * one join + one min-aggregate per round; after k rounds, distances
+  * are exact over paths of <= k edges (and fully exact once k reaches
+  * the graph's hop diameter).
+  *
+  * Scale shape (100 TB): the EDGE relation is the big side and is
+  * only ever equi-joined on its src key — hash-partition it once and
+  * every round reuses that partitioning. The dist relation is
+  * nodes-sized and shrinks to the reachable set; Spark broadcasts it
+  * when small (AQE decides), which makes each round a map-side join
+  * over the edge partitions. No per-round driver collect; the loop
+  * only builds the plan. For deep k, cut lineage every few rounds the
+  * way the PageRank operator does (localCheckpoint) — bounded k here
+  * keeps the plan linear and analyzable.
+  */
+object ShortestPath {
+
+  /** edges: (src: long, dst: long, w: long). Returns (node, dist)
+    * for nodes reachable from `source` within `rounds` edges.
+    */
+  def boundedMinPlus(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds <= 64, s"rounds must be in [0, 64], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+    var r = 0
+    while (r < rounds) {
+      // alias both sides each round: dist derives from edges after the
+      // first relaxation, so unqualified refs would be ambiguous
+      val relaxed = dist.alias("d")
+        .join(edges.alias("e"), col("d.node") === col("e.src"))
+        .select(col("e.dst").as("node"),
+          (col("d.dist") + col("e.w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+      r += 1
+    }
+    dist
+  }
+}

@@ -436,6 +436,60 @@ object FrontierQueries {
          WHERE damerau_levenshtein(a.w, b.w) <= 1
          ORDER BY 1, 2"""),
 
+    // Q189: hop-bounded weighted shortest paths (distributed
+    // Bellman-Ford) on the trade graph — nodes are nations, edge
+    // (customer nation -> supplier nation) weighted by the cheapest
+    // line item shipped along that trade lane, source = nation 0,
+    // 3 relaxation rounds. Each round is one equi-join on the edge
+    // src key + one min-aggregate (min-plus product); the oracle
+    // unrolls the same three rounds as CTEs, so the gate pins the
+    // exact fixpoint-prefix semantics, not just connectivity
+    // (contrast q123's unweighted BFS hops). The weighted-min edge
+    // build aggregates the fact once; the iteration never touches
+    // fact rows again.
+    "q189_shortest_path" -> QuerySpec(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .groupBy(
+            col("c_nationkey").cast("long").as("src"),
+            col("s_nationkey").cast("long").as("dst"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+        graft.analytics.ShortestPath.boundedMinPlus(edges, 0L, 3)
+          .orderBy("node")
+      },
+      """WITH e AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                           CAST(s.s_nationkey AS BIGINT) AS dst,
+                           min(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS w
+                    FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                    GROUP BY 1, 2),
+         d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+         d1 AS (SELECT node, min(dist) AS dist FROM (
+                  SELECT node, dist FROM d0
+                  UNION ALL
+                  SELECT e.dst, d0.dist + e.w FROM d0 JOIN e ON e.src = d0.node)
+                GROUP BY 1),
+         d2 AS (SELECT node, min(dist) AS dist FROM (
+                  SELECT node, dist FROM d1
+                  UNION ALL
+                  SELECT e.dst, d1.dist + e.w FROM d1 JOIN e ON e.src = d1.node)
+                GROUP BY 1),
+         d3 AS (SELECT node, min(dist) AS dist FROM (
+                  SELECT node, dist FROM d2
+                  UNION ALL
+                  SELECT e.dst, d2.dist + e.w FROM d2 JOIN e ON e.src = d2.node)
+                GROUP BY 1)
+         SELECT node, dist FROM d3 ORDER BY node"""),
+
     // Q132: explicit GROUPING SETS with grouping() disambiguation —
     // the third grouping-sets surface next to CUBE (q102) and ROLLUP
     // (q89): three hand-picked sets in ONE aggregate pass (the planner

@@ -1,0 +1,41 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class ShortestPathSpec extends AnyFunSuite with SparkTestSession {
+
+  private def edges(rows: (Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  private def run(e: org.apache.spark.sql.DataFrame, rounds: Int) =
+    ShortestPath.boundedMinPlus(e, 0L, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a cheaper two-hop path beats the direct edge") {
+    val e = edges((0L, 1L, 10L), (0L, 2L, 100L), (1L, 2L, 5L))
+    assert(run(e, 1) === Map(0L -> 0L, 1L -> 10L, 2L -> 100L))
+    assert(run(e, 2) === Map(0L -> 0L, 1L -> 10L, 2L -> 15L))
+  }
+
+  test("hop bound limits reach; unreachable nodes never appear") {
+    val e = edges((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (9L, 8L, 1L))
+    assert(run(e, 2) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(run(e, 3) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("converged distances are stable under extra rounds (incl. cycles)") {
+    val e = edges((0L, 1L, 2L), (1L, 0L, 2L), (1L, 2L, 2L), (2L, 1L, 2L))
+    val d3 = run(e, 3)
+    assert(d3 === Map(0L -> 0L, 1L -> 2L, 2L -> 4L))
+    assert(run(e, 6) === d3)
+  }
+
+  test("zero rounds returns only the source") {
+    val e = edges((0L, 1L, 1L))
+    assert(run(e, 0) === Map(0L -> 0L))
+  }
+}
