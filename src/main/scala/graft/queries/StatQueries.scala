@@ -355,6 +355,280 @@ object StatQueries {
                FROM u)
          SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id,
                 n_chars AS weight
-         FROM r WHERE rank <= 5 ORDER BY lang, rank""")
+         FROM r WHERE rank <= 5 ORDER BY lang, rank"""),
+
+    // Q190: EXACT set-similarity self-join with prefix filtering
+    // (AllPairs/PPJoin family) — Jaccard >= 0.5 over document token
+    // sets. Unlike the MinHash/LSH gates (probabilistic recall), this
+    // is exact: candidates come from an equi-join on PREFIX tokens
+    // only — each doc indexes its |T| - ceil(0.5|T|) + 1 rarest tokens
+    // (global df order) — and the pigeonhole guarantee says every
+    // qualifying pair shares a prefix token, so the pruning loses
+    // nothing. The oracle is the DEFINITIONAL full inverted-index
+    // join, which is what makes the completeness claim a checked
+    // property rather than scaladoc. Stop-word postings never join:
+    // at 100 TB the full-index self-join dies on frequent-token
+    // posting lists; the prefix index keeps only rare-token postings.
+    // The threshold test 2c >= (na + nb - c) and the emitted j_ppm
+    // are exact integers. Scoped to ONE source shard: this corpus is
+    // near-duplicate-dense by construction (8.9M qualifying pairs
+    // across shards at sf0.1 — quadratic in the data, not the plan),
+    // and the shard-local pass is how exact similarity join is
+    // actually deployed: LSH routes ACROSS shards, exact verification
+    // runs WITHIN the bounded blocks.
+    "q190_ppjoin" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q190_documents")
+        s.sql("""
+          WITH tok AS (SELECT DISTINCT doc_id, t FROM
+                         (SELECT doc_id, explode(split(text, ' ')) AS t
+                          FROM g_q190_documents
+                          WHERE source = 'src0')
+                       WHERE t <> ''),
+          sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                 FROM tok GROUP BY 1),
+          freq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+                   FROM tok GROUP BY 1),
+          ord AS (SELECT tok.doc_id, tok.t, sz.n,
+                         row_number() OVER (PARTITION BY tok.doc_id
+                                            ORDER BY freq.df, tok.t) AS rn
+                  FROM tok
+                  JOIN freq ON tok.t = freq.t
+                  JOIN sz ON tok.doc_id = sz.doc_id),
+          pref AS (SELECT doc_id, t FROM ord
+                   WHERE rn <= n - ((n + 1) div 2) + 1),
+          cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                   FROM pref a JOIN pref b
+                     ON a.t = b.t AND a.doc_id < b.doc_id),
+          common AS (SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS c
+                     FROM cand c
+                     JOIN tok x ON x.doc_id = c.d1
+                     JOIN tok y ON y.doc_id = c.d2 AND y.t = x.t
+                     GROUP BY 1, 2)
+          SELECT common.d1, common.d2,
+                 (common.c * 1000000) div (sa.n + sb.n - common.c) AS j_ppm
+          FROM common
+          JOIN sz sa ON sa.doc_id = common.d1
+          JOIN sz sb ON sb.doc_id = common.d2
+          WHERE 2 * common.c >= sa.n + sb.n - common.c
+          ORDER BY d1, d2""")
+      },
+      """WITH tok AS (SELECT DISTINCT doc_id, t FROM
+                        (SELECT doc_id,
+                                unnest(list_filter(string_split(text, ' '),
+                                                   x -> x <> '')) AS t
+                         FROM documents
+                         WHERE source = 'src0')),
+         sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM tok GROUP BY 1),
+         common AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM tok a JOIN tok b
+                      ON a.t = b.t AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+         SELECT common.d1, common.d2,
+                (common.c * 1000000) // (sa.n + sb.n - common.c) AS j_ppm
+         FROM common
+         JOIN sz sa ON sa.doc_id = common.d1
+         JOIN sz sb ON sb.doc_id = common.d2
+         WHERE 2 * common.c >= sa.n + sb.n - common.c
+         ORDER BY d1, d2"""),
+
+    // Q191: KMV (k-minimum-values) distinct sketch per event type,
+    // k = 64 — the third distinct-sketch family member (bitmap = exact
+    // buckets, HLL = log-log registers, KMV = order statistics), with
+    // the one property the others lack: partials are a uniform hash
+    // SAMPLE, so the 'ALL' row below merges the five per-type sketches
+    // themselves (flatten -> distinct -> take k) without re-touching
+    // raw rows — union estimation from kilobytes. Estimate
+    // (k-1)*2^60 div h_k is one exact integer division (routed through
+    // DECIMAL/HUGEINT: 63*2^60 overflows int64); the oracle rebuilds
+    // the same order statistics with a row_number window.
+    "q191_kmv_distinct" -> QuerySpec(
+      (s, dir) => {
+        val kmv = udaf(new graft.functions.KmvSketchAgg(64))
+        val perType = Tables.events(s, dir)
+          .select(col("event_type"),
+            expr("md5_prefix60(CAST(user_id AS STRING))").as("hv"),
+            col("user_id"))
+          .groupBy("event_type")
+          .agg(kmv(col("hv")).as("sk"),
+            countDistinct(col("user_id")).as("exact_n"))
+        val merged = perType
+          .agg(
+            slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+              1, 64).as("sk"))
+          .join(Tables.events(s, dir)
+            .agg(countDistinct(col("user_id")).as("exact_n")))
+          .select(lit("ALL").as("event_type"), col("sk"), col("exact_n"))
+        perType.select(col("event_type"), col("sk"), col("exact_n"))
+          .unionByName(merged)
+          .select(col("event_type"),
+            size(col("sk")).cast("long").as("n_kept"),
+            expr("try_element_at(sk, 64)").as("h_k"),
+            when(size(col("sk")) < 64, size(col("sk")).cast("long"))
+              .otherwise(expr(
+                "(CAST(63 AS DECIMAL(38,0)) * 1152921504606846976) div try_element_at(sk, 64)"))
+              .as("est"),
+            col("exact_n").cast("long").as("exact_n"))
+          .orderBy("event_type")
+      },
+      """WITH h AS (SELECT event_type,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                        AS hv
+                    FROM events),
+         d AS (SELECT DISTINCT event_type, hv FROM h),
+         r AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY hv) AS rn
+               FROM d),
+         g AS (SELECT event_type FROM d GROUP BY 1),
+         pt AS (SELECT r.event_type,
+                       CAST(count(*) AS BIGINT) AS n_kept,
+                       max(CASE WHEN rn = 64 THEN hv END) AS h_k
+                FROM r WHERE rn <= 64 GROUP BY 1),
+         ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                         AS exact_n
+                FROM events GROUP BY 1),
+         da AS (SELECT DISTINCT hv FROM h),
+         ra AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM da),
+         pa AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                       max(CASE WHEN rn = 64 THEN hv END) AS h_k
+                FROM ra WHERE rn <= 64),
+         exa AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_n
+                 FROM events),
+         u AS (SELECT pt.event_type, pt.n_kept, pt.h_k, ex.exact_n
+               FROM pt JOIN ex ON pt.event_type = ex.event_type
+               UNION ALL
+               SELECT 'ALL', pa.n_kept, pa.h_k, exa.exact_n
+               FROM pa CROSS JOIN exa)
+         SELECT event_type, n_kept, h_k,
+                CASE WHEN n_kept < 64 THEN n_kept
+                     ELSE CAST((CAST(63 AS HUGEINT)
+                                * (CAST(1 AS BIGINT) << 60)) // h_k AS BIGINT)
+                END AS est,
+                exact_n
+         FROM u ORDER BY event_type"""),
+
+    // Q192: histogram-driven join-cardinality estimation — the
+    // optimizer-side operator: estimate |orders self-join on custkey|
+    // from a 256-bucket hash histogram ONLY (est = sum over buckets of
+    // rows^2 div distinct-keys, the uniform-frequency assumption),
+    // next to the exact answer sum(c_k^2) from the key-level
+    // aggregate. Neither side executes the join: the point is that
+    // the 256-row summary — the thing a planner can afford to ship
+    // and intersect — prices a shuffle join before paying for it.
+    // The estimation error the gate emits IS the skew signal (uniform
+    // assumption vs true per-key counts).
+    "q192_join_size_estimate" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q192_orders")
+        s.sql("""
+          WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+                     FROM g_q192_orders GROUP BY 1),
+          actual AS (SELECT CAST(sum(c * c) AS BIGINT) AS actual
+                     FROM k),
+          b AS (SELECT md5_prefix60(CAST(o_custkey AS STRING)) % 256 AS bucket,
+                       CAST(sum(c) AS BIGINT) AS rows_in_b,
+                       CAST(count(*) AS BIGINT) AS keys_in_b
+                FROM k GROUP BY 1),
+          est AS (SELECT CAST(sum((rows_in_b * rows_in_b) div keys_in_b)
+                              AS BIGINT) AS est
+                  FROM b)
+          SELECT est.est, actual.actual,
+                 (abs(est.est - actual.actual) * 1000000) div actual.actual
+                   AS err_ppm
+          FROM est CROSS JOIN actual""")
+      },
+      """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+                    FROM orders GROUP BY 1),
+         actual AS (SELECT CAST(sum(c * c) AS BIGINT) AS actual FROM k),
+         b AS (SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                        % 256 AS bucket,
+                      CAST(sum(c) AS BIGINT) AS rows_in_b,
+                      CAST(count(*) AS BIGINT) AS keys_in_b
+               FROM k GROUP BY 1),
+         est AS (SELECT CAST(sum((rows_in_b * rows_in_b) // keys_in_b)
+                             AS BIGINT) AS est
+                 FROM b)
+         SELECT est.est, actual.actual,
+                (abs(est.est - actual.actual) * 1000000) // actual.actual
+                  AS err_ppm
+         FROM est CROSS JOIN actual"""),
+
+    // Q193: lag-k autocorrelation of the daily-revenue series (lags 1
+    // and 7), exact to the last bit: the Pearson numerator/denominator
+    // over (x_t, x_{t+k}) pairs are integer sums of the k$-quantized
+    // series, and the emitted statistic is the SIGNED SQUARED
+    // correlation in ppm — sign(num) * num^2 * 1e6 div (dx * dy) —
+    // because r itself needs a square root and a square root is where
+    // bit-stability dies. Lag is over the ordered present-day series
+    // (row lag); one day-level aggregate, two window lags, one fold.
+    "q193_autocorr_revenue" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q193_orders")
+        s.sql("""
+          WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                div 100000 AS x
+                       FROM g_q193_orders GROUP BY 1),
+          lagged AS (SELECT d, x,
+                            lag(x, 1) OVER (ORDER BY d) AS y1,
+                            lag(x, 7) OVER (ORDER BY d) AS y7
+                     FROM day),
+          stats AS (
+            SELECT 1L AS lag, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y1) AS sy, sum(x*y1) AS sxy,
+                   sum(x*x) AS sxx, sum(y1*y1) AS syy
+            FROM lagged WHERE y1 IS NOT NULL
+            UNION ALL
+            SELECT 7L, CAST(count(*) AS BIGINT),
+                   sum(x), sum(y7), sum(x*y7), sum(x*x), sum(y7*y7)
+            FROM lagged WHERE y7 IS NOT NULL),
+          d2 AS (SELECT lag, n,
+                        n*sxy - sx*sy AS num,
+                        n*sxx - sx*sx AS dx,
+                        n*syy - sy*sy AS dy
+                 FROM stats)
+          SELECT lag, n AS n_pairs,
+                 (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                   * ((CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
+                       * 1000000)
+                      div (CAST(dx AS DECIMAL(38,0)) * CAST(dy AS DECIMAL(38,0))))
+                   AS r2s_ppm
+          FROM d2 ORDER BY lag""")
+      },
+      """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               // 100000 AS x
+                      FROM orders GROUP BY 1),
+         lagged AS (SELECT d, x,
+                           lag(x, 1) OVER (ORDER BY d) AS y1,
+                           lag(x, 7) OVER (ORDER BY d) AS y7
+                    FROM day),
+         stats AS (
+           SELECT CAST(1 AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y1) AS BIGINT) AS sy,
+                  CAST(sum(x*y1) AS BIGINT) AS sxy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx,
+                  CAST(sum(y1*y1) AS BIGINT) AS syy
+           FROM lagged WHERE y1 IS NOT NULL
+           UNION ALL
+           SELECT CAST(7 AS BIGINT), CAST(count(*) AS BIGINT),
+                  CAST(sum(x) AS BIGINT), CAST(sum(y7) AS BIGINT),
+                  CAST(sum(x*y7) AS BIGINT), CAST(sum(x*x) AS BIGINT),
+                  CAST(sum(y7*y7) AS BIGINT)
+           FROM lagged WHERE y7 IS NOT NULL),
+         d2 AS (SELECT lag, n,
+                       n*sxy - sx*sy AS num,
+                       n*sxx - sx*sx AS dx,
+                       n*syy - sy*sy AS dy
+                FROM stats)
+         SELECT lag, n AS n_pairs,
+                CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                  * ((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
+                     // (CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)))
+                  AS BIGINT) AS r2s_ppm
+         FROM d2 ORDER BY lag""")
   )
 }

@@ -131,6 +131,30 @@ class SketchAggSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("4 bucket indices"))
   }
 
+  // ---------------- KMV ----------------
+
+  test("kmv keeps the k smallest DISTINCT values, stable across partitioning") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    import spark.implicits._
+    val kmv = udaf(new KmvSketchAgg(8))
+    // duplicates everywhere: values 1..20 each appearing 50 times
+    val vals = (0 until 1000).map(i => (i % 20 + 1).toLong)
+    def run(parts: Int) =
+      vals.toDF("v").repartition(parts)
+        .agg(kmv(col("v")).as("sk")).head().getSeq[Long](0)
+    assert(run(1) === (1L to 8L))
+    assert(run(9) === (1L to 8L))
+  }
+
+  test("kmv with fewer than k distinct values returns the exact set") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    import spark.implicits._
+    val kmv = udaf(new KmvSketchAgg(64))
+    val got = Seq(5L, 3L, 5L, 9L).toDF("v")
+      .agg(kmv(col("v"))).head().getSeq[Long](0)
+    assert(got === Seq(3L, 5L, 9L))
+  }
+
   test("cms query rejects an out-of-range bucket index") {
     import spark.implicits._
     Seq("a").toDF("t").createOrReplaceTempView("cms_oor")
