@@ -629,6 +629,136 @@ object StatQueries {
                   * ((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
                      // (CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)))
                   AS BIGINT) AS r2s_ppm
-         FROM d2 ORDER BY lag""")
+         FROM d2 ORDER BY lag"""),
+
+    // Q194: 7-day trailing moving MEDIAN of daily revenue — the
+    // robust smoother the moving average (q63) is not: one outlier
+    // day saturates a mean but not a median. Exact and bit-stable:
+    // the window carries the 7 daily values as a sorted array and
+    // takes the LOWER median element — never a float average of
+    // middle pairs (engines disagree on that; element selection they
+    // cannot disagree on). State per window position is bounded by
+    // the window length, the general pattern for any exact
+    // order-statistic smoother.
+    "q194_moving_median" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q194_orders")
+        s.sql("""
+          WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                AS cents
+                       FROM g_q194_orders GROUP BY 1),
+          w AS (SELECT d, cents,
+                       sort_array(collect_list(cents) OVER
+                         (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                         AS arr
+                FROM day)
+          SELECT d, cents,
+                 element_at(arr, CAST((size(arr) + 1) div 2 AS INT))
+                   AS med7_cents
+          FROM w ORDER BY d""")
+      },
+      """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  AS BIGINT) AS cents
+                      FROM orders GROUP BY 1),
+         w AS (SELECT d, cents,
+                      list_sort(list(cents) OVER
+                        (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                        AS arr
+               FROM day)
+         SELECT d, cents, arr[(len(arr) + 1) // 2] AS med7_cents
+         FROM w ORDER BY d"""),
+
+    // Q195: panel construction — every purchase event aligned with
+    // the user's most recent click AND most recent view via two
+    // CHAINED native as-of joins (GraftAsOfJoinExec: one co-partitioned
+    // single-pass merge each, O(1) state, no BETWEEN nested loop).
+    // This is the feature-at-event-time join that trains every
+    // clickstream model, and the composition is the point: as-of
+    // output is a first-class relation that feeds the next as-of. The
+    // oracle rebuilds both lookups in one tagged-union window pass
+    // (clicks/views sort before the purchase at equal ts — matching
+    // the operator's inclusive right_ts <= left_ts with greatest-id
+    // tiebreak).
+    "q195_event_panel" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v_e2"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("v_e2").as("p_v_e2"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("v_e2"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts_us"), col("event_id"), col("v_e2"))
+        val withClick = graft.analytics.AsOfJoinNative.asOf(
+          purchases, clicks, "user_id", "ts_us", "event_id",
+          payloadCols = Seq("v_e2"))
+          .withColumnRenamed("asof_v_e2", "click_v_e2")
+        graft.analytics.AsOfJoinNative.asOf(
+          withClick, views, "user_id", "ts_us", "event_id",
+          payloadCols = Seq("v_e2"))
+          .withColumnRenamed("asof_v_e2", "view_v_e2")
+          .select("event_id", "user_id", "ts_us", "p_v_e2",
+            "click_v_e2", "view_v_e2")
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type,
+                           CAST(round(value * 100) AS BIGINT) AS v_e2
+                    FROM events),
+         u AS (SELECT user_id, ts_us, event_id,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS tag,
+                      event_type, v_e2
+               FROM e WHERE event_type IN ('purchase', 'click', 'view')),
+         m AS (SELECT user_id, ts_us, event_id, tag, event_type, v_e2,
+                 last_value(CASE WHEN event_type = 'click' THEN v_e2 END
+                            IGNORE NULLS) OVER w AS click_v_e2,
+                 last_value(CASE WHEN event_type = 'view' THEN v_e2 END
+                            IGNORE NULLS) OVER w AS view_v_e2
+               FROM u
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts_us, tag, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, ts_us, v_e2 AS p_v_e2,
+                click_v_e2, view_v_e2
+         FROM m WHERE tag = 1 ORDER BY event_id"""),
+
+    // Q196: distinct users per sliding 7-day window — the windowed
+    // COUNT DISTINCT that naive per-window re-scans make O(days *
+    // corpus). The scale-shaped plan: each (day, user) pair explodes
+    // into the <= 7 window-ends it covers (fan-out bounded by window
+    // length, map-side), then ONE distinct-aggregate shuffle answers
+    // every window at once. Emitted for every window end between the
+    // corpus' min and max event day (scalar-subquery bounds).
+    "q196_sliding_distinct" -> QuerySpec(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_q196_events")
+        s.sql("""
+          WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                      FROM g_q196_events),
+          cover AS (SELECT explode(sequence(d, date_add(d, 6))) AS w, user_id
+                    FROM du),
+          cnt AS (SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                  FROM cover GROUP BY 1)
+          SELECT w, n_users FROM cnt
+          WHERE w >= (SELECT min(d) FROM du) AND w <= (SELECT max(d) FROM du)
+          ORDER BY w""")
+      },
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                     FROM events),
+         cover AS (SELECT unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                                 INTERVAL 1 DAY))::DATE AS w,
+                          user_id
+                   FROM du),
+         cnt AS (SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+                 FROM cover GROUP BY 1)
+         SELECT w, n_users FROM cnt
+         WHERE w >= (SELECT min(d) FROM du) AND w <= (SELECT max(d) FROM du)
+         ORDER BY w""")
   )
 }
