@@ -759,6 +759,199 @@ object StatQueries {
                  FROM cover GROUP BY 1)
          SELECT w, n_users FROM cnt
          WHERE w >= (SELECT min(d) FROM du) AND w <= (SELECT max(d) FROM du)
-         ORDER BY w""")
+         ORDER BY w"""),
+
+    // Q197: decile lift table — the model-evaluation operator behind
+    // every gains chart: rank by score (here n_chars as a toy score
+    // for label lang='en'), cut into 10 deterministic near-equal
+    // buckets, per-bucket positive rate and lift vs base rate in
+    // exact ppm. The decile cut is ((r-1)*10) div n over a TOTAL
+    // order (score desc, doc_id) — ntile() would tie-break by
+    // partition layout, which is exactly the nondeterminism this
+    // formulation exists to kill. One global sort (rank needs it),
+    // then a 10-group aggregate.
+    "q197_decile_lift" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q197_documents")
+        s.sql("""
+          WITH scored AS (SELECT n_chars AS score,
+                                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                                   AS label,
+                                 doc_id
+                          FROM g_q197_documents),
+          ranked AS (SELECT score, label,
+                            row_number() OVER (ORDER BY score DESC, doc_id)
+                              AS r,
+                            count(*) OVER () AS n,
+                            sum(label) OVER () AS p
+                     FROM scored),
+          cut AS (SELECT ((r - 1) * 10) div n + 1 AS decile, label, n, p
+                  FROM ranked)
+          SELECT CAST(decile AS BIGINT) AS decile,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(label) AS BIGINT) AS n_pos,
+                 (sum(label) * 1000000) div count(*) AS rate_ppm,
+                 (sum(label) * max(n) * 1000000) div (count(*) * max(p))
+                   AS lift_ppm
+          FROM cut GROUP BY 1 ORDER BY decile""")
+      },
+      """WITH scored AS (SELECT n_chars AS score,
+                                CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                                  AS label,
+                                doc_id
+                         FROM documents),
+         ranked AS (SELECT score, label,
+                           row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS r,
+                           count(*) OVER () AS n,
+                           sum(label) OVER () AS p
+                    FROM scored),
+         cut AS (SELECT ((r - 1) * 10) // n + 1 AS decile, label, n, p
+                 FROM ranked)
+         SELECT CAST(decile AS BIGINT) AS decile,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(label) AS BIGINT) AS n_pos,
+                (CAST(sum(label) AS BIGINT) * 1000000) // count(*) AS rate_ppm,
+                (CAST(sum(label) AS BIGINT) * max(n) * 1000000)
+                  // (count(*) * max(p)) AS lift_ppm
+         FROM cut GROUP BY 1 ORDER BY decile"""),
+
+    // Q198: exact AUC via the Mann-Whitney identity — AUC is
+    // U/(n_pos*n_neg), and U comes from the same integer-exact
+    // doubled rank sums as q181 (ties contribute exactly 1/2 through
+    // 2*avg_rank = 2*rmin + tc - 1, the standard AUC tie convention).
+    // No threshold sweep, no trapezoid floats: one ranking pass and
+    // one division. This is how AUC is actually computed at
+    // 100 TB scale — as a rank statistic, not a curve integral.
+    "q198_auc" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q198_documents")
+        s.sql("""
+          WITH scored AS (SELECT n_chars AS score,
+                                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                                   AS label
+                          FROM g_q198_documents),
+          ranked AS (SELECT label,
+                            rank() OVER (ORDER BY score) AS rmin,
+                            count(*) OVER (PARTITION BY score) AS tc
+                     FROM scored),
+          agg AS (SELECT CAST(sum(CASE WHEN label = 1
+                                       THEN 2*rmin + tc - 1 END) AS BIGINT)
+                           AS r2_pos,
+                         CAST(sum(label) AS BIGINT) AS n_pos,
+                         CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+                  FROM ranked)
+          SELECT n_pos, n_neg,
+                 ((r2_pos - n_pos * (n_pos + 1)) * 1000000)
+                   div (2 * n_pos * n_neg) AS auc_ppm
+          FROM agg""")
+      },
+      """WITH scored AS (SELECT n_chars AS score,
+                                CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                                  AS label
+                         FROM documents),
+         ranked AS (SELECT label,
+                           rank() OVER (ORDER BY score) AS rmin,
+                           count(*) OVER (PARTITION BY score) AS tc
+                    FROM scored),
+         agg AS (SELECT CAST(sum(CASE WHEN label = 1
+                                      THEN 2*rmin + tc - 1 END) AS BIGINT)
+                          AS r2_pos,
+                        CAST(sum(label) AS BIGINT) AS n_pos,
+                        CAST(count(*) - sum(label) AS BIGINT) AS n_neg
+                 FROM ranked)
+         SELECT n_pos, n_neg,
+                ((r2_pos - n_pos * (n_pos + 1)) * 1000000)
+                  // (2 * n_pos * n_neg) AS auc_ppm
+         FROM agg"""),
+
+    // Q199: distinct-sketch CUBE — bitmap distinct-token sketches
+    // materialized at every (lang, source) grouping-sets cell in ONE
+    // aggregate pass (the planner expands the cube map-side; the
+    // sketch's OR-merge is what makes a distinct measure legal inside
+    // grouping sets at all — exact COUNT(DISTINCT) re-shuffles per
+    // cell, a bitmap ORs up the lattice). Occupied-bucket counts are
+    // exact over hash mod m, which is what the oracle's CUBE over
+    // distinct (cell, bucket) recomputes.
+    "q199_cube_sketch" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q199_documents")
+        s.sql("""
+          WITH tok AS (SELECT lang, source, explode(split(text, ' ')) AS t
+                       FROM g_q199_documents)
+          SELECT coalesce(lang, 'ALL') AS lang,
+                 coalesce(source, 'ALL') AS source,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 graft_bitmap_distinct(md5_prefix60(t), 4096)
+                   AS distinct_buckets
+          FROM tok WHERE t <> ''
+          GROUP BY CUBE (lang, source)
+          ORDER BY lang, source""")
+      },
+      """WITH tok AS (SELECT lang, source, t
+                      FROM (SELECT lang, source,
+                                   unnest(list_filter(string_split(text, ' '),
+                                                      x -> x <> '')) AS t
+                            FROM documents)),
+         h AS (SELECT lang, source,
+                      ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS bucket
+               FROM tok)
+         SELECT coalesce(lang, 'ALL') AS lang,
+                coalesce(source, 'ALL') AS source,
+                CAST(count(*) AS BIGINT) AS n_tokens,
+                CAST(count(DISTINCT bucket) AS BIGINT) AS distinct_buckets
+         FROM h
+         GROUP BY CUBE (lang, source)
+         ORDER BY lang, source"""),
+
+    // Q200: curation-pipeline capstone — the composed shape a
+    // training-data run actually executes, end to end in one plan:
+    // quality gate (token count >= 20) -> exact dedup on the content
+    // hash (keep smallest doc_id per text) -> deterministic 95/5
+    // train/val hash split -> per (split, lang) accounting: docs,
+    // whitespace tokens, and 512-token chunk counts (the packing
+    // denominator). Every stage is one of this library's gated
+    // operators; the capstone checks their COMPOSITION still matches
+    // the oracle exactly — map-side quality filter, one dedup
+    // shuffle, pure-map split, one final aggregate.
+    "q200_curation_pipeline" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q200_documents")
+        s.sql("""
+          WITH base AS (SELECT doc_id, lang, text,
+                               size(split(text, ' ')) AS n_tok
+                        FROM g_q200_documents),
+          quality AS (SELECT * FROM base WHERE n_tok >= 20),
+          dedup AS (SELECT lang, n_tok, min(doc_id) AS doc_id
+                    FROM quality
+                    GROUP BY md5(text), lang, n_tok),
+          split AS (SELECT lang, n_tok,
+                           CASE WHEN md5_prefix60(CAST(doc_id AS STRING))
+                                     % 100 < 95
+                                THEN 'train' ELSE 'val' END AS split
+                    FROM dedup)
+          SELECT split, lang,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(sum((n_tok + 511) div 512) AS BIGINT) AS n_chunks
+          FROM split GROUP BY 1, 2 ORDER BY split, lang""")
+      },
+      """WITH base AS (SELECT doc_id, lang, text,
+                              len(string_split(text, ' ')) AS n_tok
+                       FROM documents),
+         quality AS (SELECT * FROM base WHERE n_tok >= 20),
+         dedup AS (SELECT lang, n_tok, min(doc_id) AS doc_id
+                   FROM quality
+                   GROUP BY md5(text), lang, n_tok),
+         split AS (SELECT lang, n_tok,
+                          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                    % 100 < 95
+                               THEN 'train' ELSE 'val' END AS split
+                   FROM dedup)
+         SELECT split, lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(sum((n_tok + 511) // 512) AS BIGINT) AS n_chunks
+         FROM split GROUP BY 1, 2 ORDER BY split, lang""")
   )
 }
