@@ -952,6 +952,161 @@ object StatQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                 CAST(sum((n_tok + 511) // 512) AS BIGINT) AS n_chunks
-         FROM split GROUP BY 1, 2 ORDER BY split, lang""")
+         FROM split GROUP BY 1, 2 ORDER BY split, lang"""),
+
+    // Q201: BM25-style retrieval ranking, LOG-FREE BY DESIGN — the
+    // tf-saturation core of BM25 (k1 = 6/5, b = 3/4) is rational, so
+    // with avgdl expanded as total_tokens/N the normalized tf becomes
+    //   tfn = 44*T*tf / (20*T*tf + 6*T + 18*dl*N)   (exact integers)
+    // and idf uses the Robertson RATIO (2(N-df)+1)/(2df+1) in ppm
+    // instead of its log — a monotone-in-df surrogate chosen because
+    // ln() is where engines stop agreeing bit-for-bit. Ranking
+    // retrieval at 100 TB is: one tf aggregate, df/dl/N side
+    // aggregates broadcast, score = sum over QUERY terms only (the
+    // posting lists of 3 terms, never the corpus), top-10 by
+    // (score, doc_id) total order.
+    "q201_bm25_retrieval" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q201_documents")
+        s.sql("""
+          WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS t
+                       FROM g_q201_documents),
+          tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok WHERE t <> '' GROUP BY 1, 2),
+          dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                 FROM tok WHERE t <> '' GROUP BY 1),
+          corpus AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+                            CAST(count(*) AS BIGINT) AS tt
+                     FROM tok WHERE t <> ''),
+          df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+                 WHERE t IN ('hash', 'merge', 'window') GROUP BY 1),
+          scored AS (SELECT tf.doc_id,
+                            ((2*(c.n - df.df) + 1) * 1000000)
+                              div (2*df.df + 1) AS idf_ppm,
+                            (44 * c.tt * tf.tf * 1000000)
+                              div (20 * c.tt * tf.tf + 6 * c.tt
+                                   + 18 * dl.dl * c.n) AS tfn_ppm
+                     FROM tf
+                     JOIN df ON tf.t = df.t
+                     JOIN dl ON tf.doc_id = dl.doc_id
+                     CROSS JOIN corpus c)
+          SELECT doc_id, CAST(sum(idf_ppm * tfn_ppm) AS BIGINT) AS score
+          FROM scored GROUP BY 1
+          ORDER BY score DESC, doc_id LIMIT 10""")
+      },
+      """WITH tok AS (SELECT doc_id,
+                             unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS t
+                      FROM documents),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                FROM tok GROUP BY 1),
+         corpus AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS tt
+                    FROM tok),
+         df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+                WHERE t IN ('hash', 'merge', 'window') GROUP BY 1),
+         scored AS (SELECT tf.doc_id,
+                           ((2*(c.n - df.df) + 1) * 1000000)
+                             // (2*df.df + 1) AS idf_ppm,
+                           (44 * c.tt * tf.tf * 1000000)
+                             // (20 * c.tt * tf.tf + 6 * c.tt
+                                  + 18 * dl.dl * c.n) AS tfn_ppm
+                    FROM tf
+                    JOIN df ON tf.t = df.t
+                    JOIN dl ON tf.doc_id = dl.doc_id
+                    CROSS JOIN corpus c)
+         SELECT doc_id, CAST(sum(idf_ppm * tfn_ppm) AS BIGINT) AS score
+         FROM scored GROUP BY 1
+         ORDER BY score DESC, doc_id LIMIT 10"""),
+
+    // Q202: exact phrase search over a POSITIONAL inverted index —
+    // the operator full-text phrase queries actually need: the
+    // (doc, token, position) relation self-joins on (doc, p+1), so
+    // the phrase "table hash" is an equi-join of two single-token
+    // posting lists with a position offset, never a substring scan
+    // of the corpus. At 100 TB the index is the thing that shuffles
+    // once at build time; each phrase query touches only its terms'
+    // postings. The oracle builds the same positional join with
+    // generate_subscripts.
+    "q202_phrase_search" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q202_documents")
+        s.sql("""
+          WITH pos AS (SELECT doc_id, p, w
+                       FROM g_q202_documents
+                       LATERAL VIEW posexplode(split(text, ' ')) AS p, w),
+          hits AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                   FROM pos a JOIN pos b
+                     ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                   WHERE a.w = 'table' AND b.w = 'hash'
+                   GROUP BY 1)
+          SELECT doc_id, n_hits FROM hits ORDER BY doc_id""")
+      },
+      """WITH pos AS (SELECT doc_id,
+                             generate_subscripts(string_split(text, ' '), 1)
+                               AS p,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+         hits AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                  FROM pos a JOIN pos b
+                    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+                  WHERE a.w = 'table' AND b.w = 'hash'
+                  GROUP BY 1)
+         SELECT doc_id, n_hits FROM hits ORDER BY doc_id"""),
+
+    // Q203: CUSUM change-point detection on the daily revenue series
+    // — the classic "where did the level shift" statistic, exact:
+    // S_t = prefix_t - t*mean scaled by n to the integer
+    // n*prefix_t - t*total, argmax |.| with an earliest-day tiebreak,
+    // plus the exact integer segment means either side of the break.
+    // One day aggregate, one running-sum window, one top-1 — the
+    // whole statistic rides on a cumulative sum, which distributes as
+    // a range-partitioned prefix scan.
+    "q203_cusum_changepoint" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q203_orders")
+        s.sql("""
+          WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                AS cents
+                       FROM g_q203_orders GROUP BY 1),
+          series AS (SELECT d, cents,
+                            row_number() OVER (ORDER BY d) AS t,
+                            sum(cents) OVER (ORDER BY d
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS prefix,
+                            count(*) OVER () AS n,
+                            sum(cents) OVER () AS total
+                     FROM day),
+          dev AS (SELECT d, t, n, prefix, total,
+                         abs(n * prefix - t * total) AS cusum_n
+                  FROM series WHERE t < n)
+          SELECT d, cusum_n,
+                 prefix div t AS pre_mean_cents,
+                 (total - prefix) div (n - t) AS post_mean_cents
+          FROM dev ORDER BY cusum_n DESC, d LIMIT 1""")
+      },
+      """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                  AS BIGINT) AS cents
+                      FROM orders GROUP BY 1),
+         series AS (SELECT d, cents,
+                           row_number() OVER (ORDER BY d) AS t,
+                           sum(cents) OVER (ORDER BY d
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS prefix,
+                           count(*) OVER () AS n,
+                           sum(cents) OVER () AS total
+                    FROM day),
+         dev AS (SELECT d, t, n, prefix, total,
+                        abs(n * prefix - t * total) AS cusum_n
+                 FROM series WHERE t < n)
+         SELECT d, CAST(cusum_n AS BIGINT) AS cusum_n,
+                CAST(prefix // t AS BIGINT) AS pre_mean_cents,
+                CAST((total - prefix) // (n - t) AS BIGINT)
+                  AS post_mean_cents
+         FROM dev ORDER BY cusum_n DESC, d LIMIT 1""")
   )
 }
