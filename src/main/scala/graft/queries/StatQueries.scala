@@ -1107,6 +1107,74 @@ object StatQueries {
                 CAST(prefix // t AS BIGINT) AS pre_mean_cents,
                 CAST((total - prefix) // (n - t) AS BIGINT)
                   AS post_mean_cents
-         FROM dev ORDER BY cusum_n DESC, d LIMIT 1""")
+         FROM dev ORDER BY cusum_n DESC, d LIMIT 1"""),
+
+    // Q204: streaming SCD2 dimension maintenance — the tier-change
+    // log drains through a REAL 3-microbatch stream into the bucketed
+    // manifest-tracked changelog store (each change row is its own
+    // key, so redelivered changes dedup and NO change is ever lost to
+    // last-writer-wins — the store is an exactly-once compacted log,
+    // maintained incrementally per the q137 machinery), and the
+    // type-2 dimension (validity intervals, current flags) is derived
+    // from the log by the gated Scd.type2 fold. This split is the
+    // point at scale: version derivation is a per-key fold you can
+    // re-run for dirty keys only, while the thing maintained under
+    // streaming pressure is the append-compacted log — out-of-order
+    // batches can never corrupt interval boundaries the way
+    // version-appending sinks silently do. The oracle rebuilds the
+    // dimension from scratch in SQL.
+    "q204_streaming_scd2" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q204")
+        val tmp = tmpPath.toString
+        val changes = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("change_id"),
+            col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            expr("CAST(round(value) AS BIGINT) div 10").as("tier"),
+            col("event_id").cast("long").as("__seq"),
+            lit("upsert").as("__op"))
+        changes.repartition(3).write.parquet(s"$tmp/staging")
+        val stream = s.readStream.schema(changes.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$tmp/staging")
+        val snapshot = graft.streaming.StreamingUpsert.mergeStream(
+          s, stream, s"$tmp/snapshots", "change_id", s"$tmp/checkpoint")
+        val log = graft.streaming.StreamingUpsert.finalSnapshot(s, snapshot)
+        val out = graft.analytics.Scd.type2(
+          log, col("user_id"), col("ts_us"), col("tier"), col("change_id"))
+          .select(col("k").as("user_id"), col("valid_from"),
+            col("valid_to"), col("a").as("tier"),
+            col("n_changes"), col("is_current"))
+          .orderBy("user_id", "valid_from")
+        GateTmp.deleteRecursively(tmpPath.resolve("staging"))
+        GateTmp.deleteRecursively(tmpPath.resolve("checkpoint"))
+        out
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                           CAST(round(value) AS BIGINT) // 10 AS tier,
+                           event_id
+                    FROM events WHERE event_type = 'purchase'),
+         f AS (SELECT user_id, ts_us, tier, event_id,
+                 CASE WHEN lag(tier) OVER w IS NULL
+                        OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+               FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         r AS (SELECT user_id, ts_us, tier,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+               FROM f),
+         dim AS (SELECT user_id, run, min(tier) AS tier,
+                        min(ts_us) AS valid_from,
+                        CAST(count(*) AS BIGINT) AS n_changes
+                 FROM r GROUP BY 1, 2),
+         v AS (SELECT user_id, tier, valid_from, n_changes,
+                      lead(valid_from) OVER (PARTITION BY user_id
+                                             ORDER BY run) AS valid_to
+               FROM dim)
+         SELECT user_id, valid_from, valid_to, tier, n_changes,
+                valid_to IS NULL AS is_current
+         FROM v ORDER BY user_id, valid_from""")
   )
 }
