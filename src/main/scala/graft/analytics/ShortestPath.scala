@@ -26,6 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object ShortestPath {
 
+  /** Full directed reachability from `source` (BFS to fixpoint):
+    * returns (node) for every node reachable over `edges`
+    * (src: long, dst: long). Frontier expansion with an early exit on
+    * an empty frontier — one cheap isEmpty probe per round against
+    * the just-persisted frontier — and a per-round localCheckpoint on
+    * the visited set so lineage stays flat at any depth. Work per
+    * round is the frontier's out-degree sum (Pregel step), never
+    * all-pairs. `maxRounds` is a safety bound ≥ the graph's hop
+    * diameter, not a truncation in practice.
+    */
+  def reachable(edges: DataFrame, source: Long, maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = Seq(source).toDF("node")
+    var frontier = visited
+    var r = 0
+    var done = false
+    while (r < maxRounds && !done) {
+      val next = frontier.alias("f")
+        .join(edges.alias("e"), col("f.node") === col("e.src"))
+        .select(col("e.dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .persist()
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      r += 1
+    }
+    visited
+  }
+
   /** edges: (src: long, dst: long, w: long). Returns (node, dist)
     * for nodes reachable from `source` within `rounds` edges.
     */

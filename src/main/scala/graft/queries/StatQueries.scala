@@ -1175,6 +1175,118 @@ object StatQueries {
                FROM dim)
          SELECT user_id, valid_from, valid_to, tier, n_changes,
                 valid_to IS NULL AS is_current
-         FROM v ORDER BY user_id, valid_from""")
+         FROM v ORDER BY user_id, valid_from"""),
+
+    // Q205: pivot SCC membership on the sparsified trade graph — the
+    // strongly-connected component containing nation 0, computed as
+    // forward-reachability ∩ backward-reachability (the
+    // forward-backward decomposition step every distributed SCC
+    // algorithm builds on). The graph keeps each nation's 2 cheapest
+    // outbound lanes (rank-sparsified with a total tiebreak), so the
+    // cycle structure is non-trivial at any SF. Reachability runs to
+    // FIXPOINT with per-round frontier anti-joins, empty-frontier
+    // early exit, and lineage cuts — the unbounded companion to
+    // q189's hop-bounded relaxation. The oracle is a recursive CTE
+    // pair intersected.
+    "q205_scc_pivot" -> QuerySpec(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val lanes = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+          .groupBy(
+            col("c_nationkey").cast("long").as("src"),
+            col("s_nationkey").cast("long").as("dst"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+        val edges = lanes
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("src").orderBy("w", "dst")))
+          .filter(col("rn") <= 2).select("src", "dst")
+        val fwd = graft.analytics.ShortestPath.reachable(edges, 0L)
+        val bwd = graft.analytics.ShortestPath.reachable(
+          edges.select(col("dst").as("src"), col("src").as("dst")), 0L)
+        fwd.intersect(bwd).orderBy("node")
+      },
+      """WITH RECURSIVE
+         e0 AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                       CAST(s.s_nationkey AS BIGINT) AS dst,
+                       min(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS w
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                GROUP BY 1, 2),
+         ranked AS (SELECT src, dst,
+                           row_number() OVER (PARTITION BY src
+                                              ORDER BY w, dst) AS rn
+                    FROM e0),
+         e AS (SELECT src, dst FROM ranked WHERE rn <= 2),
+         fwd AS (SELECT CAST(0 AS BIGINT) AS node
+                 UNION
+                 SELECT e.dst FROM fwd JOIN e ON e.src = fwd.node),
+         bwd AS (SELECT CAST(0 AS BIGINT) AS node
+                 UNION
+                 SELECT e.src FROM bwd JOIN e ON e.dst = bwd.node)
+         SELECT node FROM fwd
+         INTERSECT
+         SELECT node FROM bwd
+         ORDER BY node"""),
+
+    // Q206: Benford leading-digit audit of order totals — the
+    // data-forensics screen for fabricated or truncated numeric
+    // columns: observed leading-digit shares vs the Benford
+    // expectation, with the expectation pinned as an exact ppm
+    // CONSTANT table (log10(1+1/d) precomputed once — no runtime
+    // transcendentals to disagree over). Leading digit extracted from
+    // the decimal STRING rendering (no log10 tricks); everything else
+    // is counts and integer ppm.
+    "q206_benford_audit" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q206_orders")
+        s.sql("""
+          WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS v
+                         FROM g_q206_orders),
+          digit AS (SELECT substr(CAST(v AS STRING), 1, 1) AS d
+                    FROM cents WHERE v > 0),
+          obs AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM digit
+                  GROUP BY 1),
+          n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs),
+          benford AS (SELECT * FROM VALUES
+            ('1', 301030L), ('2', 176091L), ('3', 124939L),
+            ('4', 96910L), ('5', 79181L), ('6', 66947L),
+            ('7', 57992L), ('8', 51153L), ('9', 45757L)
+            AS t(d, expected_ppm))
+          SELECT b.d AS digit, coalesce(obs.c, 0L) AS n_rows,
+                 (coalesce(obs.c, 0L) * 1000000) div n.n AS share_ppm,
+                 b.expected_ppm,
+                 abs((coalesce(obs.c, 0L) * 1000000) div n.n
+                     - b.expected_ppm) AS dev_ppm
+          FROM benford b LEFT JOIN obs ON obs.d = b.d CROSS JOIN n
+          ORDER BY digit""")
+      },
+      """WITH cents AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                        FROM orders),
+         digit AS (SELECT substr(CAST(v AS VARCHAR), 1, 1) AS d
+                   FROM cents WHERE v > 0),
+         obs AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM digit
+                 GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM obs),
+         benford AS (SELECT * FROM (VALUES
+           ('1', CAST(301030 AS BIGINT)), ('2', 176091), ('3', 124939),
+           ('4', 96910), ('5', 79181), ('6', 66947),
+           ('7', 57992), ('8', 51153), ('9', 45757))
+           AS t(d, expected_ppm))
+         SELECT b.d AS digit, coalesce(obs.c, 0) AS n_rows,
+                (coalesce(obs.c, 0) * 1000000) // n.n AS share_ppm,
+                b.expected_ppm,
+                abs((coalesce(obs.c, 0) * 1000000) // n.n
+                    - b.expected_ppm) AS dev_ppm
+         FROM benford b LEFT JOIN obs ON obs.d = b.d CROSS JOIN n
+         ORDER BY digit""")
   )
 }

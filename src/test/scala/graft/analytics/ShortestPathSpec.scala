@@ -38,4 +38,22 @@ class ShortestPathSpec extends AnyFunSuite with SparkTestSession {
     val e = edges((0L, 1L, 1L))
     assert(run(e, 0) === Map(0L -> 0L))
   }
+
+  test("reachable runs to fixpoint and respects direction") {
+    val e = edges((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L), (3L, 0L, 1L))
+      .select("src", "dst")
+    val fwd = ShortestPath.reachable(e, 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(fwd === Set(0L, 1L, 2L)) // 3 points INTO the cycle, not out
+    val bwd = ShortestPath.reachable(
+      e.selectExpr("dst AS src", "src AS dst"), 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(bwd === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("reachable on an isolated source is just the source") {
+    val e = edges((5L, 6L, 1L)).select("src", "dst")
+    assert(ShortestPath.reachable(e, 0L)
+      .collect().map(_.getLong(0)).toSeq === Seq(0L))
+  }
 }
