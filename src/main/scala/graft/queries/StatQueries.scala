@@ -1287,6 +1287,93 @@ object StatQueries {
                 abs((coalesce(obs.c, 0) * 1000000) // n.n
                     - b.expected_ppm) AS dev_ppm
          FROM benford b LEFT JOIN obs ON obs.d = b.d CROSS JOIN n
-         ORDER BY digit""")
+         ORDER BY digit"""),
+
+    // Q207: deletion-request cascade (GDPR erasure shape) — the
+    // subject set (customers in the AUTOMOBILE segment) propagates
+    // through the foreign-key chain as a LEFT-SEMI then LEFT-ANTI
+    // cascade: orders of erased customers become erased; line items
+    // of erased orders become erased; survivors are counted and
+    // FINGERPRINTED (order-independent 60-bit digest sum, the q174
+    // checksum shape) so the gate proves both HOW MUCH survived and
+    // EXACTLY WHICH rows. The scale shape is the only one that works
+    // at 100 TB: the subject set broadcasts down the chain, facts are
+    // anti-joined in place — no row ever moves to where the subjects
+    // are.
+    "q207_erasure_cascade" -> QuerySpec(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_q207_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("g_q207_orders")
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_q207_lineitem")
+        s.sql("""
+          WITH erased_c AS (SELECT c_custkey FROM g_q207_customer
+                            WHERE c_mktsegment = 'AUTOMOBILE'),
+          surviving_o AS (SELECT o.o_orderkey
+                          FROM g_q207_orders o
+                          LEFT ANTI JOIN erased_c e
+                            ON o.o_custkey = e.c_custkey),
+          surviving_l AS (SELECT l.l_orderkey, l.l_linenumber
+                          FROM g_q207_lineitem l
+                          LEFT SEMI JOIN surviving_o o
+                            ON l.l_orderkey = o.o_orderkey)
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM erased_c) AS n_erased_customers,
+            (SELECT CAST(count(*) AS BIGINT) FROM surviving_o) AS n_surviving_orders,
+            CAST(count(*) AS BIGINT) AS n_surviving_lineitems,
+            CAST(sum(CAST(md5_prefix60(concat_ws('|',
+              CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING)))
+              AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS survivor_fp
+          FROM surviving_l""")
+      },
+      """WITH erased_c AS (SELECT c_custkey FROM customer
+                           WHERE c_mktsegment = 'AUTOMOBILE'),
+         surviving_o AS (SELECT o.o_orderkey FROM orders o
+                         WHERE o.o_custkey NOT IN (SELECT c_custkey
+                                                   FROM erased_c)),
+         surviving_l AS (SELECT l.l_orderkey, l.l_linenumber
+                         FROM lineitem l
+                         WHERE l.l_orderkey IN (SELECT o_orderkey
+                                                FROM surviving_o))
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM erased_c) AS n_erased_customers,
+           (SELECT CAST(count(*) AS BIGINT) FROM surviving_o) AS n_surviving_orders,
+           CAST(count(*) AS BIGINT) AS n_surviving_lineitems,
+           CAST(sum(('0x' || substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+             ), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS survivor_fp
+         FROM surviving_l"""),
+
+    // Q208: fair-share capped sampling — rebalance a source-skewed
+    // corpus by keeping AT MOST 15 docs per source, chosen by the
+    // content-hash order (deterministic, append-stable, no RNG): the
+    // per-group row_number plans as WindowGroupLimit, so each group
+    // carries k rows of state and the corpus is never globally
+    // sorted. The composition with q179/q185 completes the sampling
+    // triptych: uniform split, weighted draw, capped fair share.
+    "q208_capped_fairshare" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q208_documents")
+        s.sql("""
+          WITH ranked AS (SELECT source, doc_id, n_chars,
+                                 row_number() OVER (PARTITION BY source
+                                   ORDER BY md5_prefix60(CAST(doc_id AS STRING)),
+                                            doc_id) AS rn
+                          FROM g_q208_documents),
+          kept AS (SELECT * FROM ranked WHERE rn <= 15)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(doc_id) AS BIGINT) AS id_sum
+          FROM kept GROUP BY 1 ORDER BY source""")
+      },
+      """WITH ranked AS (SELECT source, doc_id, n_chars,
+                                row_number() OVER (PARTITION BY source
+                                  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                                           doc_id) AS rn
+                         FROM documents),
+         kept AS (SELECT * FROM ranked WHERE rn <= 15)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM kept GROUP BY 1 ORDER BY source""")
   )
 }
