@@ -39,19 +39,23 @@ object ShortestPath {
   def reachable(edges: DataFrame, source: Long, maxRounds: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var visited = Seq(source).toDF("node")
+    var visited = Seq(source).toDF("node").localCheckpoint()
     var frontier = visited
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
+      // ONE materialization per round: the eager localCheckpoint both
+      // caches the frontier and cuts its lineage; `visited` is then a
+      // union of already-materialized frontiers, so its plan stays
+      // flat without ever being checkpointed itself
       val next = frontier.alias("f")
         .join(edges.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .persist()
+        .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        visited = visited.unionByName(next).localCheckpoint()
+        visited = visited.unionByName(next)
         frontier = next
       }
       r += 1

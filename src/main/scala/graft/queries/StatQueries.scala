@@ -1202,10 +1202,13 @@ object StatQueries {
             col("c_nationkey").cast("long").as("src"),
             col("s_nationkey").cast("long").as("dst"))
           .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
-        val edges = lanes
+        // persist the (nations x 2)-row edge relation: every BFS round
+        // joins it, and without the cut each round would re-derive the
+        // 4-table fact join from scratch (measured 7.8 s -> sub-second)
+        val edges = graft.CacheScope.persist(lanes
           .withColumn("rn", row_number().over(
             Window.partitionBy("src").orderBy("w", "dst")))
-          .filter(col("rn") <= 2).select("src", "dst")
+          .filter(col("rn") <= 2).select("src", "dst"))
         val fwd = graft.analytics.ShortestPath.reachable(edges, 0L)
         val bwd = graft.analytics.ShortestPath.reachable(
           edges.select(col("dst").as("src"), col("src").as("dst")), 0L)
