@@ -32,7 +32,10 @@ object GramMatrix {
     * is d·(d+1)/2 rows regardless of N, ordered (i, j).
     */
   def upperTriangle(df: DataFrame, vec: Column, scale: Int): DataFrame = {
-    val q = transform(vec, x => round(x * lit(scale)).cast("long"))
+    // explicit double widening: Spark coerces float*int to DOUBLE while
+    // DuckDB keeps FLOAT, and a .5-boundary float (present at sf0.1)
+    // rounds differently between the two paths — see Similarity.quantize
+    val q = transform(vec, x => round(x.cast("double") * lit(scale)).cast("long"))
     // pairs within one row, generated in codegen: for element i, pair
     // it with elements i..d-1 via a 1-based slice; the inner index j0
     // is the offset so the absolute column is i + j0

@@ -19,8 +19,16 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Quantize a float embedding to milli-units. */
+  /** EXPLICIT double widening before the multiply: Spark coerces
+    * float*int to DOUBLE, DuckDB keeps FLOAT — a float sitting exactly
+    * on a .5 boundary after the float multiply (one exists in the
+    * sf0.1 corpus: 0.3195f*1000 = 319.5f vs 319.4999... in double)
+    * then rounds differently. Both the operator and every oracle pin
+    * the DOUBLE path (`CAST(x AS DOUBLE)*1000`) so quantization is
+    * engine-identical, not coercion-dependent.
+    */
   def quantize(embedding: Column): Column =
-    transform(embedding, x => round(x * 1000).cast("long"))
+    transform(embedding, x => round(x.cast("double") * 1000).cast("long"))
 
   /** Exact integer dot product of two quantized vectors. */
   def intDot(a: Column, b: Column): Column =

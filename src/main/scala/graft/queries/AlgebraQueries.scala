@@ -25,7 +25,7 @@ object AlgebraQueries {
         GramMatrix.upperTriangle(
           Tables.embeddings(s, dir), col("embedding"), scale = 1000),
       """WITH v AS (SELECT list_transform(embedding,
-                      x -> CAST(round(x * 1000) AS BIGINT)) AS e
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
                     FROM embeddings),
          ix AS (SELECT e, unnest(generate_series(1, len(e))) AS i FROM v),
          pr AS (SELECT e, i, unnest(generate_series(i, len(e))) AS j FROM ix)

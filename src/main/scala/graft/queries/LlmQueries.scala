@@ -82,7 +82,7 @@ object LlmQueries {
 
   private def quantSql(rel: String, pred: String) =
     s"""(SELECT vec_id,
-                list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e
          FROM $rel WHERE $pred)"""
 
   /** The MinHash+LSH near-dup pipeline (q21/q129): signatures →
@@ -318,12 +318,12 @@ object LlmQueries {
       },
       s"""WITH cents AS (
             SELECT vec_id AS cent_id,
-                   list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e
             FROM embeddings WHERE vec_id % 50 = 0 AND vec_id >= 5),
           cn0 AS (SELECT cent_id, e,
                     CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM cents),
           av AS (SELECT vec_id,
-                   list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e
                  FROM embeddings),
           an AS (SELECT vec_id, e,
                    CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM av),
@@ -384,7 +384,7 @@ object LlmQueries {
             UNION ALL SELECT vec_id+20000, [CAST(0.0 AS FLOAT)] || embedding[2:64]
               FROM embeddings WHERE vec_id%13=0),
           av AS (SELECT vec_id,
-                   list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e
+                   list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e
                  FROM corpus),
           an AS (SELECT vec_id, e,
                    CAST(list_sum(list_transform(e, x -> x*x)) AS BIGINT) AS n FROM av),

@@ -158,7 +158,7 @@ object ScaleQueries {
           .orderBy("query_id", "rank")
       },
       """WITH b AS (SELECT vec_id,
-                list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS e,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS e,
                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
               FROM embeddings),
          sc AS (SELECT vec_id, e, xd,
