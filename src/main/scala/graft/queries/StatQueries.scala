@@ -1377,6 +1377,100 @@ object StatQueries {
          SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum
-         FROM kept GROUP BY 1 ORDER BY source""")
+         FROM kept GROUP BY 1 ORDER BY source""") ,
+
+    // Q209: exact quantile normalization — re-express each language's
+    // n_chars distribution on the GLOBAL distribution (the batch-
+    // effect alignment step in feature prep): a value maps to its
+    // within-group rank fraction, then to the global order statistic
+    // at that fraction. All rank arithmetic is integer ((r*N) div n_g,
+    // clamped to >= 1, lower-quantile convention) over total orders
+    // (value, doc_id), and the final lookup is an equi-join on global
+    // rank — two sorts and one join, no percentile buffers. At 100 TB
+    // the global-rank relation is what a range partitioner already
+    // materializes; the grid variant (q136) is the documented swap
+    // when even one global sort is too much.
+    "q209_quantile_normalize" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q209_documents")
+        s.sql("""
+          WITH base AS (SELECT doc_id, lang, n_chars
+                        FROM g_q209_documents),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+          grp AS (SELECT doc_id, lang, n_chars,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n_chars, doc_id) AS r,
+                         count(*) OVER (PARTITION BY lang) AS n_g
+                  FROM base),
+          grank AS (SELECT n_chars AS g_val,
+                          row_number() OVER (ORDER BY n_chars, doc_id) AS k
+                   FROM base),
+          target AS (SELECT g.doc_id, g.lang, g.n_chars,
+                            greatest((g.r * n.n) div g.n_g,
+                                     CAST(1 AS BIGINT)) AS k
+                     FROM grp g CROSS JOIN n)
+          SELECT t.doc_id, t.lang, t.n_chars,
+                 grank.g_val AS normalized
+          FROM target t JOIN grank ON grank.k = t.k
+          ORDER BY doc_id""")
+      },
+      """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         grp AS (SELECT doc_id, lang, n_chars,
+                        row_number() OVER (PARTITION BY lang
+                                           ORDER BY n_chars, doc_id) AS r,
+                        count(*) OVER (PARTITION BY lang) AS n_g
+                 FROM base),
+         grank AS (SELECT n_chars AS g_val,
+                         row_number() OVER (ORDER BY n_chars, doc_id) AS k
+                  FROM base),
+         target AS (SELECT g.doc_id, g.lang, g.n_chars,
+                           greatest((g.r * n.n) // g.n_g,
+                                    CAST(1 AS BIGINT)) AS k
+                    FROM grp g CROSS JOIN n)
+         SELECT t.doc_id, t.lang, t.n_chars, grank.g_val AS normalized
+         FROM target t JOIN grank ON grank.k = t.k
+         ORDER BY doc_id"""),
+
+    // Q210: hashing-trick featurizer (HashingVectorizer semantics) —
+    // tokens map to a FIXED 64-bucket feature space via the content
+    // hash, with a hash-derived sign (+1/-1) so collisions cancel in
+    // expectation instead of accumulating bias. No vocabulary fit, no
+    // dictionary broadcast, no OOV path — the properties that make
+    // the hashing trick THE featurizer you can run on 100 TB in one
+    // map-side pass. Emitted as exploded (doc_id, bucket, weight)
+    // sparse triples over one source shard, fully SQL-replicable.
+    "q210_feature_hashing" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q210_documents")
+        s.sql("""
+          WITH tok AS (SELECT doc_id, explode(split(text, ' ')) AS t
+                       FROM g_q210_documents WHERE source = 'src0'),
+          hashed AS (SELECT doc_id,
+                            md5_prefix60(t) % 64 AS bucket,
+                            CASE WHEN (md5_prefix60(t) div 64) % 2 = 0
+                                 THEN 1L ELSE -1L END AS sign
+                     FROM tok WHERE t <> '')
+          SELECT doc_id, bucket,
+                 CAST(sum(sign) AS BIGINT) AS weight
+          FROM hashed GROUP BY 1, 2
+          HAVING sum(sign) <> 0
+          ORDER BY doc_id, bucket""")
+      },
+      """WITH tok AS (SELECT doc_id,
+                             unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS t
+                      FROM documents WHERE source = 'src0'),
+         hashed AS (SELECT doc_id,
+                           ('0x' || substr(md5(t), 1, 15))::BIGINT % 64
+                             AS bucket,
+                           CASE WHEN (('0x' || substr(md5(t), 1, 15))::BIGINT
+                                      // 64) % 2 = 0
+                                THEN 1 ELSE -1 END AS sign
+                    FROM tok)
+         SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+         FROM hashed GROUP BY 1, 2
+         HAVING sum(sign) <> 0
+         ORDER BY doc_id, bucket""")
   )
 }
