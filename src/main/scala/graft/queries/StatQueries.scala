@@ -1471,6 +1471,102 @@ object StatQueries {
          SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
          FROM hashed GROUP BY 1, 2
          HAVING sum(sign) <> 0
-         ORDER BY doc_id, bucket""")
+         ORDER BY doc_id, bucket"""),
+
+    // Q211: exact weighted median per group — the smallest value
+    // whose cumulative weight reaches half the group total (weights =
+    // token mass, here n_chars): one cumulative-sum window over the
+    // (group, value) order and a first-crossing argmin, the same
+    // cumulative-walk shape as the grid quantiles (q136) but
+    // per-group and weighted. Integer threshold test 2*cum >= total
+    // avoids the /2 rational. This is how "median document length
+    // weighted by tokens" style stats stay exact at scale — no
+    // weighted-percentile buffers, no interpolation.
+    "q211_weighted_median" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q211_documents")
+        s.sql("""
+          WITH w AS (SELECT lang, n_chars AS v,
+                            CAST(n_chars AS BIGINT) AS wt, doc_id
+                     FROM g_q211_documents),
+          c AS (SELECT lang, v, wt,
+                       sum(wt) OVER (PARTITION BY lang ORDER BY v, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum,
+                       sum(wt) OVER (PARTITION BY lang) AS total
+                FROM w),
+          x AS (SELECT lang, v, cum, total,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY cum, v) AS rn
+                FROM c WHERE 2 * cum >= total)
+          SELECT lang, CAST(v AS BIGINT) AS weighted_median,
+                 total AS total_weight
+          FROM x WHERE rn = 1 ORDER BY lang""")
+      },
+      """WITH w AS (SELECT lang, n_chars AS v,
+                           CAST(n_chars AS BIGINT) AS wt, doc_id
+                    FROM documents),
+         c AS (SELECT lang, v, wt,
+                      sum(wt) OVER (PARTITION BY lang ORDER BY v, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum,
+                      sum(wt) OVER (PARTITION BY lang) AS total
+               FROM w),
+         x AS (SELECT lang, v, cum, total,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY cum, v) AS rn
+               FROM c WHERE 2 * cum >= total)
+         SELECT lang, CAST(v AS BIGINT) AS weighted_median,
+                CAST(total AS BIGINT) AS total_weight
+         FROM x WHERE rn = 1 ORDER BY lang"""),
+
+    // Q212: maximum drawdown of the cumulative daily-revenue series —
+    // the running-extrema statistic (largest peak-to-trough fall of
+    // the running total), exact: running sum, running max of the
+    // running sum, max gap, plus the day the trough lands. Two
+    // stacked unbounded-preceding windows over ONE sort — the frame
+    // shape that answers "how bad did it get" questions over any
+    // cumulative metric (revenue, net adds, error budget) in a
+    // single pass.
+    "q212_max_drawdown" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q212_orders")
+        s.sql("""
+          WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                              sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                                - 130000000L AS net
+                       FROM g_q212_orders GROUP BY 1),
+          run AS (SELECT d,
+                         sum(net) OVER (ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS bal
+                  FROM day),
+          peak AS (SELECT d, bal,
+                          max(bal) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS pk
+                   FROM run)
+          SELECT d AS trough_day, pk - bal AS drawdown_cents,
+                 pk AS peak_cents, bal AS trough_cents
+          FROM peak ORDER BY pk - bal DESC, d LIMIT 1""")
+      },
+      """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                             sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                               - 130000000 AS net
+                      FROM orders GROUP BY 1),
+         run AS (SELECT d,
+                        sum(net) OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS bal
+                 FROM day),
+         peak AS (SELECT d, bal,
+                         max(bal) OVER (ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS pk
+                  FROM run)
+         SELECT d AS trough_day, CAST(pk - bal AS BIGINT) AS drawdown_cents,
+                CAST(pk AS BIGINT) AS peak_cents,
+                CAST(bal AS BIGINT) AS trough_cents
+         FROM peak ORDER BY pk - bal DESC, d LIMIT 1""")
   )
 }
