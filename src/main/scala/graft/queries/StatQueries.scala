@@ -1567,6 +1567,34 @@ object StatQueries {
          SELECT d AS trough_day, CAST(pk - bal AS BIGINT) AS drawdown_cents,
                 CAST(pk AS BIGINT) AS peak_cents,
                 CAST(bal AS BIGINT) AS trough_cents
-         FROM peak ORDER BY pk - bal DESC, d LIMIT 1""")
+         FROM peak ORDER BY pk - bal DESC, d LIMIT 1"""),
+
+    // Q213: custom DataSource V2 connector end to end — reads the
+    // in-repo `graft.sources.RangeSource` (TableProvider → ScanBuilder
+    // with filter pushdown + column pruning → parallel
+    // InputPartitions) through a selective id-range filter and an
+    // aggregate. The id bounds narrow the GENERATED interval at
+    // planning time (the scan does the skipping, not a post-scan
+    // Filter — asserted in RangeSourceSpec), and only the three
+    // referenced columns are materialized. The oracle regenerates the
+    // same interval with generate_series — the connector's contract
+    // is that a deterministic table definition plus pushdown yields
+    // exactly the relation the SQL engine would.
+    "q213_dsv2_range" -> QuerySpec(
+      (s, dir) => {
+        s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 100000).option("slices", 8)
+          .load()
+          .filter(col("id") >= 25000 && col("id") < 75000)
+          .groupBy("bucket", "label")
+          .agg(count(lit(1)).as("n"), sum("id_sq").as("sum_sq"))
+          .orderBy("bucket")
+      },
+      """WITH r AS (SELECT unnest(generate_series(25000, 74999)) AS id)
+         SELECT id % 16 AS bucket,
+                'b' || CAST(id % 16 AS VARCHAR) AS label,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id * id) AS BIGINT) AS sum_sq
+         FROM r GROUP BY 1, 2 ORDER BY bucket""")
   )
 }
