@@ -37,7 +37,15 @@ object Tables {
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      // The driver regenerates testdata between rounds and its physical
+      // encodings are NOT contract-stable (nanos→micros flipped in
+      // round 9). A third encoding must fail HERE with its name — not
+      // surface as confusing analysis errors or silently divergent
+      // values three operators downstream (round-9 advice).
+      case other => throw new IllegalStateException(
+        s"events.ts has unhandled encoding $other; teach Tables.events " +
+          "the new driver testdata type")
     }
   }
 

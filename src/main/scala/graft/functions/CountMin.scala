@@ -111,7 +111,13 @@ object CountMinAgg {
       s"graft_cms_agg takes (buckets, depth, width), got ${args.size} args")
     def lit(e: Expression, name: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+      // Bounds-check BEFORE narrowing: 4294967300L.toInt is 4, which
+      // would sail past the dimension requires with a silently wrong
+      // sketch shape (round-9 advice).
+      case Literal(v: Long, LongType) =>
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"$name must fit in a 32-bit integer, got $v")
+        v.toInt
       case other => throw new IllegalArgumentException(
         s"$name must be an integer literal, got $other")
     }

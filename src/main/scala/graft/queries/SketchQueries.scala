@@ -13,12 +13,16 @@ object SketchQueries {
   val specs: Map[String, QuerySpec] = Map(
 
     // Q174: order-independent table fingerprint, grouped by return
-    // flag — count + bit_xor + exact decimal sum of a 60-bit row
-    // digest over a canonical integer/date rendering. Row order, file
-    // layout, and partitioning can't change it; any changed row does.
-    // The grouped form localizes a replication mismatch to the shard
-    // to re-copy. One map-side-combined aggregate; the shuffle carries
-    // a triple per (group × partition).
+    // flag — count + bit_xor + digest-sum of a 60-bit row digest over
+    // a canonical integer/date rendering. Row order, file layout, and
+    // partitioning can't change it; any changed row does. The grouped
+    // form localizes a replication mismatch to the shard to re-copy.
+    // One map-side-combined aggregate; the shuffle carries a triple
+    // per (group × partition). The emitted fp_sum is the exact
+    // decimal sum folded mod 2^62 so the gate's final columns are all
+    // BIGINT (OracleIdioms rule 1 — the round-9 driver mismatch was
+    // exactly the DECIMAL(38,0)-final gates); the unfolded decimal
+    // stays available from TableChecksum.fingerprint directly.
     "q174_table_checksum" -> QuerySpec(
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
@@ -33,9 +37,11 @@ object SketchQueries {
             col("l_returnflag"), col("l_linestatus"),
             to_date(col("l_shipdate")).cast("string")),
           groupKeys = Seq(col("l_returnflag")))
+          .withColumn("fp_sum",
+            (col("fp_sum") % OracleIdioms.fold62.toLong).cast("long"))
           .orderBy("l_returnflag")
       },
-      """WITH c AS (SELECT l_returnflag,
+      s"""WITH c AS (SELECT l_returnflag,
                       concat_ws('|',
                         CAST(l_orderkey AS VARCHAR),
                         CAST(l_linenumber AS VARCHAR),
@@ -46,11 +52,12 @@ object SketchQueries {
                         CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS s
                     FROM lineitem),
          h AS (SELECT l_returnflag,
-                      ('0x' || substr(md5(s), 1, 15))::BIGINT AS d
+                      ${OracleIdioms.hex60("s")} AS d
                FROM c)
          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(bit_xor(d) AS BIGINT) AS fp_xor,
-                CAST(sum(d) AS DECIMAL(38,0)) AS fp_sum
+                CAST(sum(CAST(d AS HUGEINT)) % ${OracleIdioms.fold62}
+                     AS BIGINT) AS fp_sum
          FROM h GROUP BY 1 ORDER BY 1"""),
 
     // Q177: bitmap sketch ALGEBRA — audience-overlap matrix between
@@ -136,54 +143,68 @@ object SketchQueries {
     // DETERMINISM: the emitted raw estimate is an exact integer
     // division (see HyperLogLogAgg's rational rewrite of
     // alpha_m*m^2/S) — the oracle rebuilds the registers from the same
-    // md5 hash split (index = h mod m, rho from the bin() bit length
-    // of h div m) and reproduces v / s_scaled / est bit-for-bit.
-    // exact_n rides along to exhibit the estimate against truth, and
-    // `regime` makes the estimator's published decision rule explicit:
-    // raw HLL overestimates below ~2.5m (visible here: 150 distinct
-    // users -> est 887 at m=1024), where the standard correction is
-    // linear counting m*ln(m/v) over the SAME emitted v — the
-    // transcendental step is left out of the gate to stay bit-exact.
+    // md5 hash split (index = h mod m, rho from the arithmetic bit
+    // length of h div m — a powers-of-two VALUES table, not
+    // length(bin()), per OracleIdioms rule 3) and reproduces
+    // v / s_scaled / est bit-for-bit. s_scaled (< 2^71) is emitted
+    // folded mod 2^62 so the final column is BIGINT, not DECIMAL —
+    // the register sum's full magnitude already reaches the gate
+    // through est. exact_n rides along to exhibit the estimate
+    // against truth, and `regime` makes the estimator's published
+    // decision rule explicit: raw HLL overestimates below ~2.5m
+    // (visible here: 150 distinct users -> est 887 at m=1024), where
+    // the standard correction is linear counting m*ln(m/v) over the
+    // SAME emitted v — the transcendental step is left out of the
+    // gate to stay bit-exact.
     "q186_hll_users" -> QuerySpec(
       (s, dir) => {
         Tables.events(s, dir).createOrReplaceTempView("g_q186_events")
-        s.sql("""
+        s.sql(s"""
           WITH h AS (SELECT event_type,
                             graft_hll(md5_prefix60(CAST(user_id AS STRING)),
                                       1024) AS hll,
                             count(DISTINCT user_id) AS exact_n
                      FROM g_q186_events GROUP BY event_type)
-          SELECT event_type, hll.v AS v, hll.s_scaled AS s_scaled,
+          SELECT event_type, hll.v AS v,
+                 CAST(hll.s_scaled % ${OracleIdioms.fold62} AS BIGINT)
+                   AS s_scaled,
                  hll.est AS est, CAST(exact_n AS BIGINT) AS exact_n,
                  CASE WHEN hll.v > 0 AND hll.est <= 2560
                       THEN 'small_range_lc' ELSE 'raw_hll' END AS regime
           FROM h ORDER BY event_type""")
       },
-      """WITH h AS (SELECT event_type,
-                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      s"""WITH pw(p) AS (VALUES ${OracleIdioms.pow2Values50}),
+         p2(e, pv) AS (VALUES ${OracleIdioms.pow2Pairs60}),
+         h AS (SELECT event_type,
+                      ${OracleIdioms.hex60("CAST(user_id AS VARCHAR)")}
                         AS hv
-                    FROM events),
-         b AS (SELECT event_type, hv % 1024 AS reg, hv // 1024 AS w FROM h),
+               FROM events),
+         b AS (SELECT DISTINCT event_type, hv % 1024 AS reg, hv // 1024 AS w
+               FROM h),
+         bl AS (SELECT event_type, reg, w,
+                       sum(CASE WHEN w >= p THEN 1 ELSE 0 END) AS bitlen
+                FROM b CROSS JOIN pw GROUP BY 1, 2, 3),
          r AS (SELECT event_type, reg,
                       max(CASE WHEN w = 0 THEN 51
-                               ELSE 51 - length(bin(w)) END) AS mj
-               FROM b GROUP BY 1, 2),
+                               ELSE 51 - bitlen END) AS mj
+               FROM bl GROUP BY 1, 2),
          a AS (SELECT event_type,
                       CAST(1024 - count(*) AS BIGINT) AS v,
-                      sum(CAST(CAST(1 AS BIGINT) << (60 - mj) AS HUGEINT))
+                      sum(CAST(p2.pv AS HUGEINT))
                         + CAST(1024 - count(*) AS HUGEINT)
-                          * (CAST(1 AS BIGINT) << 60) AS s
-               FROM r GROUP BY 1),
+                          * 1152921504606846976 AS s
+               FROM r JOIN p2 ON p2.e = 60 - r.mj
+               GROUP BY 1),
          x AS (SELECT event_type, v, s,
                       (CAST(7213 AS HUGEINT) * 1073741824
-                       * (CAST(1 AS BIGINT) << 60))
+                       * 1152921504606846976)
                         // (CAST(10250790 AS HUGEINT) * s) AS est
                FROM a),
          e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
                         AS exact_n
                FROM events GROUP BY 1)
          SELECT x.event_type AS event_type, x.v,
-                CAST(x.s AS DECIMAL(38,0)) AS s_scaled,
+                CAST(x.s % ${OracleIdioms.fold62} AS BIGINT) AS s_scaled,
                 CAST(x.est AS BIGINT) AS est, e.exact_n,
                 CASE WHEN x.v > 0 AND x.est <= 2560
                      THEN 'small_range_lc' ELSE 'raw_hll' END AS regime

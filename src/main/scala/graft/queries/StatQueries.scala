@@ -176,9 +176,11 @@ object StatQueries {
                        n*syy - sy*sy AS deny
                 FROM m)
           SELECT lang, n,
-                 (num * 1000000) div den AS slope_ppm,
-                 (sy*1000000 - ((num * 1000000) div den) * sx) div n
-                   AS intercept_ppm,
+                 CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div den
+                      AS BIGINT) AS slope_ppm,
+                 CAST((CAST(sy AS DECIMAL(38,0)) * 1000000
+                       - ((CAST(num AS DECIMAL(38,0)) * 1000000) div den) * sx)
+                      div n AS BIGINT) AS intercept_ppm,
                  (CAST(num AS DECIMAL(38,0)) * CAST(num AS DECIMAL(38,0))
                   * 1000000)
                    div (CAST(den AS DECIMAL(38,0)) * CAST(deny AS DECIMAL(38,0)))
@@ -201,9 +203,11 @@ object StatQueries {
                       n*syy - sy*sy AS deny
                FROM m)
          SELECT lang, n,
-                (num * 1000000) // den AS slope_ppm,
-                (sy*1000000 - ((num * 1000000) // den) * sx) // n
-                  AS intercept_ppm,
+                CAST((CAST(num AS HUGEINT) * 1000000) // den
+                     AS BIGINT) AS slope_ppm,
+                CAST((CAST(sy AS HUGEINT) * 1000000
+                      - ((CAST(num AS HUGEINT) * 1000000) // den) * sx)
+                     // n AS BIGINT) AS intercept_ppm,
                 CAST((CAST(num AS HUGEINT) * CAST(num AS HUGEINT) * 1000000)
                      // (CAST(den AS HUGEINT) * CAST(deny AS HUGEINT))
                      AS BIGINT) AS r2_ppm
@@ -287,8 +291,9 @@ object StatQueries {
                                  AND a.p_brand < b.p_brand
                     GROUP BY 1, 2)
           SELECT p.brand_a, p.brand_b, p.support,
-                 (p.support * n.n_orders * 1000000)
-                   div (sa.n_1 * sb.n_1) AS lift_ppm
+                 CAST((CAST(p.support AS DECIMAL(38,0)) * n.n_orders * 1000000)
+                      div (CAST(sa.n_1 AS DECIMAL(38,0)) * sb.n_1)
+                      AS BIGINT) AS lift_ppm
           FROM pairs p
           JOIN singles sa ON sa.p_brand = p.brand_a
           JOIN singles sb ON sb.p_brand = p.brand_b
@@ -310,8 +315,9 @@ object StatQueries {
                                 AND a.p_brand < b.p_brand
                    GROUP BY 1, 2)
          SELECT p.brand_a, p.brand_b, p.support,
-                (p.support * n.n_orders * 1000000)
-                  // (sa.n_1 * sb.n_1) AS lift_ppm
+                CAST((CAST(p.support AS HUGEINT) * n.n_orders * 1000000)
+                     // (CAST(sa.n_1 AS HUGEINT) * sb.n_1)
+                     AS BIGINT) AS lift_ppm
          FROM pairs p
          JOIN singles sa ON sa.p_brand = p.brand_a
          JOIN singles sb ON sb.p_brand = p.brand_b
@@ -329,6 +335,16 @@ object StatQueries {
     // the plan (float keys are compared, not emitted), and the window
     // top-k plans as WindowGroupLimit: per-group k-row state, no
     // global sort of the corpus.
+    // LIBM ASSUMPTION (the one float-keyed comparison in the gate
+    // surface): the rank key ln(u)/w is an IEEE double on both
+    // engines, and the gate holds because ordering — not the value —
+    // is emitted. Two near-equal keys could in principle order
+    // differently if the harness's libm ln() rounds the last ulp
+    // differently than the JVM's StrictMath-backed log; with
+    // 60-bit-hash-derived u values the minimum observed key gap at
+    // these SFs is orders of magnitude above 1 ulp, and any future
+    // flake here should be read as that assumption breaking (swap in
+    // the integer surrogate ordering from q208 if it ever does).
     "q185_weighted_sample" -> QuerySpec(
       (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -532,11 +548,13 @@ object StatQueries {
                        CAST(sum(c) AS BIGINT) AS rows_in_b,
                        CAST(count(*) AS BIGINT) AS keys_in_b
                 FROM k GROUP BY 1),
-          est AS (SELECT CAST(sum((rows_in_b * rows_in_b) div keys_in_b)
+          est AS (SELECT CAST(sum((CAST(rows_in_b AS DECIMAL(38,0)) * rows_in_b)
+                                  div keys_in_b)
                               AS BIGINT) AS est
                   FROM b)
           SELECT est.est, actual.actual,
-                 (abs(est.est - actual.actual) * 1000000) div actual.actual
+                 CAST((abs(CAST(est.est AS DECIMAL(38,0)) - actual.actual)
+                       * 1000000) div actual.actual AS BIGINT)
                    AS err_ppm
           FROM est CROSS JOIN actual""")
       },
@@ -548,11 +566,13 @@ object StatQueries {
                       CAST(sum(c) AS BIGINT) AS rows_in_b,
                       CAST(count(*) AS BIGINT) AS keys_in_b
                FROM k GROUP BY 1),
-         est AS (SELECT CAST(sum((rows_in_b * rows_in_b) // keys_in_b)
+         est AS (SELECT CAST(sum((CAST(rows_in_b AS HUGEINT) * rows_in_b)
+                                 // keys_in_b)
                              AS BIGINT) AS est
                  FROM b)
          SELECT est.est, actual.actual,
-                (abs(est.est - actual.actual) * 1000000) // actual.actual
+                CAST((abs(CAST(est.est AS HUGEINT) - actual.actual)
+                      * 1000000) // actual.actual AS BIGINT)
                   AS err_ppm
          FROM est CROSS JOIN actual"""),
 
@@ -768,31 +788,36 @@ object StatQueries {
     // exact ppm. The decile cut is ((r-1)*10) div n over a TOTAL
     // order (score desc, doc_id) — ntile() would tie-break by
     // partition layout, which is exactly the nondeterminism this
-    // formulation exists to kill. One global sort (rank needs it),
-    // then a 10-group aggregate.
+    // formulation exists to kill. The global rank comes from
+    // DistributedOrder (range-partitioned two-level row_number) —
+    // NOT a single-partition window over the corpus (round-9 scale
+    // verdict) — and the ppm products route through DECIMAL(38,0)
+    // so non-ANSI Spark can't wrap them silently at large n; final
+    // columns are all BIGINT (OracleIdioms rule 1; the oracle's
+    // HUGEINT stays internal).
     "q197_decile_lift" -> QuerySpec(
       (s, dir) => {
-        Tables.documents(s, dir).createOrReplaceTempView("g_q197_documents")
+        val scored = Tables.documents(s, dir).select(
+          col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+          col("doc_id"))
+        graft.analytics.DistributedOrder
+          .withRowNumber(scored, Seq(col("score").desc, col("doc_id")), "r")
+          .createOrReplaceTempView("g_q197_ranked")
         s.sql("""
-          WITH scored AS (SELECT n_chars AS score,
-                                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END
-                                   AS label,
-                                 doc_id
-                          FROM g_q197_documents),
-          ranked AS (SELECT score, label,
-                            row_number() OVER (ORDER BY score DESC, doc_id)
-                              AS r,
-                            count(*) OVER () AS n,
-                            sum(label) OVER () AS p
-                     FROM scored),
+          WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(label) AS BIGINT) AS p
+                     FROM g_q197_ranked),
           cut AS (SELECT ((r - 1) * 10) div n + 1 AS decile, label, n, p
-                  FROM ranked)
+                  FROM g_q197_ranked CROSS JOIN t)
           SELECT CAST(decile AS BIGINT) AS decile,
                  CAST(count(*) AS BIGINT) AS n_rows,
                  CAST(sum(label) AS BIGINT) AS n_pos,
-                 (sum(label) * 1000000) div count(*) AS rate_ppm,
-                 (sum(label) * max(n) * 1000000) div (count(*) * max(p))
-                   AS lift_ppm
+                 CAST((CAST(sum(label) AS DECIMAL(38,0)) * 1000000)
+                      div count(*) AS BIGINT) AS rate_ppm,
+                 CAST((CAST(sum(label) AS DECIMAL(38,0)) * max(n) * 1000000)
+                      div (CAST(count(*) AS DECIMAL(38,0)) * max(p))
+                      AS BIGINT) AS lift_ppm
           FROM cut GROUP BY 1 ORDER BY decile""")
       },
       """WITH scored AS (SELECT n_chars AS score,
@@ -811,39 +836,49 @@ object StatQueries {
          SELECT CAST(decile AS BIGINT) AS decile,
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(label) AS BIGINT) AS n_pos,
-                (CAST(sum(label) AS BIGINT) * 1000000) // count(*) AS rate_ppm,
-                (CAST(sum(label) AS BIGINT) * max(n) * 1000000)
-                  // (count(*) * max(p)) AS lift_ppm
+                CAST((CAST(sum(label) AS HUGEINT) * 1000000) // count(*)
+                     AS BIGINT) AS rate_ppm,
+                CAST((CAST(sum(label) AS HUGEINT) * max(n) * 1000000)
+                     // (CAST(count(*) AS HUGEINT) * max(p))
+                     AS BIGINT) AS lift_ppm
          FROM cut GROUP BY 1 ORDER BY decile"""),
 
     // Q198: exact AUC via the Mann-Whitney identity — AUC is
     // U/(n_pos*n_neg), and U comes from the same integer-exact
     // doubled rank sums as q181 (ties contribute exactly 1/2 through
     // 2*avg_rank = 2*rmin + tc - 1, the standard AUC tie convention).
-    // No threshold sweep, no trapezoid floats: one ranking pass and
-    // one division. This is how AUC is actually computed at
-    // 100 TB scale — as a rank statistic, not a curve integral.
+    // No threshold sweep, no trapezoid floats. The rank statistic is
+    // computed at the PER-SCORE level: group to (score, cnt, pos) —
+    // a distributed aggregate — then rmin(score) = 1 + running count
+    // of strictly smaller scores via DistributedOrder's two-level
+    // prefix sum, so no single-partition window ever sees raw corpus
+    // rows (round-9 scale verdict); every tied row shares (rmin, tc),
+    // so sum over rows = sum over scores of pos*(2*rmin + tc - 1).
+    // The >64-bit-capable products route through DECIMAL(38,0)
+    // (q180/q193 pattern) with a BIGINT final.
     "q198_auc" -> QuerySpec(
       (s, dir) => {
-        Tables.documents(s, dir).createOrReplaceTempView("g_q198_documents")
+        val scored = Tables.documents(s, dir).select(
+          col("n_chars").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+        val perScore = scored.groupBy("score")
+          .agg(count(lit(1)).as("cnt"), sum("label").as("pos"))
+        graft.analytics.DistributedOrder
+          .withRunningSum(perScore, Seq(col("score")), col("cnt"), "before")
+          .createOrReplaceTempView("g_q198_scores")
         s.sql("""
-          WITH scored AS (SELECT n_chars AS score,
-                                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END
-                                   AS label
-                          FROM g_q198_documents),
-          ranked AS (SELECT label,
-                            rank() OVER (ORDER BY score) AS rmin,
-                            count(*) OVER (PARTITION BY score) AS tc
-                     FROM scored),
-          agg AS (SELECT CAST(sum(CASE WHEN label = 1
-                                       THEN 2*rmin + tc - 1 END) AS BIGINT)
-                           AS r2_pos,
-                         CAST(sum(label) AS BIGINT) AS n_pos,
-                         CAST(count(*) - sum(label) AS BIGINT) AS n_neg
-                  FROM ranked)
+          WITH agg AS (SELECT
+                  CAST(sum(CAST(pos AS DECIMAL(38,0))
+                           * (2 * (before + 1) + cnt - 1))
+                       AS DECIMAL(38,0)) AS r2_pos,
+                  CAST(sum(pos) AS BIGINT) AS n_pos,
+                  CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg
+               FROM g_q198_scores)
           SELECT n_pos, n_neg,
-                 ((r2_pos - n_pos * (n_pos + 1)) * 1000000)
-                   div (2 * n_pos * n_neg) AS auc_ppm
+                 CAST(((r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))
+                       * 1000000)
+                      div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)
+                      AS BIGINT) AS auc_ppm
           FROM agg""")
       },
       """WITH scored AS (SELECT n_chars AS score,
@@ -981,16 +1016,21 @@ object StatQueries {
           df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
                  WHERE t IN ('hash', 'merge', 'window') GROUP BY 1),
           scored AS (SELECT tf.doc_id,
-                            ((2*(c.n - df.df) + 1) * 1000000)
-                              div (2*df.df + 1) AS idf_ppm,
-                            (44 * c.tt * tf.tf * 1000000)
-                              div (20 * c.tt * tf.tf + 6 * c.tt
-                                   + 18 * dl.dl * c.n) AS tfn_ppm
+                            CAST((CAST(2*(c.n - df.df) + 1 AS DECIMAL(38,0))
+                                  * 1000000)
+                              div (2*df.df + 1) AS BIGINT) AS idf_ppm,
+                            CAST((CAST(44 AS DECIMAL(38,0)) * c.tt * tf.tf
+                                  * 1000000)
+                              div (CAST(20 AS DECIMAL(38,0)) * c.tt * tf.tf
+                                   + 6 * c.tt
+                                   + 18 * dl.dl * c.n) AS BIGINT) AS tfn_ppm
                      FROM tf
                      JOIN df ON tf.t = df.t
                      JOIN dl ON tf.doc_id = dl.doc_id
                      CROSS JOIN corpus c)
-          SELECT doc_id, CAST(sum(idf_ppm * tfn_ppm) AS BIGINT) AS score
+          SELECT doc_id,
+                 CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfn_ppm)
+                      AS BIGINT) AS score
           FROM scored GROUP BY 1
           ORDER BY score DESC, doc_id LIMIT 10""")
       },
@@ -1008,16 +1048,21 @@ object StatQueries {
          df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
                 WHERE t IN ('hash', 'merge', 'window') GROUP BY 1),
          scored AS (SELECT tf.doc_id,
-                           ((2*(c.n - df.df) + 1) * 1000000)
-                             // (2*df.df + 1) AS idf_ppm,
-                           (44 * c.tt * tf.tf * 1000000)
-                             // (20 * c.tt * tf.tf + 6 * c.tt
-                                  + 18 * dl.dl * c.n) AS tfn_ppm
+                           CAST((CAST(2*(c.n - df.df) + 1 AS HUGEINT)
+                                 * 1000000)
+                             // (2*df.df + 1) AS BIGINT) AS idf_ppm,
+                           CAST((CAST(44 AS HUGEINT) * c.tt * tf.tf
+                                 * 1000000)
+                             // (CAST(20 AS HUGEINT) * c.tt * tf.tf
+                                  + 6 * c.tt
+                                  + 18 * dl.dl * c.n) AS BIGINT) AS tfn_ppm
                     FROM tf
                     JOIN df ON tf.t = df.t
                     JOIN dl ON tf.doc_id = dl.doc_id
                     CROSS JOIN corpus c)
-         SELECT doc_id, CAST(sum(idf_ppm * tfn_ppm) AS BIGINT) AS score
+         SELECT doc_id,
+                CAST(sum(CAST(idf_ppm AS HUGEINT) * tfn_ppm)
+                     AS BIGINT) AS score
          FROM scored GROUP BY 1
          ORDER BY score DESC, doc_id LIMIT 10"""),
 
@@ -1297,9 +1342,10 @@ object StatQueries {
     // through the foreign-key chain as a LEFT-SEMI then LEFT-ANTI
     // cascade: orders of erased customers become erased; line items
     // of erased orders become erased; survivors are counted and
-    // FINGERPRINTED (order-independent 60-bit digest sum, the q174
-    // checksum shape) so the gate proves both HOW MUCH survived and
-    // EXACTLY WHICH rows. The scale shape is the only one that works
+    // FINGERPRINTED (order-independent 60-bit digest sum folded mod
+    // 2^62 to a BIGINT, the q174 checksum shape + OracleIdioms rule 1)
+    // so the gate proves both HOW MUCH survived and EXACTLY WHICH
+    // rows. The scale shape is the only one that works
     // at 100 TB: the subject set broadcasts down the chain, facts are
     // anti-joined in place — no row ever moves to where the subjects
     // are.
@@ -1325,10 +1371,11 @@ object StatQueries {
             CAST(count(*) AS BIGINT) AS n_surviving_lineitems,
             CAST(sum(CAST(md5_prefix60(concat_ws('|',
               CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING)))
-              AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS survivor_fp
+              AS DECIMAL(38,0))) % 4611686018427387904 AS BIGINT)
+              AS survivor_fp
           FROM surviving_l""")
       },
-      """WITH erased_c AS (SELECT c_custkey FROM customer
+      s"""WITH erased_c AS (SELECT c_custkey FROM customer
                            WHERE c_mktsegment = 'AUTOMOBILE'),
          surviving_o AS (SELECT o.o_orderkey FROM orders o
                          WHERE o.o_custkey NOT IN (SELECT c_custkey
@@ -1341,9 +1388,9 @@ object StatQueries {
            (SELECT CAST(count(*) AS BIGINT) FROM erased_c) AS n_erased_customers,
            (SELECT CAST(count(*) AS BIGINT) FROM surviving_o) AS n_surviving_orders,
            CAST(count(*) AS BIGINT) AS n_surviving_lineitems,
-           CAST(sum(('0x' || substr(md5(
-             CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-             ), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS survivor_fp
+           CAST(sum(CAST(${OracleIdioms.hex60(
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")}
+             AS HUGEINT)) % ${OracleIdioms.fold62} AS BIGINT) AS survivor_fp
          FROM surviving_l"""),
 
     // Q208: fair-share capped sampling — rebalance a source-skewed
@@ -1384,34 +1431,41 @@ object StatQueries {
     // effect alignment step in feature prep): a value maps to its
     // within-group rank fraction, then to the global order statistic
     // at that fraction. All rank arithmetic is integer ((r*N) div n_g,
-    // clamped to >= 1, lower-quantile convention) over total orders
-    // (value, doc_id), and the final lookup is an equi-join on global
-    // rank — two sorts and one join, no percentile buffers. At 100 TB
-    // the global-rank relation is what a range partitioner already
-    // materializes; the grid variant (q136) is the documented swap
-    // when even one global sort is too much.
+    // clamped to >= 1, lower-quantile convention, r*N routed through
+    // DECIMAL(38,0) so it can't wrap at any corpus size) over total
+    // orders (value, doc_id), and the final lookup is an equi-join on
+    // global rank. Both ranks — global AND per-lang — come from
+    // DistributedOrder's range-partitioned two-level row_number, so
+    // neither the corpus nor a dominant language ever lands in one
+    // window partition (round-9 scale verdict); the grid variant
+    // (q136) is the documented swap when even range sorts are too
+    // much.
     "q209_quantile_normalize" -> QuerySpec(
       (s, dir) => {
-        Tables.documents(s, dir).createOrReplaceTempView("g_q209_documents")
+        val base = Tables.documents(s, dir)
+          .select("doc_id", "lang", "n_chars")
+        val order = Seq(col("n_chars"), col("doc_id"))
+        graft.analytics.DistributedOrder
+          .withRowNumber(base, order, "r", partitionBy = Seq("lang"))
+          .createOrReplaceTempView("g_q209_grp")
+        graft.analytics.DistributedOrder
+          .withRowNumber(base, order, "k")
+          .select(col("n_chars").as("g_val"), col("k"))
+          .createOrReplaceTempView("g_q209_grank")
         s.sql("""
-          WITH base AS (SELECT doc_id, lang, n_chars
-                        FROM g_q209_documents),
-          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
-          grp AS (SELECT doc_id, lang, n_chars,
-                         row_number() OVER (PARTITION BY lang
-                                            ORDER BY n_chars, doc_id) AS r,
-                         count(*) OVER (PARTITION BY lang) AS n_g
-                  FROM base),
-          grank AS (SELECT n_chars AS g_val,
-                          row_number() OVER (ORDER BY n_chars, doc_id) AS k
-                   FROM base),
+          WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g_q209_grp),
+          ng AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g
+                 FROM g_q209_grp GROUP BY lang),
           target AS (SELECT g.doc_id, g.lang, g.n_chars,
-                            greatest((g.r * n.n) div g.n_g,
+                            greatest(CAST((CAST(g.r AS DECIMAL(38,0)) * n.n)
+                                          div ng.n_g AS BIGINT),
                                      CAST(1 AS BIGINT)) AS k
-                     FROM grp g CROSS JOIN n)
+                     FROM g_q209_grp g
+                     JOIN ng ON ng.lang = g.lang
+                     CROSS JOIN n)
           SELECT t.doc_id, t.lang, t.n_chars,
                  grank.g_val AS normalized
-          FROM target t JOIN grank ON grank.k = t.k
+          FROM target t JOIN g_q209_grank grank ON grank.k = t.k
           ORDER BY doc_id""")
       },
       """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),

@@ -134,13 +134,26 @@ final class RangeScan(lo: Long, hi: Long, slices: Int, out: StructType)
     s"GraftRangeScan[$lo,$hi) cols=${out.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
+    // Overflow-safe sizing: `hi - lo` is checked (a [min_long, max_long)
+    // request must fail loudly, not wrap), and slice bounds use
+    // base/remainder arithmetic — the naive `lo + n*i/k` overflows
+    // `n*i` for intervals near 2^60 with several slices, silently
+    // planning negative bounds and dropping rows (round-9 advice).
+    val n =
+      if (hi <= lo) 0L
+      else try Math.subtractExact(hi, lo) catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"range [$lo, $hi) spans more than 2^63 - 1 ids; split the scan")
+      }
     if (n == 0) return Array.empty
     val k = math.min(slices.toLong, n).toInt
+    val base = n / k
+    val rem = n % k
+    // slice i covers [lo + i*base + min(i, rem), …): i*base <= n and
+    // min(i, rem) <= k, so every intermediate stays within [lo, hi].
+    def bound(i: Int): Long = lo + i * base + math.min(i.toLong, rem)
     (0 until k).map { i =>
-      val a = lo + n * i / k
-      val b = lo + n * (i + 1) / k
-      RangeInputPartition(a, b): InputPartition
+      RangeInputPartition(bound(i), bound(i + 1)): InputPartition
     }.toArray
   }
 

@@ -96,9 +96,24 @@ object StreamingUpsert {
     * under `dir`. Returns `dir`; read it back with [[finalSnapshot]].
     *
     * @param buckets          key-hash bucket count — the rewrite
-    *                         granularity. Size so one bucket ≈ one
-    *                         comfortable task input at the target
-    *                         scale (buckets ≫ executors for skew).
+    *                         granularity. SIZING RULE: per-batch
+    *                         rewrite volume is
+    *                         `touched/buckets × snapshot`, and with a
+    *                         microbatch of `k` random keys
+    *                         `E[touched] = buckets·(1-(1-1/buckets)^k)`
+    *                         ≈ min(k, buckets) — so choose
+    *                         `buckets ≈ snapshot_bytes / target_task_bytes`
+    *                         (e.g. 100 TB / 256 MB ≈ 400k buckets),
+    *                         upper-bounded so a typical batch's key
+    *                         count `k` stays well BELOW `buckets`
+    *                         (else every batch touches every bucket
+    *                         and the merge degenerates to a full
+    *                         snapshot rewrite — pinned as the
+    *                         worst-case spec). Keys clustered by the
+    *                         producer (hot shards) hash-spread, so
+    *                         the estimate holds under skew; keep
+    *                         buckets ≫ executors regardless so the
+    *                         rewrite parallelizes.
     * @param tombstoneHorizon max `__seq` lag before a tombstone is
     *                         expired AND an incoming row is rejected
     *                         as too late. Default Long.MaxValue:

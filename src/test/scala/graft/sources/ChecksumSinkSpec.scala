@@ -47,6 +47,56 @@ class ChecksumSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.toLowerCase.contains("too many data columns"))
   }
 
+  test("task abort mid-write leaves no partial state; the retry attempt wins") {
+    // Drive the DSV2 commit protocol directly (local-mode task retry
+    // can't be provoked under the suite's shared local[4] master):
+    // attempt 0 of partition 0 writes half its rows and ABORTS;
+    // attempt 1 rewrites the full partition and commits. The driver
+    // must see ONLY the surviving attempts' partials — the aborted
+    // writer's rows must be unreachable by construction, because a
+    // partial is speculative until its commit message is handed to
+    // BatchWrite.commit.
+    import org.apache.spark.sql.catalyst.InternalRow
+    ChecksumSink.clear("t5")
+    val batch = new ChecksumBatchWrite("t5")
+    val factory = batch.createBatchWriterFactory(null)
+
+    val failed = factory.createWriter(0, 0L)
+    (1L to 500L).foreach(v => failed.write(InternalRow(v)))
+    failed.abort() // mid-write failure: message never produced
+    failed.close()
+
+    val retry = factory.createWriter(0, 1L)
+    (1L to 1000L).foreach(v => retry.write(InternalRow(v)))
+    val m0 = retry.commit()
+
+    val other = factory.createWriter(1, 2L)
+    (1001L to 2000L).foreach(v => other.write(InternalRow(v)))
+    val m1 = other.commit()
+
+    batch.commit(Array(m0, m1))
+    val d = ChecksumSink.result("t5").getOrElse(fail("nothing committed"))
+    assert(d.rows === 2000L, "aborted attempt's rows leaked into the digest")
+    assert(d.sum === (1L to 2000L).sum)
+    assert(d.xor === (1L to 2000L).reduce(_ ^ _))
+  }
+
+  test("driver abort after some tasks committed still publishes nothing") {
+    // Tasks can SUCCEED and the job still die (another task exhausted
+    // retries): their commit messages reach BatchWrite.abort, which
+    // must drop them.
+    import org.apache.spark.sql.catalyst.InternalRow
+    ChecksumSink.clear("t6")
+    val batch = new ChecksumBatchWrite("t6")
+    val factory = batch.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 0L)
+    (1L to 100L).foreach(v => w.write(InternalRow(v)))
+    val m = w.commit()
+    batch.abort(Array(m))
+    assert(ChecksumSink.result("t6").isEmpty,
+      "job abort published a digest from completed task partials")
+  }
+
   test("read-then-write roundtrip: RangeSource digest matches closed form") {
     ChecksumSink.clear("t4")
     spark.read.format("graft.sources.RangeSource")

@@ -118,6 +118,34 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     assert(m2.highWater == 3L && m1.highWater == 2L)
   }
 
+  test("worst case: a batch touching ALL buckets degenerates to a full rewrite — correctly") {
+    // The documented upper bound on per-batch write volume: when a
+    // microbatch's keys land in every bucket, every manifest entry
+    // must move to the new delta (nothing carries forward) and the
+    // merge must still be exact. This is the degenerate case the
+    // bucket-count sizing rule exists to make rare (see mergeStream's
+    // `buckets` scaladoc) — the sink's guarantee is correctness with
+    // O(touched buckets) cost, and here touched == all.
+    val buckets = 4
+    val root = Files.createTempDirectory("graft-upsert-full")
+    val all = (0L until 64L).map(k => (k, k * 10L, k + 1L, "upsert"))
+    val snap = drain(root, all, buckets)
+    val m1 = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(m1.buckets.keySet == (0 until buckets).toSet,
+      "64 keys over 4 buckets should populate every bucket")
+
+    // second full-coverage batch: every key overwritten
+    val all2 = (0L until 64L).map(k => (k, k * 100L, 100L + k, "upsert"))
+    drain(root, all2, buckets)
+    val m2 = StreamingUpsert.readLatestManifest(spark, snap).get
+    // full rewrite: NO bucket carried forward by reference
+    assert((0 until buckets).forall(b => m2.buckets(b) != m1.buckets(b)),
+      "a bucket carried forward although the batch touched it")
+    assert(m2.buckets.values.forall(_.contains(s"delta-v")),
+      s"unexpected bucket paths: ${m2.buckets}")
+    assert(live(snap) == all2.map(t => t._1 -> t._2).toMap)
+  }
+
   test("tombstone expiry drops old tombstones; late-record rejection blocks resurrection") {
     val root = Files.createTempDirectory("graft-upsert-ttl")
     val horizon = 10L
