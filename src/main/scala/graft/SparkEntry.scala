@@ -39,7 +39,8 @@ object SparkEntry {
       ExtQueries.specs ++ OpsQueries.specs ++ ScaleQueries.specs ++
       DeepQueries.specs ++ FrontierQueries.specs ++ DecorrelationQueries.specs ++
       JoinShapeQueries.specs ++ SurfaceQueries.specs ++ AlgebraQueries.specs ++
-      SketchQueries.specs ++ StatQueries.specs ++ PortabilityQueries.specs
+      SketchQueries.specs ++ StatQueries.specs ++ PortabilityQueries.specs ++
+      AllocationQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }

@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-10 allocation & drift surface — the two curation-pipeline
+  * operators that sit on either side of a sampling decision: dividing
+  * a global example budget across strata EXACTLY (q219), and noticing
+  * that a stratum's distribution has moved (q220). Both follow the
+  * repo's integer-determinism rule: apportionment is largest-remainder
+  * arithmetic (no float shares), drift is total-variation distance —
+  * the one f-divergence that needs no logarithm — as a ppm rational
+  * with a common denominator.
+  */
+object AllocationQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q219: stratified quota sampling with Hamilton (largest-remainder)
+    // apportionment — "give me EXACTLY k examples, proportionally by
+    // (source, lang)". Float shares + round() can over- or under-shoot
+    // the budget; the integer method cannot: base = (k*N_h) div N per
+    // stratum, and the k - Σbase leftover seats go to the largest
+    // remainders (ties broken by stratum key, so the allocation is a
+    // pure function of the counts). Members are then drawn per stratum
+    // in content-hash order — deterministic, append-stable, no RNG.
+    // Scale shape: the apportionment runs on the STRATA relation (one
+    // map-side-combined count, tiny), and the draw is a per-stratum
+    // window capped by the CONSTANT k first — WindowGroupLimit keeps
+    // ≤ k rows of state per stratum — before the exact per-stratum
+    // quota filter. The corpus is never globally sorted. id_sum
+    // fingerprints WHICH rows were drawn, not just how many.
+    "q219_stratified_quota" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q219_documents")
+        s.sql("""
+          WITH counts AS (SELECT source, lang,
+                                 CAST(count(*) AS BIGINT) AS n_h
+                          FROM g_q219_documents GROUP BY 1, 2),
+          tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n FROM counts),
+          shares AS (SELECT source, lang, n_h,
+                            (100 * n_h) div n AS base,
+                            (100 * n_h) % n AS rem
+                     FROM counts CROSS JOIN tot),
+          seats AS (SELECT CAST(100 - sum(base) AS BIGINT) AS lft
+                    FROM shares),
+          ranked AS (SELECT source, lang, n_h, base, rem,
+                            row_number() OVER (ORDER BY rem DESC,
+                                               source, lang) AS pos
+                     FROM shares),
+          quota AS (SELECT source, lang, n_h,
+                           base + CASE WHEN pos <= seats.lft
+                                       THEN 1 ELSE 0 END AS quota
+                    FROM ranked CROSS JOIN seats),
+          drawn AS (SELECT d.source, d.lang, d.doc_id, q.n_h, q.quota,
+                           row_number() OVER (PARTITION BY d.source, d.lang
+                             ORDER BY md5(CAST(d.doc_id AS STRING)),
+                                      d.doc_id) AS rn
+                    FROM g_q219_documents d
+                    JOIN quota q ON d.source = q.source AND d.lang = q.lang
+                    WHERE q.quota > 0),
+          kept AS (SELECT * FROM drawn WHERE rn <= 100 AND rn <= quota)
+          SELECT q.source, q.lang, q.n_h, CAST(q.quota AS BIGINT) AS quota,
+                 CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                 CAST(coalesce(k.id_sum, 0) AS BIGINT) AS id_sum
+          FROM quota q
+          LEFT JOIN (SELECT source, lang, count(*) AS n_kept,
+                            sum(doc_id) AS id_sum
+                     FROM kept GROUP BY 1, 2) k
+            ON q.source = k.source AND q.lang = k.lang
+          ORDER BY q.source, q.lang""")
+      },
+      """WITH counts AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_h
+                         FROM documents GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n FROM counts),
+         shares AS (SELECT source, lang, n_h,
+                           (100 * n_h) // n AS base,
+                           (100 * n_h) % n AS rem
+                    FROM counts CROSS JOIN tot),
+         seats AS (SELECT CAST(100 - sum(base) AS BIGINT) AS lft
+                   FROM shares),
+         ranked AS (SELECT source, lang, n_h, base, rem,
+                           row_number() OVER (ORDER BY rem DESC,
+                                              source, lang) AS pos
+                    FROM shares),
+         quota AS (SELECT source, lang, n_h,
+                          base + CASE WHEN pos <= seats.lft
+                                      THEN 1 ELSE 0 END AS quota
+                   FROM ranked CROSS JOIN seats),
+         drawn AS (SELECT d.source, d.lang, d.doc_id, q.n_h, q.quota,
+                          row_number() OVER (PARTITION BY d.source, d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                     d.doc_id) AS rn
+                   FROM documents d
+                   JOIN quota q ON d.source = q.source AND d.lang = q.lang
+                   WHERE q.quota > 0),
+         kept AS (SELECT * FROM drawn WHERE rn <= 100 AND rn <= quota)
+         SELECT q.source, q.lang, q.n_h, CAST(q.quota AS BIGINT) AS quota,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+                CAST(coalesce(k.id_sum, 0) AS BIGINT) AS id_sum
+         FROM quota q
+         LEFT JOIN (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_kept,
+                           CAST(sum(doc_id) AS BIGINT) AS id_sum
+                    FROM kept GROUP BY 1, 2) k
+           ON q.source = k.source AND q.lang = k.lang
+         ORDER BY q.source, q.lang"""),
+
+    // Q220: distribution drift as exact total-variation distance — for
+    // each day, TV between that day's event-type mix and the whole-
+    // corpus mix, in ppm: TV = Σ_t |c_td/n_d − c_t/n| / 2, computed on the
+    // common denominator n_d·n so the statistic is one integer
+    // division (products routed through DECIMAL(38,0)/HUGEINT — c·n
+    // exceeds int64 at corpus scale). TV needs no logarithm, which is
+    // why it is the drift metric that can be bit-stable across
+    // engines; PSI/KL land in libm territory the q185 note documents.
+    // Absent (day, type) cells enter as exact zeros via the day×type
+    // grid — forgetting them UNDERSTATES drift exactly when a type
+    // disappears, the event most worth alarming on. Scale shape: one
+    // (day, type) rollup shuffle; the grid is days × |types| (tiny),
+    // and every join after the rollup is broadcast-sized.
+    "q220_tv_drift" -> QuerySpec(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_q220_events")
+        s.sql("""
+          WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type AS t
+                     FROM g_q220_events),
+          cell AS (SELECT d, t, CAST(count(*) AS BIGINT) AS c_td
+                   FROM e GROUP BY 1, 2),
+          byday AS (SELECT d, CAST(sum(c_td) AS BIGINT) AS n_d
+                    FROM cell GROUP BY 1),
+          bytype AS (SELECT t, CAST(sum(c_td) AS BIGINT) AS c_t
+                     FROM cell GROUP BY 1),
+          tot AS (SELECT CAST(sum(c_td) AS BIGINT) AS n FROM cell),
+          grid AS (SELECT byday.d, byday.n_d, bytype.t, bytype.c_t,
+                          coalesce(cell.c_td, 0) AS c_td
+                   FROM byday CROSS JOIN bytype
+                   LEFT JOIN cell ON cell.d = byday.d
+                                 AND cell.t = bytype.t)
+          SELECT g.d AS day, max(g.n_d) AS n_events,
+                 CAST((sum(abs(CAST(g.c_td AS DECIMAL(38,0)) * tot.n
+                               - CAST(g.c_t AS DECIMAL(38,0)) * g.n_d))
+                       * 1000000)
+                      div (2 * CAST(max(g.n_d) AS DECIMAL(38,0)) * tot.n)
+                      AS BIGINT) AS tv_ppm
+          FROM grid g CROSS JOIN tot
+          GROUP BY g.d, tot.n ORDER BY day""")
+      },
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d, event_type AS t
+                    FROM events),
+         cell AS (SELECT d, t, CAST(count(*) AS BIGINT) AS c_td
+                  FROM e GROUP BY 1, 2),
+         byday AS (SELECT d, CAST(sum(c_td) AS BIGINT) AS n_d
+                   FROM cell GROUP BY 1),
+         bytype AS (SELECT t, CAST(sum(c_td) AS BIGINT) AS c_t
+                    FROM cell GROUP BY 1),
+         tot AS (SELECT CAST(sum(c_td) AS BIGINT) AS n FROM cell),
+         grid AS (SELECT byday.d, byday.n_d, bytype.t, bytype.c_t,
+                         coalesce(cell.c_td, 0) AS c_td
+                  FROM byday CROSS JOIN bytype
+                  LEFT JOIN cell ON cell.d = byday.d
+                                AND cell.t = bytype.t)
+         SELECT g.d AS day, max(g.n_d) AS n_events,
+                CAST((sum(abs(CAST(g.c_td AS HUGEINT) * tot.n
+                              - CAST(g.c_t AS HUGEINT) * g.n_d))
+                      * 1000000)
+                     // (2 * CAST(max(g.n_d) AS HUGEINT) * tot.n)
+                     AS BIGINT) AS tv_ppm
+         FROM grid g CROSS JOIN tot
+         GROUP BY g.d, tot.n ORDER BY day"""),
+
+    // Q221: quantiles from a fixed-width HISTOGRAM sketch — the
+    // mergeable, deterministic alternative to percentile buffers:
+    // bucket = min(value div 64, 63) makes a 64-counter summary per
+    // language that merges by plain addition under any partitioning
+    // (the same algebra as the q186/q187 sketches), and the p50/p95/
+    // p99 answer is the first bucket whose cumulative count reaches
+    // ceil(q·n/100) — all integer arithmetic, no interpolation, no
+    // libm. The emitted value is the bucket's lower bound: the
+    // resolution/width tradeoff is explicit (64-char buckets here),
+    // which is exactly the contract an approximate-quantile operator
+    // should state rather than hide behind float rank error. Scale
+    // shape: one map-side-combined (lang, bucket) rollup; the
+    // cumulative window runs over ≤ 64 rows per language.
+    "q221_histogram_quantiles" -> QuerySpec(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("g_q221_documents")
+        s.sql("""
+          WITH b AS (SELECT lang, least(n_chars div 64, 63) AS bucket
+                     FROM g_q221_documents),
+          h AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2),
+          cum AS (SELECT lang, bucket, c,
+                         sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS cc,
+                         sum(c) OVER (PARTITION BY lang) AS n_g
+                  FROM h),
+          pick AS (SELECT lang, n_g,
+                          min(CASE WHEN cc * 100 >= 50 * n_g
+                                   THEN bucket END) AS b50,
+                          min(CASE WHEN cc * 100 >= 95 * n_g
+                                   THEN bucket END) AS b95,
+                          min(CASE WHEN cc * 100 >= 99 * n_g
+                                   THEN bucket END) AS b99
+                   FROM cum GROUP BY 1, 2)
+          SELECT lang, CAST(n_g AS BIGINT) AS n_g,
+                 CAST(b50 * 64 AS BIGINT) AS p50_lo,
+                 CAST(b95 * 64 AS BIGINT) AS p95_lo,
+                 CAST(b99 * 64 AS BIGINT) AS p99_lo
+          FROM pick ORDER BY lang""")
+      },
+      """WITH b AS (SELECT lang, least(n_chars // 64, 63) AS bucket
+                    FROM documents),
+         h AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c
+               FROM b GROUP BY 1, 2),
+         cum AS (SELECT lang, bucket, c,
+                        sum(c) OVER (PARTITION BY lang ORDER BY bucket) AS cc,
+                        sum(c) OVER (PARTITION BY lang) AS n_g
+                 FROM h),
+         pick AS (SELECT lang, n_g,
+                         min(CASE WHEN cc * 100 >= 50 * n_g
+                                  THEN bucket END) AS b50,
+                         min(CASE WHEN cc * 100 >= 95 * n_g
+                                  THEN bucket END) AS b95,
+                         min(CASE WHEN cc * 100 >= 99 * n_g
+                                  THEN bucket END) AS b99
+                  FROM cum GROUP BY 1, 2)
+         SELECT lang, CAST(n_g AS BIGINT) AS n_g,
+                CAST(b50 * 64 AS BIGINT) AS p50_lo,
+                CAST(b95 * 64 AS BIGINT) AS p95_lo,
+                CAST(b99 * 64 AS BIGINT) AS p99_lo
+         FROM pick ORDER BY lang"""),
+
+    // Q222: exact Gini coefficient of the per-source document-length
+    // distribution, in ppm — the inequality statistic a corpus-mix
+    // dashboard wants next to q220's drift: with lengths sorted
+    // ascending, G = (2·Σ i·x_i − (n+1)·Σx_i) / (n·Σx_i). The rank i
+    // comes from DistributedOrder's per-group two-level row_number
+    // (never a per-source single-partition window — one source is
+    // most of a real crawl), ties contribute identically under any
+    // tie order (equal x makes Σ i·x over the tie block order-free),
+    // and the rank-weighted products route through DECIMAL(38,0):
+    // i·x_i reaches n·max_len, far past int64 at corpus scale.
+    "q222_gini_lengths" -> QuerySpec(
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+        graft.analytics.DistributedOrder
+          .withRowNumber(base, Seq(col("n_chars"), col("doc_id")), "i",
+            partitionBy = Seq("source"))
+          .createOrReplaceTempView("g_q222_ranked")
+        s.sql("""
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(((2 * sum(CAST(i AS DECIMAL(38,0)) * n_chars)
+                        - (count(*) + 1) * CAST(sum(n_chars) AS DECIMAL(38,0)))
+                       * 1000000)
+                      div (CAST(count(*) AS DECIMAL(38,0)) * sum(n_chars))
+                      AS BIGINT) AS gini_ppm
+          FROM g_q222_ranked GROUP BY source ORDER BY source""")
+      },
+      """WITH ranked AS (SELECT source, n_chars,
+                                row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i
+                         FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                CAST(((2 * sum(CAST(i AS HUGEINT) * n_chars)
+                       - (count(*) + 1) * CAST(sum(n_chars) AS HUGEINT))
+                      * 1000000)
+                     // (CAST(count(*) AS HUGEINT) * sum(n_chars))
+                     AS BIGINT) AS gini_ppm
+         FROM ranked GROUP BY source ORDER BY source""")
+  )
+}
