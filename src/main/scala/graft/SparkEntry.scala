@@ -40,7 +40,8 @@ object SparkEntry {
       DeepQueries.specs ++ FrontierQueries.specs ++ DecorrelationQueries.specs ++
       JoinShapeQueries.specs ++ SurfaceQueries.specs ++ AlgebraQueries.specs ++
       SketchQueries.specs ++ StatQueries.specs ++ PortabilityQueries.specs ++
-      AllocationQueries.specs ++ TokenizerQueries.specs
+      AllocationQueries.specs ++ TokenizerQueries.specs ++ EvalQueries.specs ++
+      CorpusOpsQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }

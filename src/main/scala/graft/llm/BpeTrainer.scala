@@ -79,8 +79,13 @@ object BpeTrainer {
     */
   def fit(docs: DataFrame, text: Column, rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64, s"rounds=$rounds out of (0, 64]")
-    var words = wordFreq(docs, text)
-      .withColumn("seq", initialSeq(col("word")))
+    // The ONE corpus-sized computation. Every round's pair count AND
+    // the returned rules/words all sit above it, so persist the
+    // vocabulary-sized result — without this the corpus explode+count
+    // re-executes once per round per consumer (at cluster scale:
+    // checkpoint it).
+    var words = graft.CacheScope.persist(
+      wordFreq(docs, text).withColumn("seq", initialSeq(col("word"))))
     var rules: DataFrame = null
     for (r <- 1 to rounds) {
       // Vocabulary-sized total order; limit(1) plans as TakeOrdered —
@@ -96,12 +101,16 @@ object BpeTrainer {
       rules = if (rules == null) rule else rules.unionByName(rule)
       // Apply the merge everywhere: the 1-row winner broadcast-joins
       // onto the vocabulary; replace() is exact greedy-leftmost (see
-      // the header note on the bracket encoding).
-      words = words
+      // the header note on the bracket encoding). Persist each round's
+      // vocabulary state: the next round's pair count AND winner both
+      // consume it, and without the cut a deep fit re-executes every
+      // earlier round per consumer (the label-propagation lineage
+      // lesson, at vocabulary size).
+      words = graft.CacheScope.persist(words
         .crossJoin(broadcast(top.select(col("l").as("ml"), col("r").as("mr"))))
         .withColumn("seq",
           expr("replace(seq, '[' || ml || '][' || mr || ']', '[' || ml || mr || ']')"))
-        .select("word", "freq", "seq")
+        .select("word", "freq", "seq"))
     }
     (rules, words)
   }

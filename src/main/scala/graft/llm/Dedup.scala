@@ -164,6 +164,39 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Asymmetric shingle CONTAINMENT over the same posting-list join —
+    * the quote/superset detector Jaccard misses: a short document fully
+    * embedded in a long one has high |S₁∩S₂|/|S₁| but low Jaccard
+    * (the big union drowns it). Emits ORDERED pairs (id1→id2, both
+    * directions of a sharing pair) with the intersection size and
+    * containment of id1's shingle set in ppm (exact integer rational).
+    * `minInter` gates on the ABSOLUTE intersection first so the pair
+    * relation stays bounded by real shingle co-occurrence — same scale
+    * shape as [[jaccardIndex]]: work ∝ posting-list sizes, never the
+    * pair matrix, and the posting relation is persisted for its two
+    * join legs.
+    */
+  def containmentIndex(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      n: Int = 3,
+      minInter: Long = 2L): DataFrame = {
+    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    val posting = graft.CacheScope.persist(
+      sets.select(col("id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("shingle")))
+    val a = posting.select(col("shingle"), col("id").as("id1"), col("n_sh").as("n1"))
+    val b = posting.select(col("shingle"), col("id").as("id2"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id1") =!= col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("inter"), first("n1").as("n1"))
+      .filter(col("inter") >= minInter)
+      .select(col("id1"), col("id2"), col("inter"), col("n1"),
+        expr("(inter * 1000000) div n1").as("cont_ppm"))
+  }
+
   /** Connected components over an undirected pair list (near-dup
     * CLUSTERING — the step after pair detection that training-data
     * dedup actually needs: keep one document per duplicate cluster, not

@@ -994,6 +994,89 @@ object LlmQueries {
           SELECT c.cell, g.d, c.e[g.d] AS value, 0 AS n_members
           FROM c1 c, generate_series(1, 64) g(d)
           WHERE c.cell NOT IN (SELECT cell FROM s2)
-          ORDER BY cell, d""")
+          ORDER BY cell, d"""),
+
+    // Q234: LSH candidate-quality evaluation — measure the banding
+    // scheme instead of trusting its theory: PRE-verify candidate
+    // pairs (the band equi-join, before exact Jaccard) scored against
+    // the exact ground truth (all pairs with true Jaccard ≥ 0.5; the
+    // posting-list self-join is COMPLETE for that truth set, since a
+    // pair at J ≥ 0.5 necessarily shares shingles). Emits the
+    // recall the (bands × rows) parameters actually deliver on THIS
+    // corpus and the precision (verify-stage workload) — the two
+    // numbers that decide a banding re-tune at scale, produced by one
+    // band self-join + one posting self-join, never an all-pairs scan.
+    "q234_lsh_quality" -> QuerySpec(
+      (s, dir) => {
+        val sets = nearDupCorpus(s, dir)
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .transform(graft.CacheScope.persist)
+        val banded = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select(col("doc_id"), col("bands"))
+        val cand = Dedup.candidatePairs(banded, "doc_id", "bands", 1)
+          .transform(graft.CacheScope.persist)
+        val posting = graft.CacheScope.persist(
+          sets.select(col("doc_id"), size(col("sh")).as("n"),
+            explode(col("sh")).as("sng")))
+        val truth = posting
+          .select(col("sng"), col("doc_id").as("id1"), col("n").as("n1"))
+          .join(posting.select(col("sng"), col("doc_id").as("id2"),
+            col("n").as("n2")), Seq("sng"))
+          .filter(col("id1") < col("id2"))
+          .groupBy("id1", "id2")
+          .agg(count(lit(1)).as("i"),
+            first("n1").as("n1"), first("n2").as("n2"))
+          .filter(col("i") * 2 >= col("n1") + col("n2") - col("i"))
+          .select("id1", "id2")
+          .transform(graft.CacheScope.persist)
+        val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nHit = truth.join(cand, Seq("id1", "id2"))
+          .agg(count(lit(1)).as("n_hit"))
+        nTruth.join(nCand).join(nHit)
+          .select(col("n_truth").cast("long").as("n_truth"),
+            col("n_cand").cast("long").as("n_cand"),
+            col("n_hit").cast("long").as("n_hit"),
+            expr("CASE WHEN n_truth = 0 THEN 0 ELSE (n_hit * 1000000) div n_truth END")
+              .as("recall_ppm"),
+            expr("CASE WHEN n_cand = 0 THEN 0 ELSE (n_hit * 1000000) div n_cand END")
+              .as("precision_ppm"))
+      },
+      s"""WITH $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bandt a JOIN bandt b USING (band)
+                   WHERE a.doc_id < b.doc_id),
+          inter AS (SELECT s1.doc_id AS id1, s2.doc_id AS id2,
+                           CAST(count(*) AS BIGINT) AS i
+                    FROM sh s1 JOIN sh s2
+                      ON s1.s = s2.s AND s1.doc_id < s2.doc_id
+                    GROUP BY 1, 2),
+          truth AS (SELECT i.id1, i.id2
+                    FROM inter i
+                    JOIN sizes n1 ON n1.doc_id = i.id1
+                    JOIN sizes n2 ON n2.doc_id = i.id2
+                    WHERE i.i * 2 >= n1.n + n2.n - i.i),
+          agg AS (SELECT
+                    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+                    CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+                    CAST((SELECT count(*) FROM truth t JOIN cand c
+                          ON t.id1 = c.id1 AND t.id2 = c.id2)
+                         AS BIGINT) AS n_hit)
+          SELECT n_truth, n_cand, n_hit,
+                 CASE WHEN n_truth = 0 THEN 0
+                      ELSE (n_hit * 1000000) // n_truth END AS recall_ppm,
+                 CASE WHEN n_cand = 0 THEN 0
+                      ELSE (n_hit * 1000000) // n_cand END AS precision_ppm
+          FROM agg""")
   )
 }

@@ -733,6 +733,46 @@ object OpsQueries {
          SELECT c.from_type, c.to_type, c.cnt,
                 (c.cnt * 1000000) // t.total AS p_e6
          FROM c JOIN t USING (from_type)
-         ORDER BY 1, 2""")
+         ORDER BY 1, 2"""),
+
+    // Q233: k-anonymity audit — the release-side privacy check next to
+    // the q207 erasure cascade: for the quasi-identifier combination
+    // (event_type, day, value-bucket), how many equivalence classes
+    // fall below k = 5, and how many rows they re-identify. One
+    // map-side-combined rollup on the quasi-identifier triple, then a
+    // per-type summary over the (tiny) class relation — the corpus is
+    // scanned once, and min_k is the headline number a release gate
+    // thresholds on. Buckets are integral (floor to whole units, 50
+    // per bucket): the equivalence classing must be reproducible
+    // across engines or the audit itself is noise.
+    "q233_k_anonymity" -> QuerySpec(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_q233_events")
+        s.sql("""
+          WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                            CAST(floor(value) AS BIGINT) div 50 AS vb
+                     FROM g_q233_events),
+          g AS (SELECT event_type, day, vb, CAST(count(*) AS BIGINT) AS k
+                FROM q GROUP BY 1, 2, 3)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(min(k) AS BIGINT) AS min_k,
+                 CAST(count(CASE WHEN k < 5 THEN 1 END) AS BIGINT)
+                   AS classes_lt5,
+                 CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+                   AS rows_lt5
+          FROM g GROUP BY 1 ORDER BY 1""")
+      },
+      """WITH q AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                           CAST(floor(value) AS BIGINT) // 50 AS vb
+                    FROM events),
+         g AS (SELECT event_type, day, vb, CAST(count(*) AS BIGINT) AS k
+               FROM q GROUP BY 1, 2, 3)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(min(k) AS BIGINT) AS min_k,
+                CAST(count(CASE WHEN k < 5 THEN 1 END) AS BIGINT)
+                  AS classes_lt5,
+                CAST(coalesce(sum(CASE WHEN k < 5 THEN k END), 0) AS BIGINT)
+                  AS rows_lt5
+         FROM g GROUP BY 1 ORDER BY 1""")
   )
 }

@@ -263,6 +263,100 @@ object SketchQueries {
                  JOIN cell ON cell.d = tb.d AND cell.bucket = tb.bucket
                  GROUP BY 1, 2)
          SELECT t AS token, true_cnt, CAST(est_cnt AS BIGINT) AS est_cnt
-         FROM est ORDER BY true_cnt DESC, token""")
+         FROM est ORDER BY true_cnt DESC, token"""),
+
+    // Q226: KMV set-operation estimation — the payoff of the k-minimum-
+    // values family (q191): two per-set sketches answer UNION size,
+    // INTERSECTION size, and Jaccard without touching rows again.
+    // k-min(A∪B) = k-min(k-min(A) ∪ k-min(B)) (any of the union's k
+    // smallest is among its own set's k smallest), so the union sketch
+    // is distinct-merge + take-k of the two 64-long arrays; and any
+    // union-sketch member that belongs to A is guaranteed to be IN A's
+    // sketch, which makes the membership test against the sketches —
+    // not the sets — exact. match/k estimates Jaccard; match/k × the
+    // union estimate prices the intersection. Everything after the two
+    // sketch aggregates runs on kilobytes; exact countDistinct columns
+    // ride along so the gate exposes the estimation error. Estimate
+    // division via DECIMAL(38,0)/HUGEINT intermediates (63·2⁶⁰ passes
+    // int64); finals all BIGINT per OracleIdioms rule 1.
+    "q226_kmv_set_ops" -> QuerySpec(
+      (s, dir) => {
+        val kmv = udaf(new graft.functions.KmvSketchAgg(64))
+        val docs = Tables.documents(s, dir)
+        val a = docs.filter(col("n_chars") % 2 === 0)
+          .select(expr("md5_prefix60(CAST(doc_id AS STRING))").as("hv"),
+            col("doc_id"))
+        val b = docs.filter(col("doc_id") % 3 > 0)
+          .select(expr("md5_prefix60(CAST(doc_id AS STRING))").as("hv"),
+            col("doc_id"))
+        val ska = a.agg(kmv(col("hv")).as("ska"))
+        val skb = b.agg(kmv(col("hv")).as("skb"))
+        val exU = a.select("doc_id").union(b.select("doc_id"))
+          .agg(countDistinct("doc_id").as("exact_union"))
+        val exI = a.select("doc_id").intersect(b.select("doc_id"))
+          .agg(count(lit(1)).as("exact_inter"))
+        ska.join(skb).join(exU).join(exI)
+          .withColumn("u",
+            expr("slice(array_sort(array_distinct(concat(ska, skb))), 1, 64)"))
+          .withColumn("n_kept", size(col("u")).cast("long"))
+          .withColumn("union_est",
+            when(col("n_kept") < 64, col("n_kept"))
+              .otherwise(expr(
+                "(CAST(63 AS DECIMAL(38,0)) * 1152921504606846976) div try_element_at(u, 64)")))
+          .withColumn("match_cnt",
+            expr("CAST(size(array_intersect(array_intersect(u, ska), skb)) AS BIGINT)"))
+          .select(
+            col("n_kept"),
+            expr("try_element_at(u, 64)").as("h_k"),
+            col("union_est").cast("long").as("union_est"),
+            col("match_cnt"),
+            expr("(match_cnt * 1000000) div n_kept").as("jaccard_ppm"),
+            expr("(match_cnt * union_est) div n_kept").as("inter_est"),
+            col("exact_union").cast("long").as("exact_union"),
+            col("exact_inter").cast("long").as("exact_inter"),
+            expr("(exact_inter * 1000000) div exact_union").as("exact_j_ppm"))
+      },
+      s"""WITH a AS (SELECT DISTINCT doc_id FROM documents
+                     WHERE n_chars % 2 = 0),
+         b AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 > 0),
+         ha AS (SELECT doc_id,
+                       ${OracleIdioms.hex60("CAST(doc_id AS VARCHAR)")} AS hv
+                FROM a),
+         hb AS (SELECT doc_id,
+                       ${OracleIdioms.hex60("CAST(doc_id AS VARCHAR)")} AS hv
+                FROM b),
+         ka AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv)
+                                          AS rn FROM ha) WHERE rn <= 64),
+         kb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv)
+                                          AS rn FROM hb) WHERE rn <= 64),
+         uu AS (SELECT DISTINCT hv FROM
+                  (SELECT hv FROM ka UNION ALL SELECT hv FROM kb)),
+         u AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM uu),
+         uk AS (SELECT hv, rn FROM u WHERE rn <= 64),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                       max(CASE WHEN rn = 64 THEN hv END) AS h_k,
+                       CAST(count(*) FILTER (WHERE hv IN (SELECT hv FROM ka)
+                                               AND hv IN (SELECT hv FROM kb))
+                            AS BIGINT) AS match_cnt
+                FROM uk),
+         est AS (SELECT n_kept, h_k, match_cnt,
+                        CASE WHEN n_kept < 64 THEN n_kept
+                             ELSE CAST((CAST(63 AS HUGEINT)
+                                        * (CAST(1 AS BIGINT) << 60)) // h_k
+                                       AS BIGINT) END AS union_est
+                 FROM st),
+         ex AS (SELECT CAST((SELECT count(*) FROM
+                              (SELECT doc_id FROM a
+                               UNION SELECT doc_id FROM b)) AS BIGINT)
+                         AS exact_union,
+                       CAST((SELECT count(*) FROM a
+                             WHERE doc_id IN (SELECT doc_id FROM b))
+                            AS BIGINT) AS exact_inter)
+         SELECT e.n_kept, e.h_k, e.union_est, e.match_cnt,
+                (e.match_cnt * 1000000) // e.n_kept AS jaccard_ppm,
+                (e.match_cnt * e.union_est) // e.n_kept AS inter_est,
+                ex.exact_union, ex.exact_inter,
+                (ex.exact_inter * 1000000) // ex.exact_union AS exact_j_ppm
+         FROM est e CROSS JOIN ex""")
   )
 }

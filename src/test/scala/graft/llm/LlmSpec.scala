@@ -199,4 +199,26 @@ class LlmSpec extends AnyFunSuite with SparkTestSession {
     val sparkVal = Seq(s).toDF("x").select(hash60(col("x"))).head().getLong(0)
     assert(sparkVal == jvmHash60(s))
   }
+
+  test("containment: quoted short doc scores high toward its superset, " +
+    "and the pair is asymmetric") {
+    // doc 2 is wholly quoted inside doc 1 (plus padding), so
+    // containment(2→1) = 10⁶ while containment(1→2) is the partial
+    // ratio — exactly the asymmetry Jaccard cannot express.
+    val quoted = "the quick brown fox jumps over the lazy dog"
+    val host = s"intro words here $quoted closing words trail off now"
+    val r = graft.CacheScope.scoped {
+      Dedup.containmentIndex(
+        df(1L -> host, 2L -> quoted, 3L -> "nothing shared at all whatsoever"),
+        col("doc_id"), col("text"), n = 3, minInter = 2L)
+        .collect().map(x => (x.getLong(0), x.getLong(1),
+          x.getLong(2), x.getLong(4))).toSet
+    }
+    val c21 = r.find(p => p._1 == 2L && p._2 == 1L).get
+    val c12 = r.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(c21._4 == 1000000L, s"full quote must be fully contained: $c21")
+    assert(c12._4 < 1000000L && c12._4 > 0L)
+    assert(c21._3 == c12._3) // same intersection, different denominators
+    assert(!r.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
