@@ -130,6 +130,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.BitmapOrCount(children(0), children(1))))
     extensions.injectFunction((
+      FunctionIdentifier("graft_bitmap_or_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.BitmapOrAgg].getName,
+        null,
+        "graft_bitmap_or_agg",
+        "graft_bitmap_or_agg(binary) - OR-merge aggregate over bitmap " +
+          "sketches: rolls per-group sketches up into one union sketch " +
+          "without re-reading rows",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.BitmapOrAgg(children.head)))
+    extensions.injectFunction((
       FunctionIdentifier("graft_damerau"),
       new ExpressionInfo(
         classOf[graft.functions.DamerauLevenshtein].getName,

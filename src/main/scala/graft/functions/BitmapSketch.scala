@@ -96,12 +96,95 @@ object BitmapSketchAgg {
       s"graft_bitmap_agg takes (hash, numBuckets), got ${args.size} args")
     val m = args(1) match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+      case Literal(v: Long, LongType) =>
+        // bounds-check BEFORE toInt — a Long literal like 4294967297
+        // would otherwise truncate to a silently-valid small dimension
+        // (the CountMin round-9-advice fix, applied here too)
+        require(v > 0 && v <= (1 << 24),
+          s"numBuckets must be in (0, 2^24], got $v")
+        v.toInt
       case other => throw new IllegalArgumentException(
         s"numBuckets must be an integer literal, got $other")
     }
     BitmapSketchAgg(args.head, m)
   }
+}
+
+/** OR-merge AGGREGATE over already-materialized bitmap sketches — the
+  * re-aggregation step the scalar pairwise ops can't express: roll N
+  * per-group sketches (one per day/shard/partition) up into one union
+  * sketch WITHOUT re-reading any raw rows. This is what makes the
+  * bitmap family genuinely mergeable end-to-end: build per-day sketches
+  * once, then any window/region/cohort union is an aggregate over
+  * kilobyte binaries (the same algebra HLL gets from max-merge and KMV
+  * from distinct-union take-k).
+  *
+  * All input sketches must share one width (byte length); mixed widths
+  * are a caller error and fail fast. Zero rows yield an empty sketch
+  * (popcount 0).
+  */
+case class BitmapOrAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bitmap_or_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch argument, got ${child.dataType}")
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def orInto(acc: Array[Long], other: Array[Long]): Array[Long] =
+    if (other.isEmpty) acc
+    else if (acc.isEmpty) other.clone()
+    else {
+      require(acc.length == other.length,
+        s"$prettyName: sketch width mismatch (${acc.length * 8} vs " +
+          s"${other.length * 8} bytes) — all inputs must use one numBuckets")
+      var i = 0
+      while (i < acc.length) { acc(i) |= other(i); i += 1 }
+      acc
+    }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf else orInto(buf, toLongs(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = orInto(a, b)
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  private def toLongs(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length % 8 == 0,
+      s"$prettyName: sketch length ${bytes.length} is not a whole number " +
+        "of 64-bit words — not a graft_bitmap_agg sketch")
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = toLongs(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): BitmapOrAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BitmapOrAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapOrAgg =
+    copy(child = newChildren.head)
 }
 
 /** popcount of a bitmap sketch — occupied-bucket count of an

@@ -207,6 +207,65 @@ object CorpusOpsQueries {
                      AS BIGINT) AS oov_cnt,
                 (count(*) FILTER (WHERE word NOT IN (SELECT word FROM topk))
                  * 1000000) // count(*) AS oov_ppm
-         FROM occ GROUP BY 1 ORDER BY 1""")
+         FROM occ GROUP BY 1 ORDER BY 1"""),
+
+    // Q236: entity-resolution capstone — the full record-linkage
+    // pipeline composed from the library's pieces: multi-key blocking
+    // (lang × size-bucket × 4-char prefix — the q86 scheme; candidate
+    // pairs come from an equi-join, never all-pairs), edit-distance
+    // verify inside blocks (exact unit-cost Levenshtein on 48-char
+    // heads), transitive closure over the verified match edges
+    // (min-label propagation — a matches b matches c must land in ONE
+    // entity even if a≁c directly), and per-entity canonicalization:
+    // cluster id = smallest member (the survivor), membership count +
+    // id-sum fingerprint so the gate pins WHICH records merged, not
+    // just how many. Oracle: the same edges through a recursive-CTE
+    // reachability closure.
+    "q236_entity_resolution" -> QuerySpec(
+      (s, dir) => {
+        val d = graft.CacheScope.persist(
+          Tables.documents(s, dir).select(
+            col("doc_id"), col("lang"), expr("n_chars div 50").as("szb"),
+            substring(col("text"), 1, 4).as("pfx"),
+            substring(col("text"), 1, 48).as("head")))
+        val a = d.select(col("lang"), col("szb"), col("pfx"),
+          col("doc_id").as("id1"), col("head").as("h1"))
+        val b = d.select(col("lang"), col("szb"), col("pfx"),
+          col("doc_id").as("id2"), col("head").as("h2"))
+        val edges = graft.CacheScope.persist(
+          a.join(b, Seq("lang", "szb", "pfx"))
+            .filter(col("id1") < col("id2"))
+            .filter(levenshtein(col("h1"), col("h2")) <= 5)
+            .select("id1", "id2"))
+        Dedup.connectedComponents(edges, "id1", "id2")
+          .groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"), sum("id").as("id_sum"),
+            max("id").as("max_id"))
+          .select(col("cluster_id").cast("long").as("entity_id"),
+            col("n_members").cast("long").as("n_members"),
+            col("id_sum").cast("long").as("id_sum"),
+            col("max_id").cast("long").as("max_id"))
+          .orderBy("entity_id")
+      },
+      """WITH RECURSIVE d AS (SELECT doc_id, lang, n_chars // 50 AS szb,
+                                     substr(text, 1, 4) AS pfx,
+                                     substr(text, 1, 48) AS head
+                              FROM documents),
+         vp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                FROM d a JOIN d b
+                  ON a.lang = b.lang AND a.szb = b.szb AND a.pfx = b.pfx
+                     AND a.doc_id < b.doc_id
+                WHERE levenshtein(a.head, b.head) <= 5),
+         edges AS (SELECT id1 AS src, id2 AS dst FROM vp
+                   UNION ALL SELECT id2, id1 FROM vp),
+         reach(id, lab) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+         lbl AS (SELECT id, min(lab) AS entity_id FROM reach GROUP BY id)
+         SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+                CAST(sum(id) AS BIGINT) AS id_sum,
+                CAST(max(id) AS BIGINT) AS max_id
+         FROM lbl GROUP BY 1 ORDER BY entity_id""")
   )
 }

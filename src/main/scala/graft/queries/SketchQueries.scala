@@ -357,6 +357,71 @@ object SketchQueries {
                 (e.match_cnt * e.union_est) // e.n_kept AS inter_est,
                 ex.exact_union, ex.exact_inter,
                 (ex.exact_inter * 1000000) // ex.exact_union AS exact_j_ppm
-         FROM est e CROSS JOIN ex""")
+         FROM est e CROSS JOIN ex"""),
+
+    // Q237: sliding-window distinct from MERGED daily sketches — the
+    // re-aggregation payoff of graft_bitmap_or_agg: per-day user
+    // bitmaps are built ONCE (one corpus scan), and every 7-day
+    // window's reach is then an OR-merge aggregate over ≤ 7 kilobyte
+    // binaries + one popcount. The exact sliding distinct (recomputed
+    // per window from raw (day, user) rows — what q196 does) rides
+    // along so the gate exposes the bucket-collision error. At 100 TB
+    // the daily sketch table is the ONLY thing that ever reads events;
+    // reach questions for any window, month, or cohort union are
+    // answered from it at kilobyte cost. The day×day range join is
+    // broadcast-trivial (the day relation is calendar-sized).
+    "q237_window_reach_sketch" -> QuerySpec(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("g_q237_events")
+        s.sql("""
+          WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id
+                     FROM g_q237_events),
+          daily AS (SELECT day,
+                           graft_bitmap_agg(
+                             md5_prefix60(CAST(user_id AS STRING)),
+                             4096) AS bm
+                    FROM e GROUP BY day),
+          w AS (SELECT day AS end_day FROM daily),
+          merged AS (SELECT w.end_day, CAST(count(*) AS BIGINT) AS n_days,
+                            graft_bitmap_popcount(graft_bitmap_or_agg(d.bm))
+                              AS sketch_distinct
+                     FROM w JOIN daily d
+                       ON d.day BETWEEN date_sub(w.end_day, 6) AND w.end_day
+                     GROUP BY w.end_day),
+          du AS (SELECT DISTINCT day, user_id FROM e),
+          ex AS (SELECT w.end_day,
+                        CAST(count(DISTINCT du.user_id) AS BIGINT)
+                          AS exact_distinct
+                 FROM w JOIN du
+                   ON du.day BETWEEN date_sub(w.end_day, 6) AND w.end_day
+                 GROUP BY w.end_day)
+          SELECT m.end_day, m.n_days,
+                 CAST(m.sketch_distinct AS BIGINT) AS sketch_distinct,
+                 ex.exact_distinct
+          FROM merged m JOIN ex ON m.end_day = ex.end_day
+          ORDER BY end_day""")
+      },
+      s"""WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+         b AS (SELECT DISTINCT day,
+                      ${OracleIdioms.hex60("CAST(user_id AS VARCHAR)")}
+                        % 4096 AS bucket
+               FROM e),
+         w AS (SELECT DISTINCT day AS end_day FROM e),
+         sk AS (SELECT w.end_day,
+                       CAST(count(DISTINCT b.day) AS BIGINT) AS n_days,
+                       CAST(count(DISTINCT b.bucket) AS BIGINT)
+                         AS sketch_distinct
+                FROM w JOIN b ON b.day BETWEEN w.end_day - 6 AND w.end_day
+                GROUP BY 1),
+         du AS (SELECT DISTINCT day, user_id FROM e),
+         ex AS (SELECT w.end_day,
+                       CAST(count(DISTINCT du.user_id) AS BIGINT)
+                         AS exact_distinct
+                FROM w JOIN du
+                  ON du.day BETWEEN w.end_day - 6 AND w.end_day
+                GROUP BY 1)
+         SELECT sk.end_day, sk.n_days, sk.sketch_distinct, ex.exact_distinct
+         FROM sk JOIN ex ON sk.end_day = ex.end_day
+         ORDER BY sk.end_day""")
   )
 }

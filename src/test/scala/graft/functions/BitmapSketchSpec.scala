@@ -56,4 +56,48 @@ class BitmapSketchSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(pop(1) == pop(13))
   }
+
+  test("graft_bitmap_or_agg re-aggregates per-group sketches without rows") {
+    import spark.implicits._
+    // 3 groups with overlapping keys; OR-merging the three group
+    // sketches must equal the sketch built directly over all rows —
+    // under any partitioning of the sketch relation.
+    val rows = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (20 to 50).map(i => ("b", i.toLong)) ++
+      (45 to 70).map(i => ("c", i.toLong))).toDF("g", "k")
+    rows.createOrReplaceTempView("bs_oa")
+    val direct = spark.sql(
+      "SELECT graft_bitmap_popcount(graft_bitmap_agg(" +
+        "md5_prefix60(CAST(k AS STRING)), 1024)) FROM bs_oa")
+      .head().getLong(0)
+    for (parts <- Seq(1, 7)) {
+      val merged = spark.sql(
+        s"""WITH sk AS (SELECT g, graft_bitmap_agg(
+                          md5_prefix60(CAST(k AS STRING)), 1024) AS bm
+                        FROM bs_oa GROUP BY g),
+            p AS (SELECT /*+ REPARTITION($parts) */ bm FROM sk)
+            SELECT graft_bitmap_popcount(graft_bitmap_or_agg(bm)) FROM p""")
+        .head().getLong(0)
+      assert(merged == direct, s"parts=$parts")
+    }
+  }
+
+  test("graft_bitmap_or_agg: empty input yields an empty sketch, " +
+    "width mismatch fails fast") {
+    import spark.implicits._
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("bs_oa2")
+    val empty = spark.sql(
+      """SELECT graft_bitmap_popcount(graft_bitmap_or_agg(bm))
+         FROM (SELECT graft_bitmap_agg(k, 64) AS bm FROM bs_oa2
+               WHERE k > 100)""").head()
+    assert(empty.getLong(0) == 0L)
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT graft_bitmap_or_agg(bm) FROM (
+             SELECT graft_bitmap_agg(k, 64) AS bm FROM bs_oa2
+             UNION ALL
+             SELECT graft_bitmap_agg(k, 128) AS bm FROM bs_oa2)""").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
