@@ -315,4 +315,40 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "candidate_id", "rank", "cosine")
   }
+
+  /** Multi-probe LSH top-k: each query probes its own bucket PLUS every
+    * bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    * recall fix for hyperplane LSH (Lv et al. 2007, "Multi-Probe LSH"):
+    * a true neighbor lost to ONE near-boundary hyperplane vote is
+    * recovered without adding tables or rescanning candidates. The
+    * QUERY side explodes ×(P+1) (tiny by contract); the candidate side
+    * still carries one bucket per vector, and since probed buckets are
+    * distinct a (query, candidate) pair can match at most once — no
+    * dedup step. q238/q239 gate the measured recall delta.
+    */
+  def lshTopKMultiProbe(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Seq[Seq[Int]]): DataFrame = {
+    val pBits = planes.size
+    val q = prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("__q").as("__qv"), col("__n").as("__qn"),
+        bucketId(col("__q"), planes).as("__b0"))
+      .withColumn("__bucket", explode(array(
+        col("__b0") +: (0 until pBits).map(i =>
+          col("__b0").bitwiseXOR(lit(1L << i))): _*)))
+    val c = prepared(candidates, idCol, vecCol)
+      .select(col(idCol).as("candidate_id"), col("__q").as("__cv"), col("__n").as("__cn"),
+        bucketId(col("__q"), planes).as("__bucket"))
+    c.join(broadcast(q), Seq("__bucket"))
+      .withColumn("cosine",
+        cosine(intDot(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("candidate_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "candidate_id", "rank", "cosine")
+  }
 }
