@@ -1,0 +1,136 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality verification — the contract gate a 100 TB
+  * ingest runs before publishing a table (the Deequ/"data unit test"
+  * shape, rebuilt Spark-first): callers declare WHAT must hold
+  * (completeness, domain membership, ranges, key uniqueness, foreign
+  * keys) and the suite compiles the whole declaration into the fewest
+  * possible jobs over the data.
+  *
+  * Cost model, by constraint kind:
+  *  - [[ConstraintSuite.Satisfies]] (null checks, domains, ranges,
+  *    arbitrary row predicates): ALL of them fold into ONE aggregate
+  *    scan — each is a `sum(case when pred)` next to `count(*)`, so a
+  *    suite of 50 row constraints still reads the table exactly once
+  *    with map-side combine and shuffles one partial row per
+  *    partition.
+  *  - [[ConstraintSuite.Unique]]: an exact `count(distinct …)` rides
+  *    in the same aggregate (Spark plans the distinct via expand —
+  *    one extra shuffle keyed on the checked tuple, the honest price
+  *    of exactness; callers who can trade exactness for scale point
+  *    the same predicate at `graft_hll` instead).
+  *  - [[ConstraintSuite.SubsetOf]] (referential integrity): one
+  *    left-anti count per reference. The ref side is deduplicated
+  *    first and broadcast when small (dimension tables — the common
+  *    case); a fact-sized ref falls back to a shuffled anti join.
+  *
+  * Output is the audit artifact itself: one row per constraint with
+  * the measured metric in exact ppm (`ok·10⁶ div n` — integer
+  * arithmetic, engine-portable), the violation count, and a
+  * 'pass'/'fail' status. Metrics are always emitted, not just the
+  * boolean — the trend of a metric across daily runs is the drift
+  * signal, and a CI gate can threshold it without re-scanning.
+  */
+object ConstraintSuite {
+
+  sealed trait Constraint { def name: String }
+
+  /** Row-level predicate that must hold on every row (completeness,
+    * set membership, value ranges, cross-column rules). NULL
+    * predicate results count as violations — a null `x > 0` is not
+    * evidence of health.
+    */
+  final case class Satisfies(name: String, predicate: Column)
+      extends Constraint
+
+  /** The checked tuple must be unique across the table (primary /
+    * natural key). Violations = n_rows − n_distinct_tuples.
+    */
+  final case class Unique(name: String, cols: Seq[Column])
+      extends Constraint
+
+  /** Every non-null value of `col` must appear in `ref.refCol`
+    * (foreign key). `broadcastRef` marks the dimension-sized case.
+    */
+  final case class SubsetOf(
+      name: String, col: Column, ref: DataFrame, refCol: String,
+      broadcastRef: Boolean = true)
+      extends Constraint
+
+  /** Runs the suite; returns (check_name, metric_ppm, n_violations,
+    * status) ordered by check name. (`check_name`, not `constraint` —
+    * CONSTRAINT is reserved in most SQL dialects and the audit table
+    * should be queryable without quoting.)
+    */
+  def evaluate(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty constraint suite")
+    require(
+      constraints.map(_.name).distinct.size == constraints.size,
+      "constraint names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rowCs = constraints.collect { case c: Satisfies => c }
+    val uniqCs = constraints.collect { case c: Unique => c }
+    val subCs = constraints.collect { case c: SubsetOf => c }
+
+    // One pass: n_rows + one conditional sum per row predicate + one
+    // exact distinct per uniqueness constraint.
+    val aggs: Seq[Column] =
+      count(lit(1)).cast("long").as("__n") +:
+        (rowCs.map(c =>
+          sum(when(c.predicate, 1L).otherwise(0L)).cast("long")
+            .as(s"__ok_${c.name}")) ++
+          uniqCs.map(c =>
+            count_distinct(struct(c.cols: _*)).cast("long")
+              .as(s"__d_${c.name}")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+
+    // Long format via stack: (name, n_ok) per single-pass constraint.
+    // A suite of only referential checks has nothing to stack — the
+    // aggregate row then exists purely to anchor later unions, so it
+    // contributes zero rows here (stack(0) is a parse error).
+    val pairs: Seq[(String, String)] =
+      rowCs.map(c => c.name -> s"__ok_${c.name}") ++
+        uniqCs.map(c => c.name -> s"__d_${c.name}")
+    val stacked =
+      if (pairs.isEmpty)
+        one.select(col("__n"), lit("").as("check_name"),
+          lit(0L).as("__ok")).limit(0)
+      else one.select(
+        col("__n"),
+        expr(pairs.map { case (n, c) => s"'$n', $c" }
+          .mkString(s"stack(${pairs.size}, ", ", ", ")"))
+          .as(Seq("check_name", "__ok")))
+
+    // Referential constraints: one anti-join count each against the
+    // deduplicated (and usually broadcast) reference key set.
+    val subRows: Seq[DataFrame] = subCs.map { c =>
+      val refKeys0 = c.ref.select(col(c.refCol).as("__ref")).distinct()
+      val refKeys = if (c.broadcastRef) broadcast(refKeys0) else refKeys0
+      val viol = df.select(c.col.as("__v"))
+        .filter(col("__v").isNotNull)
+        .join(refKeys, col("__v") === col("__ref"), "left_anti")
+        .agg(count(lit(1)).cast("long").as("__viol"))
+      df.agg(count(lit(1)).cast("long").as("__n"))
+        .crossJoin(viol)
+        .select(col("__n"), lit(c.name).as("check_name"),
+          (col("__n") - col("__viol")).as("__ok"))
+    }
+
+    val all = subRows.foldLeft(stacked)((acc, d) =>
+      acc.unionByName(d.select("__n", "check_name", "__ok")))
+    all.select(
+      col("check_name"),
+      when(col("__n") === 0, lit(1000000L))
+        .otherwise(expr("(__ok * 1000000) div __n")).cast("long")
+        .as("metric_ppm"),
+      (col("__n") - col("__ok")).cast("long").as("n_violations"),
+      when(col("__ok") === col("__n"), lit("pass")).otherwise(lit("fail"))
+        .as("status"))
+      .orderBy("check_name")
+  }
+}
