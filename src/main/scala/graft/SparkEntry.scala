@@ -41,7 +41,8 @@ object SparkEntry {
       JoinShapeQueries.specs ++ SurfaceQueries.specs ++ AlgebraQueries.specs ++
       SketchQueries.specs ++ StatQueries.specs ++ PortabilityQueries.specs ++
       AllocationQueries.specs ++ TokenizerQueries.specs ++ EvalQueries.specs ++
-      CorpusOpsQueries.specs ++ ProfileQueries.specs ++ RetrievalQueries.specs
+      CorpusOpsQueries.specs ++ ProfileQueries.specs ++ RetrievalQueries.specs ++
+      SignalQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }

@@ -182,4 +182,66 @@ object TokenGraph {
     }
     visited
   }
+
+  /** `iters` rounds of HITS (hubs & authorities) over the DISTINCT
+    * bigram digraph — the second classic link-centrality next to
+    * [[pagerankE6]], and the one that separates the two roles PageRank
+    * conflates: a token that POINTS AT important tokens (hub) vs one
+    * that important tokens point at (authority).
+    *
+    * Same determinism contract as PageRank: integer arithmetic end to
+    * end. HITS normally normalizes by the L2 norm each round (a sqrt —
+    * not portable bit-for-bit); this formulation normalizes by the
+    * per-round MAXIMUM instead, scores in ppm of the round's top node.
+    * Max-normalization keeps the iteration's fixed direction (it is
+    * still power iteration on AᵀA / AAᵀ, just scaled differently each
+    * round) and every step stays an exact integer: sum, max, one
+    * integral division routed through DECIMAL(38,0) so `s·10⁶` cannot
+    * wrap at web-scale vocabularies.
+    *
+    * Takes the directed edge list (w1 → w2) directly — HITS is only
+    * informative on a graph with degree STRUCTURE, and the caller
+    * owns that choice (e.g. the above-mean co-occurrence backbone the
+    * q244 gate builds; the raw bigram graph of a small vocabulary is
+    * near-complete and every score collapses to the trivial fixpoint).
+    * Duplicate edges are deduplicated here.
+    *
+    * Scale shape: the persisted distinct-edge relation is joined twice
+    * per round against vocabulary-sized score relations; each round is
+    * two equi-joins + two aggregates + two scalar-max broadcasts.
+    * Beyond [[LineageCutAfter]] rounds the score relations are
+    * localCheckpoint'ed, as in PageRank. Returns (token, auth_e6,
+    * hub_e6): 0 marks a node absent from that role's domain (no
+    * in-edges / no out-edges).
+    */
+  def hitsE6(
+      spark: SparkSession,
+      edgeList: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val cutLineage = iters > LineageCutAfter
+    val edges = CacheScope.persist(
+      edgeList.select(col("w1"), col("w2")).distinct())
+    val e6 = "CAST((CAST(s AS DECIMAL(38,0)) * 1000000) div m AS BIGINT)"
+    var hub = edges.select(col("w1").as("w")).distinct()
+      .withColumn("v", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val as = edges.join(hub, edges("w1") === hub("w"))
+        .groupBy(edges("w2")).agg(sum(col("v")).cast("long").as("s"))
+      auth = as.crossJoin(broadcast(as.agg(max(col("s")).as("m"))))
+        .select(col("w2").as("w"), expr(e6).as("v"))
+      if (cutLineage) auth = auth.localCheckpoint()
+      val hs = edges.join(auth, edges("w2") === auth("w"))
+        .groupBy(edges("w1")).agg(sum(col("v")).cast("long").as("s"))
+      hub = hs.crossJoin(broadcast(hs.agg(max(col("s")).as("m"))))
+        .select(col("w1").as("w"), expr(e6).as("v"))
+      if (cutLineage) hub = hub.localCheckpoint()
+    }
+    auth.withColumnRenamed("v", "auth_e6")
+      .join(hub.withColumnRenamed("v", "hub_e6"), Seq("w"), "full_outer")
+      .select(col("w").as("token"),
+        coalesce(col("auth_e6"), lit(0L)).as("auth_e6"),
+        coalesce(col("hub_e6"), lit(0L)).as("hub_e6"))
+  }
 }
