@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{CacheScope, Tables}
+import graft.analytics.{AsOfJoinNative, BottomKSample}
+
+/** Round-10 session-3 journey/sampling operators: marketing-style
+  * last-touch attribution composed on the native as-of join (q246)
+  * and mergeable bottom-k sample quantiles next to their exact
+  * nearest-rank truth (q247).
+  */
+object JourneyQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q246: last-touch revenue attribution — every purchase is
+    // attributed to the same user's most recent click/view at-or-
+    // before it within a 7-day window; conversions with no in-window
+    // touch roll into 'unattributed'. The match is ONE native as-of
+    // join ([[AsOfJoinNative]] — the custom LogicalPlan/Strategy/
+    // exec: per-side shuffles + O(1)-state forward merge, no range
+    // explosion), then a channel rollup. This is the composition the
+    // operator exists for: at 100 TB the touch relation never
+    // explodes into a per-conversion range join. The oracle uses the
+    // q46/q148 union+window formulation with the identical
+    // (ts, tag, event_id) tie rule and inclusive tolerance bound.
+    "q246_attribution" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"))
+        AsOfJoinNative.asOf(purchases, touches, "user_id", "ts_us",
+          "event_id", payloadCols = Seq("event_type"),
+          toleranceUs = Some(604800000000L))
+          .groupBy(coalesce(col("asof_event_type"), lit("unattributed"))
+            .as("channel"))
+          .agg(count(lit(1)).cast("long").as("n_conversions"),
+            sum(col("cents")).cast("long").as("value_cents"))
+          .orderBy("channel")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         u AS (
+           SELECT user_id, ts_us, event_id, 0 AS tag,
+                  event_type AS r_et, ts_us AS r_ts,
+                  CAST(NULL AS BIGINT) AS cents
+           FROM e WHERE event_type IN ('click', 'view')
+           UNION ALL
+           SELECT user_id, ts_us, event_id, 1 AS tag, NULL, NULL, cents
+           FROM e WHERE event_type = 'purchase'),
+         m AS (
+           SELECT user_id, ts_us, tag, cents,
+                  last_value(r_et IGNORE NULLS) OVER w AS a_et,
+                  last_value(r_ts IGNORE NULLS) OVER w AS a_ts
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         att AS (SELECT CASE WHEN a_ts IS NOT NULL
+                                  AND ts_us - a_ts <= 604800000000
+                             THEN a_et ELSE 'unattributed' END AS channel,
+                        cents
+                 FROM m WHERE tag = 1)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_conversions,
+                CAST(sum(cents) AS BIGINT) AS value_cents
+         FROM att GROUP BY 1 ORDER BY channel"""),
+
+    // Q247: sample-sketch quantiles vs exact truth — the bottom-256-
+    // by-hash uniform sample ([[BottomKSample]]: mergeable, engine-
+    // deterministic, TakeOrdered execution) answers any quantile from
+    // 256 rows; the exact nearest-rank value rides along via the
+    // distinct-value cumulative count (DistributedOrder running sum —
+    // no corpus-wide window). The est-vs-exact gap the gate emits IS
+    // the 1/√k estimator error a 100 TB profile pays for reading
+    // kilobytes instead of the table.
+    "q247_sketch_quantiles" -> QuerySpec(
+      (s, dir) => {
+        val qs = Seq(25, 50, 75, 90, 99)
+        val data = CacheScope.persist(
+          Tables.lineitem(s, dir).select(
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+            concat_ws("|", col("l_orderkey").cast("string"),
+              col("l_linenumber").cast("string")).as("key")))
+        val samp = BottomKSample.sample(data, col("key"), 256)
+        val est = BottomKSample.sampleQuantiles(samp, col("v"), 256, qs)
+        val ex = BottomKSample.exactQuantiles(data, col("v"), qs)
+        val n = data.agg(count(lit(1)).cast("long").as("n_rows"))
+        est.join(ex, "q_pct").crossJoin(broadcast(n))
+          .select(col("q_pct"), col("est").as("est_cents"),
+            col("exact").as("exact_cents"), lit(256L).as("k"),
+            col("n_rows"))
+          .orderBy("q_pct")
+      },
+      s"""WITH data AS (SELECT
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               ${OracleIdioms.hex60(
+                 "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")}
+                 AS h
+             FROM lineitem),
+         samp AS (SELECT v, h FROM data ORDER BY h LIMIT 256),
+         sord AS (SELECT v, row_number() OVER (ORDER BY v, h) - 1 AS i
+                  FROM samp),
+         qs(q_pct) AS (VALUES (CAST(25 AS BIGINT)), (50), (75), (90), (99)),
+         est AS (SELECT q_pct, CAST(v AS BIGINT) AS est_cents
+                 FROM qs JOIN sord ON sord.i = (255 * q_pct) // 100),
+         vals AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                  FROM data GROUP BY 1),
+         cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vals),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM data),
+         ex AS (SELECT q_pct, CAST(min(v) AS BIGINT) AS exact_cents
+                FROM cum, qs, n
+                WHERE cum >= ((n_rows - 1) * q_pct) // 100 + 1
+                GROUP BY 1)
+         SELECT est.q_pct AS q_pct, est.est_cents, ex.exact_cents,
+                CAST(256 AS BIGINT) AS k, n.n_rows
+         FROM est JOIN ex ON est.q_pct = ex.q_pct CROSS JOIN n
+         ORDER BY q_pct"""))
+}
