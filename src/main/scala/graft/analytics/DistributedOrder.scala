@@ -53,7 +53,8 @@ object DistributedOrder {
       partitionBy: Seq[String] = Nil): DataFrame =
     withOffsets(df, orderCols, partitionBy, count(lit(1)).cast("long")) {
       (joined, wIn) =>
-        joined.withColumn(out, col("__off") + row_number().over(wIn))
+        joined.withColumn(out,
+          coalesce(col("__off"), lit(0L)) + row_number().over(wIn))
     }
 
   /** Adds `out` = exclusive running sum of `value` over `orderCols`
@@ -67,14 +68,35 @@ object DistributedOrder {
       (joined, wIn) =>
         joined.withColumn(
           out,
-          col("__off") + coalesce(
+          coalesce(col("__off"), lit(0L)) + coalesce(
             sum(value).over(wIn.rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)))
     }
 
+  /** Adds `out` = INCLUSIVE running maximum of `value` over
+    * `orderCols` (max of the row's group prefix including itself),
+    * restarting per `partitionBy` group. Same two-level shape: the
+    * offset tier carries each bucket's max and combines with a
+    * running max instead of a running sum.
+    */
+  def withRunningMax(
+      df: DataFrame, orderCols: Seq[Column], value: Column, out: String,
+      partitionBy: Seq[String] = Nil): DataFrame =
+    withOffsets(df, orderCols, partitionBy, max(value).cast("long"),
+      offAgg = max(col("__tot"))) { (joined, wIn) =>
+      // greatest() skips NULL (the first bucket has no offset), so the
+      // prefix max degenerates correctly to the in-bucket running max
+      joined.withColumn(
+        out,
+        greatest(
+          col("__off"),
+          max(value).over(wIn.rowsBetween(Window.unboundedPreceding, 0))))
+    }
+
   private def withOffsets(
       df: DataFrame, orderCols: Seq[Column], partitionBy: Seq[String],
-      partAgg: Column)(
+      partAgg: Column,
+      offAgg: Column = sum(col("__tot")))(
       finish: (DataFrame, org.apache.spark.sql.expressions.WindowSpec)
         => DataFrame): DataFrame = {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -84,10 +106,13 @@ object DistributedOrder {
         .withColumn("__pid", spark_partition_id()))
     val grpKeys = partitionBy :+ "__pid"
     val perPart = ranged.groupBy(grpKeys.map(col): _*).agg(partAgg.as("__tot"))
+    // __off stays NULL for a group's first bucket: sum-based callers
+    // coalesce it to 0, the max-based caller lets greatest() skip it
+    // (a sentinel zero would corrupt a running max of negatives)
     val wOff = Window.partitionBy(partitionBy.map(col): _*).orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = perPart
-      .withColumn("__off", coalesce(sum("__tot").over(wOff), lit(0L)))
+      .withColumn("__off", offAgg.over(wOff))
       .select((grpKeys :+ "__off").map(col): _*)
     val wIn = Window.partitionBy(grpKeys.map(col): _*).orderBy(orderCols: _*)
     finish(ranged.join(broadcast(offsets), grpKeys), wIn)

@@ -91,6 +91,27 @@ class DistributedOrderSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("running max matches the inclusive window frame bit for bit") {
+    CacheScope.scoped {
+      // values deliberately include negatives: a zero offset sentinel
+      // for the first bucket would corrupt a negative-prefix max
+      val rnd = new scala.util.Random(23)
+      val df = (0 until 2500)
+        .map(i => (i.toLong, rnd.nextInt(2000).toLong - 1000L))
+        .toDF("id", "v")
+      val got = DistributedOrder
+        .withRunningMax(df, Seq(col("id")), col("v"), "m")
+        .select("id", "m").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("m",
+          max(col("v")).over(Window.orderBy(col("id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select("id", "m").as[(Long, Long)].collect().toMap
+      assert(got == want)
+      assertNoCorpusGlobalWindow(
+        DistributedOrder.withRunningMax(df, Seq(col("id")), col("v"), "m"))
+    }
+  }
+
   test("plan: no unpartitioned WindowExec over raw rows, offsets tier above an aggregate") {
     CacheScope.scoped {
       val df = randomDocs(1000, seed = 5)
