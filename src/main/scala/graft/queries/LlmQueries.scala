@@ -143,8 +143,11 @@ object LlmQueries {
     * and q150 (large-star/small-star): two algorithms, one pinned
     * answer.
     */
-  private val clustersOracleSql =
-    s"""WITH RECURSIVE $corpusSql, $shingleSql, $coefSql,
+  /** The shared CTE chain up to the recursive reachability closure —
+    * the prefix of the clusters oracle, reused by the q251 split gate.
+    */
+  private val clusterChainSql =
+    s"""$corpusSql, $shingleSql, $coefSql,
           mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
                  FROM shh CROSS JOIN coef GROUP BY 1, 2),
           sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
@@ -170,7 +173,10 @@ object LlmQueries {
           reach(id, lab) AS (
             SELECT src, src FROM edges
             UNION
-            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst)"""
+
+  private val clustersOracleSql =
+    s"""WITH RECURSIVE $clusterChainSql
           SELECT id AS doc_id, min(lab) AS cluster_id,
                  id = min(lab) AS is_canonical
           FROM reach GROUP BY id ORDER BY doc_id"""
@@ -563,6 +569,103 @@ object LlmQueries {
           .orderBy("doc_id")
       },
       clustersOracleSql),
+
+    // Q251: leakage-safe train/test split — the split the dedup family
+    // exists to enable: hashing DOCUMENTS onto sides strands near-
+    // duplicate pairs across the train/test boundary (the test set
+    // then "contains" training data — the classic eval leak), so the
+    // split key must be the near-dup CLUSTER label: every member of a
+    // component lands on one side by construction. The gate runs both
+    // methods over the same corpus and emits the crossing-pair count
+    // as the audit: structurally 0 for the cluster split, nonzero for
+    // the naive one. Machinery is entirely reused — LSH verified
+    // pairs, min-label CC — plus one md5 side hash; the only new work
+    // at 100 TB is a label equi-join.
+    "q251_cluster_safe_split" -> QuerySpec(
+      (s, dir) => {
+        val corpus = nearDupCorpus(s, dir)
+        val verified = lshPipeline(s, dir, saltFactor = 1)
+          .select("id1", "id2").transform(graft.CacheScope.persist)
+        val labels = corpus.join(
+          Dedup.connectedComponents(verified, "id1", "id2")
+            .select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        def side(c: org.apache.spark.sql.Column) =
+          hash60(concat(lit("split|"), c.cast("string"))) % 10 < 8
+        val sided = labels.select(col("doc_id"),
+          side(col("doc_id")).as("naive_train"),
+          side(coalesce(col("cluster_id"), col("doc_id")))
+            .as("cluster_train"))
+          .transform(graft.CacheScope.persist)
+        val cx = verified
+          .join(sided.select(col("doc_id").as("id1"),
+            col("naive_train").as("n1"), col("cluster_train").as("c1")),
+            "id1")
+          .join(sided.select(col("doc_id").as("id2"),
+            col("naive_train").as("n2"), col("cluster_train").as("c2")),
+            "id2")
+          .agg(
+            sum(when(col("n1") =!= col("n2"), 1L).otherwise(0L))
+              .cast("long").as("naive_crossing"),
+            sum(when(col("c1") =!= col("c2"), 1L).otherwise(0L))
+              .cast("long").as("cluster_crossing"))
+        val counts = sided.agg(
+          sum(when(col("naive_train"), 1L).otherwise(0L)).cast("long")
+            .as("naive_train_n"),
+          sum(when(!col("naive_train"), 1L).otherwise(0L)).cast("long")
+            .as("naive_test_n"),
+          sum(when(col("cluster_train"), 1L).otherwise(0L)).cast("long")
+            .as("cluster_train_n"),
+          sum(when(!col("cluster_train"), 1L).otherwise(0L)).cast("long")
+            .as("cluster_test_n"))
+        counts.crossJoin(cx).selectExpr(
+          """stack(2,
+               'cluster', cluster_train_n, cluster_test_n, cluster_crossing,
+               'naive', naive_train_n, naive_test_n, naive_crossing)
+             AS (method, n_train, n_test, crossing_pairs)""")
+          .orderBy("method")
+      },
+      s"""WITH RECURSIVE $clusterChainSql,
+          lab AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+          labels AS (SELECT c.doc_id,
+                            coalesce(l.cluster, c.doc_id) AS cluster
+                     FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id),
+          sided AS (SELECT doc_id,
+                      ${OracleIdioms.hex60(
+                        "'split|' || CAST(doc_id AS VARCHAR)")} % 10 < 8
+                        AS naive_train,
+                      ${OracleIdioms.hex60(
+                        "'split|' || CAST(cluster AS VARCHAR)")} % 10 < 8
+                        AS cluster_train
+                    FROM labels),
+          cx AS (SELECT
+                   CAST(sum(CASE WHEN a.naive_train <> b.naive_train
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS naive_crossing,
+                   CAST(sum(CASE WHEN a.cluster_train <> b.cluster_train
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS cluster_crossing
+                 FROM vp
+                 JOIN sided a ON a.doc_id = vp.id1
+                 JOIN sided b ON b.doc_id = vp.id2),
+          counts AS (SELECT
+                   CAST(sum(CASE WHEN naive_train THEN 1 ELSE 0 END)
+                        AS BIGINT) AS naive_train_n,
+                   CAST(sum(CASE WHEN naive_train THEN 0 ELSE 1 END)
+                        AS BIGINT) AS naive_test_n,
+                   CAST(sum(CASE WHEN cluster_train THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cluster_train_n,
+                   CAST(sum(CASE WHEN cluster_train THEN 0 ELSE 1 END)
+                        AS BIGINT) AS cluster_test_n
+                 FROM sided)
+          SELECT 'cluster' AS method, cluster_train_n AS n_train,
+                 cluster_test_n AS n_test,
+                 cluster_crossing AS crossing_pairs
+          FROM counts, cx
+          UNION ALL
+          SELECT 'naive', naive_train_n, naive_test_n, naive_crossing
+          FROM counts, cx
+          ORDER BY method"""),
 
     // Same clusters, O(log n) rounds: large-star/small-star contraction
     // (Kiveris et al.) over the SAME verified pairs, pinned to the SAME
