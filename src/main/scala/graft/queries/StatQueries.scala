@@ -1649,6 +1649,44 @@ object StatQueries {
                 'b' || CAST(id % 16 AS VARCHAR) AS label,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(id * id) AS BIGINT) AS sum_sq
+         FROM r GROUP BY 1, 2 ORDER BY bucket""",
+    ),
+
+    // Q252: the STREAMING leg of the q213 connector — the same
+    // interval revealed through the MicroBatchStream with admission
+    // control (maxRowsPerBatch=8192 ⇒ an AvailableNow drain steps
+    // through 7 offset-logged batches, not one table-sized batch),
+    // checkpointed to a parquet sink, then rolled up per bucket. The
+    // oracle is the plain range generator: any duplicated or dropped
+    // micro-batch window changes n/sum_sq. Exactly-once across
+    // RESTARTS is pinned by RangeSourceSpec (checkpoint reuse with an
+    // extended interval); this gate pins the end-to-end drain
+    // equivalence batch-vs-stream.
+    "q252_dsv2_stream" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q252")
+        val out = tmpPath.resolve("out").toString
+        val cp = tmpPath.resolve("cp").toString
+        val q = s.readStream.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 50000).option("slices", 4)
+          .option("maxRowsPerBatch", 8192)
+          .load()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(out)
+          .groupBy("bucket", "label")
+          .agg(count(lit(1)).as("n"), sum("id_sq").as("sum_sq"))
+          .orderBy("bucket")
+      },
+      """WITH r AS (SELECT unnest(generate_series(0, 49999)) AS id)
+         SELECT id % 16 AS bucket,
+                'b' || CAST(id % 16 AS VARCHAR) AS label,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id * id) AS BIGINT) AS sum_sq
          FROM r GROUP BY 1, 2 ORDER BY bucket""")
   )
 }

@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -69,16 +70,20 @@ final class RangeTable(start: Long, end: Long, slices: Int)
   override def name(): String = s"graft_range[$start,$end)"
   override def schema(): StructType = RangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeScanBuilder(start, end, slices)
+    new RangeScanBuilder(start, end, slices,
+      Option(options.get("maxRowsPerBatch")).map(_.toLong))
 }
 
 /** Planning-time state: id-range filters tighten [lo, hi); column
   * pruning keeps the projected subset in declared order.
   */
-final class RangeScanBuilder(start: Long, end: Long, slices: Int)
+final class RangeScanBuilder(
+    start: Long, end: Long, slices: Int,
+    maxRowsPerBatch: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -122,23 +127,19 @@ final class RangeScanBuilder(start: Long, end: Long, slices: Int)
       RangeSource.schema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new RangeScan(lo, hi, slices, required)
+  override def build(): Scan =
+    new RangeScan(lo, hi, slices, required, maxRowsPerBatch)
 }
 
-final class RangeScan(lo: Long, hi: Long, slices: Int, out: StructType)
-    extends Scan with Batch {
-
-  override def readSchema(): StructType = out
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"GraftRangeScan[$lo,$hi) cols=${out.fieldNames.mkString(",")}"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    // Overflow-safe sizing: `hi - lo` is checked (a [min_long, max_long)
-    // request must fail loudly, not wrap), and slice bounds use
-    // base/remainder arithmetic — the naive `lo + n*i/k` overflows
-    // `n*i` for intervals near 2^60 with several slices, silently
-    // planning negative bounds and dropping rows (round-9 advice).
+object RangeScan {
+  /** Overflow-safe interval slicing: `hi - lo` is checked (a
+    * [min_long, max_long) request must fail loudly, not wrap), and
+    * slice bounds use base/remainder arithmetic — the naive
+    * `lo + n*i/k` overflows `n*i` for intervals near 2^60 with
+    * several slices, silently planning negative bounds and dropping
+    * rows (round-9 advice). Shared by the batch and streaming planers.
+    */
+  def slicePartitions(lo: Long, hi: Long, slices: Int): Array[InputPartition] = {
     val n =
       if (hi <= lo) 0L
       else try Math.subtractExact(hi, lo) catch {
@@ -156,9 +157,95 @@ final class RangeScan(lo: Long, hi: Long, slices: Int, out: StructType)
       RangeInputPartition(bound(i), bound(i + 1)): InputPartition
     }.toArray
   }
+}
+
+final class RangeScan(
+    lo: Long, hi: Long, slices: Int, out: StructType,
+    maxRowsPerBatch: Option[Long] = None)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeScan[$lo,$hi) cols=${out.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeScan.slicePartitions(lo, hi, slices)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(out.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new RangeMicroBatchStream(lo, hi, slices, out, maxRowsPerBatch)
+}
+
+/** Streaming offset = the next unrevealed id (ids below it are
+  * committed to the offset log).
+  */
+final case class RangeStreamOffset(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
+
+/** The streaming leg of the connector — the same interval revealed
+  * incrementally as an exactly-once micro-batch source. Offsets are
+  * plain ids: batch N covers [startOffset, endOffset) and replanning
+  * any committed window yields the identical rows, which is the whole
+  * exactly-once contract (the offset log + deterministic reveal make
+  * restarts idempotent; the RangeStreamSpec restarts from a
+  * checkpoint and extends the interval to pin it).
+  *
+  * Admission control: `maxRowsPerBatch` caps each batch, so a
+  * Trigger.AvailableNow drain steps through ceil(n/rate) planned
+  * batches instead of one table-sized batch — the knob that bounds
+  * per-batch state at 100 TB. Filter pushdown and column pruning flow
+  * in from the ScanBuilder exactly as in the batch leg: a selective
+  * streaming query scans the narrowed interval only.
+  */
+final class RangeMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, out: StructType,
+    maxRowsPerBatch: Option[Long])
+    extends MicroBatchStream
+    with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = RangeStreamOffset(lo)
+
+  override def deserializeOffset(json: String): Offset =
+    RangeStreamOffset(json.toLong)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is used")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[RangeStreamOffset].next
+    limit match {
+      case r: ReadMaxRows =>
+        RangeStreamOffset(math.min(hi, s + r.maxRows()))
+      case _ => RangeStreamOffset(hi)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = RangeStreamOffset(hi)
+
+  // the interval is static, so there is nothing to snapshot: the
+  // AvailableNow wrapper reads reportLatestOffset() as its end goal
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] =
+    RangeScan.slicePartitions(
+      start.asInstanceOf[RangeStreamOffset].next,
+      end.asInstanceOf[RangeStreamOffset].next,
+      slices)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeReaderFactory(out.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class RangeInputPartition(from: Long, until: Long)
