@@ -202,5 +202,86 @@ object FitEvalQueries {
          SELECT fold, n, n_correct, CAST(acc_ppm AS BIGINT) AS acc_ppm,
                 var_ppm2
          FROM (SELECT * FROM m UNION ALL SELECT * FROM sm)
-         ORDER BY fold"""))
+         ORDER BY fold"""),
+
+    // Q255: Theil–Sen robust trend — the median of all pairwise
+    // slopes of monthly revenue per region, the outlier-immune
+    // replacement for OLS slope (one wild month can't move it).
+    // Integer contract: slopes are quantized
+    // sign(Δy)·(|Δy|·10⁶ div Δm) — the abs/sign split matters because
+    // integer division of NEGATIVES diverges between engines (Spark
+    // `div` truncates toward zero, DuckDB `//` floors); on
+    // non-negative operands they agree, so the sign is applied after.
+    // The lower median is rank (n+1) div 2 of (slope, m1, m2) — a
+    // total order. Scale shape: the time axis is bounded (80 months),
+    // so the per-group pair matrix is a few thousand rows per region
+    // — quadratic in MONTHS, never in source rows, which all collapse
+    // into the monthly rollup first.
+    "q255_theil_sen" -> QuerySpec(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .createOrReplaceTempView("g_q255_joined")
+        s.sql("""
+          WITH pts AS (SELECT r_name,
+                              (year(o_orderdate) - 1995) * 12
+                                + month(o_orderdate) - 1 AS m,
+                              CAST(sum(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) AS BIGINT) AS y
+                       FROM g_q255_joined GROUP BY 1, 2),
+          pr AS (SELECT a.r_name, a.m AS m1, b.m AS m2,
+                        CASE WHEN b.y >= a.y THEN 1 ELSE -1 END
+                          * CAST((CAST(abs(b.y - a.y) AS DECIMAL(38,0))
+                                  * 1000000) div (b.m - a.m) AS BIGINT)
+                          AS slope_ppm
+                 FROM pts a JOIN pts b
+                   ON a.r_name = b.r_name AND a.m < b.m),
+          rk AS (SELECT r_name, slope_ppm,
+                        row_number() OVER (PARTITION BY r_name
+                          ORDER BY slope_ppm, m1, m2) AS rn,
+                        count(*) OVER (PARTITION BY r_name) AS cnt
+                 FROM pr)
+          SELECT r_name,
+                 CAST((SELECT count(*) FROM pts p
+                       WHERE p.r_name = rk.r_name) AS BIGINT) AS n_months,
+                 CAST(cnt AS BIGINT) AS n_pairs,
+                 CAST(slope_ppm AS BIGINT) AS median_slope_ppm
+          FROM rk WHERE rn = (cnt + 1) div 2
+          ORDER BY r_name""")
+      },
+      """WITH j AS (SELECT r.r_name, o.o_orderdate, o.o_totalprice
+                    FROM orders o
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey),
+         pts AS (SELECT r_name,
+                        (year(o_orderdate) - 1995) * 12
+                          + month(o_orderdate) - 1 AS m,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS y
+                 FROM j GROUP BY 1, 2),
+         pr AS (SELECT a.r_name, a.m AS m1, b.m AS m2,
+                       CASE WHEN b.y >= a.y THEN 1 ELSE -1 END
+                         * CAST((CAST(abs(b.y - a.y) AS HUGEINT)
+                                 * 1000000) // (b.m - a.m) AS BIGINT)
+                         AS slope_ppm
+                FROM pts a JOIN pts b
+                  ON a.r_name = b.r_name AND a.m < b.m),
+         rk AS (SELECT r_name, slope_ppm,
+                       row_number() OVER (PARTITION BY r_name
+                         ORDER BY slope_ppm, m1, m2) AS rn,
+                       count(*) OVER (PARTITION BY r_name) AS cnt
+                FROM pr),
+         nm AS (SELECT r_name, CAST(count(*) AS BIGINT) AS n_months
+                FROM pts GROUP BY 1)
+         SELECT rk.r_name, nm.n_months, CAST(cnt AS BIGINT) AS n_pairs,
+                CAST(slope_ppm AS BIGINT) AS median_slope_ppm
+         FROM rk JOIN nm ON nm.r_name = rk.r_name
+         WHERE rn = (cnt + 1) // 2
+         ORDER BY rk.r_name"""))
 }

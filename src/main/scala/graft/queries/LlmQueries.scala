@@ -667,6 +667,172 @@ object LlmQueries {
           FROM counts, cx
           ORDER BY method"""),
 
+    // Q253: MinHash as an ESTIMATOR, measured — at 100 TB the verify
+    // stage often runs on signature agreement alone (16 ints per doc)
+    // instead of re-reading shingle sets; this gate emits, per LSH
+    // candidate pair, the signature-agreement estimate m/16 next to
+    // the exact Jaccard, both in exact ppm, so the estimator's error
+    // at the decision threshold is a number, not a hope (the
+    // q238→q239 measure-then-trust discipline applied to dedup). The
+    // estimate costs one 16-slot zip per candidate — no shingle
+    // relation is touched; the exact column is the small-scale
+    // exhibit.
+    "q253_minhash_estimate" -> QuerySpec(
+      (s, dir) => {
+        val sets = nearDupCorpus(s, dir)
+          .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+          .transform(graft.CacheScope.persist)
+        val sigs = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .select(col("doc_id"), col("sig"), col("sh"),
+            size(col("sh")).cast("long").as("n"))
+          .transform(graft.CacheScope.persist)
+        val banded = sets
+          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
+          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+          .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
+          .select(col("doc_id"), col("bands"))
+        val pairs = Dedup.candidatePairs(banded, "doc_id", "bands")
+        pairs
+          .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1"),
+            col("sh").as("sh1"), col("n").as("n1")), "id1")
+          .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2"),
+            col("sh").as("sh2"), col("n").as("n2")), "id2")
+          .withColumn("m",
+            size(filter(zip_with(col("s1"), col("s2"), (a, b) =>
+              when(a === b, lit(1)).otherwise(lit(0))), x => x === 1))
+              .cast("long"))
+          .withColumn("i",
+            size(array_intersect(col("sh1"), col("sh2"))).cast("long"))
+          .withColumn("est_ppm", expr(s"(m * 1000000) div $MinhashN"))
+          .withColumn("jac_ppm",
+            expr("CASE WHEN n1 + n2 - i = 0 THEN 0 " +
+              "ELSE (i * 1000000) div (n1 + n2 - i) END"))
+          .filter(col("est_ppm") >= 250000 || col("jac_ppm") >= 250000)
+          .select("id1", "id2", "m", "est_ppm", "jac_ppm")
+          .orderBy("id1", "id2")
+      },
+      s"""WITH $corpusSql, $shingleSql, $coefSql,
+          mh AS (SELECT doc_id, i, min((a*h + b) % 2147483647) AS v
+                 FROM shh CROSS JOIN coef GROUP BY 1, 2),
+          sig AS (SELECT doc_id, list(v ORDER BY i) AS sg FROM mh GROUP BY 1),
+          bandt AS (SELECT doc_id,
+                      CAST(b AS VARCHAR)||'_'||sg[b*$RowsPerBand+1]||'_'||sg[b*$RowsPerBand+2]||'_'||
+                        sg[b*$RowsPerBand+3]||'_'||sg[b*$RowsPerBand+4] AS band
+                    FROM sig, generate_series(0, ${Bands - 1}) g(b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                   FROM bandt a JOIN bandt b USING (band)
+                   WHERE a.doc_id < b.doc_id),
+          agree AS (SELECT c.id1, c.id2,
+                           CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END)
+                                AS BIGINT) AS m
+                    FROM cand c
+                    JOIN mh a ON a.doc_id = c.id1
+                    JOIN mh b ON b.doc_id = c.id2 AND b.i = a.i
+                    GROUP BY 1, 2),
+          inter AS (SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS i
+                    FROM cand p
+                    JOIN sh s1 ON s1.doc_id = p.id1
+                    JOIN sh s2 ON s2.doc_id = p.id2 AND s1.s = s2.s
+                    GROUP BY 1, 2),
+          fin AS (SELECT g.id1, g.id2, g.m,
+                         (g.m * 1000000) // $MinhashN AS est_ppm,
+                         coalesce(i.i, 0) AS i,
+                         n1.n AS n1, n2.n AS n2
+                  FROM agree g
+                  LEFT JOIN inter i ON i.id1 = g.id1 AND i.id2 = g.id2
+                  JOIN sizes n1 ON n1.doc_id = g.id1
+                  JOIN sizes n2 ON n2.doc_id = g.id2)
+          SELECT id1, id2, m, CAST(est_ppm AS BIGINT) AS est_ppm,
+                 CAST(CASE WHEN n1 + n2 - i = 0 THEN 0
+                           ELSE (i * 1000000) // (n1 + n2 - i) END
+                      AS BIGINT) AS jac_ppm
+          FROM fin
+          WHERE est_ppm >= 250000
+             OR CASE WHEN n1 + n2 - i = 0 THEN 0
+                     ELSE (i * 1000000) // (n1 + n2 - i) END >= 250000
+          ORDER BY id1, id2"""),
+
+    // Q254: drop-reason audit — the provenance ledger a curation run
+    // publishes next to its output: every document is assigned the
+    // FIRST rule that rejects it (rules are an ordered policy:
+    // too-short → language allow-list → repetition → exact-dup) or
+    // 'kept'. Rule predicates are per-row expressions except the dup
+    // rule (one hash-group min per text digest); the report is one
+    // rollup. Integer forms throughout — the repetition test is the
+    // cross-multiplied (total−distinct)·100 > total, never a float
+    // ratio. At 100 TB this table is how you answer "why did
+    // yesterday's corpus shrink 3%?" without re-running anything.
+    "q254_drop_reasons" -> QuerySpec(
+      (s, dir) => {
+        val base = nearDupCorpus(s, dir)
+          .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            Seq("doc_id"), "left")
+          .withColumn("lang", coalesce(col("lang"), lit("copy")))
+          .withColumn("ws", filter(split(col("text"), " "), x => x =!= ""))
+          .withColumn("n_tok", size(col("ws")).cast("long"))
+          .withColumn("total",
+            when(size(col("ws")) >= 3, size(col("ws")) - 2).otherwise(lit(1))
+              .cast("long"))
+          .withColumn("nd",
+            size(Dedup.shingles(col("text"))).cast("long"))
+          .withColumn("keeper",
+            min(col("doc_id")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        val reasons = base.withColumn("reason",
+          when(col("n_tok") < 20, "r1_too_short")
+            .when(!col("lang").isin("en", "de", "fr", "copy"),
+              "r2_lang_filtered")
+            .when((col("total") - col("nd")) * 100 > col("total"),
+              "r3_repetitive")
+            .when(col("doc_id") =!= col("keeper"), "r4_duplicate")
+            .otherwise("kept"))
+        val total = reasons.agg(count(lit(1)).cast("long").as("n_total"))
+        reasons.groupBy("reason")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .crossJoin(broadcast(total))
+          .select(col("reason"), col("n_docs"),
+            expr("(n_docs * 1000000) div n_total").as("share_ppm"))
+          .orderBy("reason")
+      },
+      s"""WITH $corpusSql,
+          langed AS (SELECT c.doc_id, c.text,
+                            coalesce(d.lang, 'copy') AS lang
+                     FROM corpus c
+                     LEFT JOIN documents d ON d.doc_id = c.doc_id),
+          w AS (SELECT doc_id, text, lang,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS ws
+                FROM langed),
+          g AS (SELECT doc_id, text, lang,
+                       CAST(len(ws) AS BIGINT) AS n_tok,
+                       CAST(CASE WHEN len(ws) >= 3 THEN len(ws) - 2
+                                 ELSE 1 END AS BIGINT) AS total,
+                       CAST(len(list_distinct(CASE WHEN len(ws) >= 3
+                         THEN list_transform(generate_series(1, len(ws)-2),
+                                j -> ws[j]||' '||ws[j+1]||' '||ws[j+2])
+                         ELSE [array_to_string(ws, ' ')] END)) AS BIGINT)
+                         AS nd
+                FROM w),
+          keep AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text))
+                            AS keeper,
+                          lang, n_tok, total, nd
+                   FROM g),
+          r AS (SELECT CASE
+                  WHEN n_tok < 20 THEN 'r1_too_short'
+                  WHEN lang NOT IN ('en', 'de', 'fr', 'copy')
+                    THEN 'r2_lang_filtered'
+                  WHEN (total - nd) * 100 > total THEN 'r3_repetitive'
+                  WHEN doc_id <> keeper THEN 'r4_duplicate'
+                  ELSE 'kept' END AS reason
+                FROM keep),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM r)
+          SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST((count(*) * 1000000) // n_total AS BIGINT)
+                   AS share_ppm
+          FROM r, t GROUP BY reason, n_total ORDER BY reason"""),
+
     // Same clusters, O(log n) rounds: large-star/small-star contraction
     // (Kiveris et al.) over the SAME verified pairs, pinned to the SAME
     // recursive-CTE oracle as q36 — an algorithm swap gated
