@@ -33,14 +33,31 @@ object RangeJoin {
       intervals: DataFrame,
       loCol: String,
       hiCol: String,
-      binWidth: Long): DataFrame = {
+      binWidth: Long): DataFrame =
+    binnedIntervalJoinKeyed(points, ptCol, intervals, loCol, hiCol,
+      binWidth, keys = Nil)
+
+  /** The keyed form: containment AND equality on `keys` (columns
+    * present on both sides — e.g. per-user attribution windows). The
+    * shuffle key becomes (keys…, bin), so a hot entity spreads across
+    * its time bins instead of concentrating in one reducer — strictly
+    * better skew behavior than keys-only equi-joins get.
+    */
+  def binnedIntervalJoinKeyed(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long,
+      keys: Seq[String]): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val binned = intervals.withColumn("__bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))
     val pts = points.withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
-    pts.join(binned, Seq("__bin"))
+    pts.join(binned, "__bin" +: keys)
       .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__bin")
   }

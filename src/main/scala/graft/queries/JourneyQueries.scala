@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{CacheScope, Tables}
-import graft.analytics.{AsOfJoinNative, BottomKSample}
+import graft.analytics.{AsOfJoinNative, BottomKSample, Proration, RangeJoin}
 
 /** Round-10 session-3 journey/sampling operators: marketing-style
   * last-touch attribution composed on the native as-of join (q246)
@@ -121,5 +122,88 @@ object JourneyQueries {
          SELECT est.q_pct AS q_pct, est.est_cents, ex.exact_cents,
                 CAST(256 AS BIGINT) AS k, n.n_rows
          FROM est JOIN ex ON est.q_pct = ex.q_pct CROSS JOIN n
-         ORDER BY q_pct"""))
+         ORDER BY q_pct"""),
+
+    // Q256: LINEAR multi-touch attribution — q246's harder sibling:
+    // every click/view in the 7-day window shares the purchase value
+    // EQUALLY, so the match is a per-user interval-containment join
+    // (the keyed binned range join: bin+user equi-join, never a
+    // nested loop over users×time) and the split is
+    // [[Proration.largestRemainder]] — penny-exact integer
+    // allocation whose per-purchase sum equals the purchase cents by
+    // construction, leftover pennies to the latest touches. The gate
+    // emits per-channel touchpoint counts and attributed cents plus
+    // the unattributed remainder; conservation means the value_cents
+    // column sums to total purchase cents exactly.
+    "q256_linear_attribution" -> QuerySpec(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        val purchases = CacheScope.persist(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("event_id").as("pid"),
+              col("ts_us").as("p_ts"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+            .withColumn("lo", col("p_ts") - lit(604800000000L))
+            .withColumn("hi", col("p_ts")))
+        val touches = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id").as("tid"),
+            col("ts_us").as("t_ts"), col("event_type").as("channel"))
+        val matched = CacheScope.persist(
+          RangeJoin.binnedIntervalJoinKeyed(
+            touches, "t_ts", purchases, "lo", "hi",
+            binWidth = 86400000000L, keys = Seq("user_id"))
+            .withColumn("rk", row_number().over(
+              Window.partitionBy("pid")
+                .orderBy(desc("t_ts"), desc("tid")))))
+        val alloc = Proration.largestRemainder(
+          matched, grp = col("pid"), amount = col("cents"),
+          weight = lit(1L), tie = col("rk"))
+        val byChannel = alloc
+          .join(matched.select(col("pid").as("g"), col("rk").as("t"),
+            col("channel")), Seq("g", "t"))
+          .groupBy("channel")
+          .agg(count(lit(1)).cast("long").as("n_touchpoints"),
+            sum("alloc").cast("long").as("value_cents"))
+        val unattributed = purchases
+          .join(matched.select("pid").distinct(), Seq("pid"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_touchpoints"),
+            coalesce(sum("cents"), lit(0L)).cast("long").as("value_cents"))
+          .select(lit("unattributed").as("channel"),
+            col("n_touchpoints"), col("value_cents"))
+        byChannel.unionByName(unattributed).orderBy("channel")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                           event_type,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         p AS (SELECT user_id, event_id AS pid, ts_us AS p_ts, cents
+               FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT user_id, event_id AS tid, ts_us AS t_ts,
+                      event_type AS channel
+               FROM e WHERE event_type IN ('click', 'view')),
+         m AS (SELECT p.pid, p.cents, t.tid, t.t_ts, t.channel,
+                      row_number() OVER (PARTITION BY p.pid
+                        ORDER BY t.t_ts DESC, t.tid DESC) AS rk,
+                      count(*) OVER (PARTITION BY p.pid) AS n
+               FROM p JOIN t ON t.user_id = p.user_id
+                 AND t.t_ts >= p.p_ts - 604800000000
+                 AND t.t_ts <= p.p_ts),
+         alloc AS (SELECT channel, pid,
+                          cents // n
+                            + CASE WHEN rk <= cents % n THEN 1 ELSE 0 END
+                            AS alloc
+                   FROM m),
+         ch AS (SELECT channel,
+                       CAST(count(*) AS BIGINT) AS n_touchpoints,
+                       CAST(sum(alloc) AS BIGINT) AS value_cents
+                FROM alloc GROUP BY 1),
+         un AS (SELECT 'unattributed' AS channel,
+                       CAST(count(*) AS BIGINT) AS n_touchpoints,
+                       CAST(coalesce(sum(cents), 0) AS BIGINT)
+                         AS value_cents
+                FROM p WHERE pid NOT IN (SELECT DISTINCT pid FROM m))
+         SELECT * FROM ch UNION ALL SELECT * FROM un
+         ORDER BY channel"""))
 }
