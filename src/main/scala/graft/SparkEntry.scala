@@ -42,7 +42,8 @@ object SparkEntry {
       SketchQueries.specs ++ StatQueries.specs ++ PortabilityQueries.specs ++
       AllocationQueries.specs ++ TokenizerQueries.specs ++ EvalQueries.specs ++
       CorpusOpsQueries.specs ++ ProfileQueries.specs ++ RetrievalQueries.specs ++
-      SignalQueries.specs ++ JourneyQueries.specs ++ FitEvalQueries.specs
+      SignalQueries.specs ++ JourneyQueries.specs ++ FitEvalQueries.specs ++
+      SegmentationQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }
