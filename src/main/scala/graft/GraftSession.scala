@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins over KeyGroupedPartitioning-reporting
+      // V2 scans (RangeSource partitionByBucket; q269). Also set inside
+      // the q269 gate itself so a driver-built session can't drop it.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String): SparkSession = {

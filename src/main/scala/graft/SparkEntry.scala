@@ -43,7 +43,8 @@ object SparkEntry {
       AllocationQueries.specs ++ TokenizerQueries.specs ++ EvalQueries.specs ++
       CorpusOpsQueries.specs ++ ProfileQueries.specs ++ RetrievalQueries.specs ++
       SignalQueries.specs ++ JourneyQueries.specs ++ FitEvalQueries.specs ++
-      SegmentationQueries.specs
+      SegmentationQueries.specs ++ ConnectorQueries.specs ++
+      AffinityQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 session-4 connector-pushdown surface: the DataSource V2
+  * range connector's aggregate pushdown (q260) and ORDER-BY-id TopN
+  * pushdown (q261). Together with q213 (filter + pruning) and q252
+  * (streaming leg) they pin the full V2 pushdown contract an
+  * Iceberg/Delta/JDBC source lives by.
+  */
+object ConnectorQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q260: aggregate PUSHDOWN through the V2 connector
+    // (`SupportsPushDownAggregates`): the grouped count/sum/min/max
+    // over `id` is evaluated inside the source in CLOSED FORM — each
+    // slice emits at most 16 residue-class partial rows (an arithmetic
+    // progression per group: O(1) math, zero row materialization) and
+    // Spark re-aggregates the partials. At 100 TB the scan moves
+    // kilobytes upward instead of the interval. RangeSourceSpec
+    // asserts the plan shape (partial schema at the scan, pushdown
+    // composes with the id-range filter) and bit-equality against an
+    // unpushed generator; this gate pins the values against the
+    // external oracle.
+    "q260_dsv2_agg_pushdown" -> QuerySpec(
+      (s, dir) => {
+        s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 100000).option("slices", 7)
+          .load()
+          .filter(col("id") >= 25000 && col("id") < 90000)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("id").as("sum_id"),
+            min("id").as("min_id"), max("id").as("max_id"))
+          .orderBy("bucket")
+      },
+      """WITH r AS (SELECT unnest(generate_series(25000, 89999)) AS id)
+         SELECT id % 16 AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id) AS BIGINT) AS sum_id,
+                CAST(min(id) AS BIGINT) AS min_id,
+                CAST(max(id) AS BIGINT) AS max_id
+         FROM r GROUP BY 1 ORDER BY bucket"""),
+
+    // Q261: ORDER BY id LIMIT k pushes as TopN
+    // (`SupportsPushDownTopN`): ids ascend within a partition, so the
+    // source truncates the interval itself and plans ONE partition —
+    // the k-row answer without generating (or sorting) the interval.
+    // The same builder declines descending orders and falls back to
+    // Spark's TakeOrdered (RangeSourceSpec pins both paths); the gate
+    // also pins a pushed plain LIMIT via the deterministic aggregate
+    // over its 12-row result.
+    "q261_dsv2_topn_pushdown" -> QuerySpec(
+      (s, dir) => {
+        val src = s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 10000000).option("slices", 8)
+          .load()
+        val topn = src.filter(col("id") > 1234)
+          .select(col("id"), col("id_sq"), col("label"))
+          .orderBy("id").limit(7)
+        val limited = src.limit(12)
+          .agg(count(lit(1)).as("id_sq"), min(col("id")).as("id"))
+          .withColumn("label", lit("limit12"))
+          .select(col("id"), col("id_sq"), col("label"))
+        topn.unionByName(limited).orderBy("id", "label")
+      },
+      """WITH t AS (SELECT unnest(generate_series(1235, 1241)) AS id),
+           l AS (SELECT unnest(generate_series(0, 11)) AS id)
+         SELECT id, id * id AS id_sq,
+                'b' || CAST(id % 16 AS VARCHAR) AS label
+         FROM t
+         UNION ALL
+         SELECT CAST(min(id) AS BIGINT) AS id,
+                CAST(count(*) AS BIGINT) AS id_sq,
+                'limit12' AS label
+         FROM l
+         ORDER BY id, label"""),
+
+    // Q268: RUNTIME filtering (`SupportsRuntimeFiltering`) — the DPP
+    // contract for V2 sources: the scan declares `id` runtime-
+    // filterable, Spark materializes the (selective, broadcast) dim
+    // side first and hands the scan the join keys' IN-set at EXECUTION
+    // time, and the scan narrows to the keys' envelope before planning
+    // partitions — a 2M-id interval collapses to the ≤1000-id band the
+    // keys live in. Envelope pruning is a sound superset (the join
+    // still filters row-level), which is exactly how partition-grained
+    // DPP composes with exact join semantics on Iceberg/Delta.
+    // RangeSourceSpec asserts the executed scan planned the narrowed
+    // band; this gate pins the values.
+    "q268_dsv2_runtime_filter" -> QuerySpec(
+      (s, dir) => {
+        val big = s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 2000000).option("slices", 8)
+          .load()
+        val dim = graft.Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(pmod(col("o_orderkey"), lit(1000L)).as("id"))
+          .distinct()
+        big.join(broadcast(dim), "id")
+          .agg(count(lit(1)).as("n"), sum("id_sq").as("sum_sq"),
+            min("id").as("min_id"), max("id").as("max_id"))
+      },
+      """WITH keys AS (SELECT DISTINCT o_orderkey % 1000 AS id
+                       FROM orders WHERE o_orderpriority = '1-URGENT'),
+           r AS (SELECT unnest(generate_series(0, 1999999)) AS id)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id * id) AS BIGINT) AS sum_sq,
+                CAST(min(id) AS BIGINT) AS min_id,
+                CAST(max(id) AS BIGINT) AS max_id
+         FROM r JOIN keys USING (id)"""),
+
+    // Q269: STORAGE-PARTITIONED JOIN (`SupportsReportPartitioning` +
+    // `HasPartitionKey`): both scans report
+    // KeyGroupedPartitioning(identity(bucket), 16) and plan one
+    // partition per residue class, so the per-bucket aggregates AND
+    // the join between them run with ZERO exchanges
+    // (RangeSourceSpec asserts countShuffles == 0) — the layout
+    // provides the clustering, exactly how Iceberg/Delta SPJ removes
+    // the dominant shuffle from fact-fact joins at 100 TB. sum(id_sq)
+    // is deliberately outside the agg-pushdown surface so the raw
+    // key-grouped scan (not a partial-agg scan) is what the planner
+    // sees.
+    "q269_dsv2_storage_partitioned_join" -> QuerySpec(
+      (s, dir) => {
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        def bucketed(start: Long, end: Long) =
+          s.read.format("graft.sources.RangeSource")
+            .option("start", start).option("end", end)
+            .option("partitionByBucket", "true")
+            .load()
+        val a = bucketed(0, 40000).groupBy("bucket")
+          .agg(sum("id_sq").as("sq1"), count(lit(1)).as("n1"))
+        val b = bucketed(10000, 90000).groupBy("bucket")
+          .agg(sum("id_sq").as("sq2"), count(lit(1)).as("n2"))
+        a.join(b, "bucket")
+          .select(col("bucket"), col("sq1"), col("n1").cast("long").as("n1"),
+            col("sq2"), col("n2").cast("long").as("n2"))
+          .orderBy("bucket")
+      },
+      """WITH r1 AS (SELECT unnest(generate_series(0, 39999)) AS id),
+           r2 AS (SELECT unnest(generate_series(10000, 89999)) AS id),
+           a AS (SELECT id % 16 AS bucket,
+                        CAST(sum(id * id) AS BIGINT) AS sq1,
+                        CAST(count(*) AS BIGINT) AS n1
+                 FROM r1 GROUP BY 1),
+           b AS (SELECT id % 16 AS bucket,
+                        CAST(sum(id * id) AS BIGINT) AS sq2,
+                        CAST(count(*) AS BIGINT) AS n2
+                 FROM r2 GROUP BY 1)
+         SELECT a.bucket AS bucket, sq1, n1, sq2, n2
+         FROM a JOIN b USING (bucket) ORDER BY bucket"""),
+
+    // Q270: statistics-driven broadcast (`SupportsReportStatistics`):
+    // the scan reports exact post-pushdown row counts, so Catalyst's
+    // JoinSelection broadcasts the 50-id side WITHOUT a hint
+    // (RangeSourceSpec asserts BroadcastHashJoin appears unhinted).
+    // At 100 TB this is the difference between "the engineer
+    // remembered broadcast()" and "the planner knew" — connector
+    // stats make the right plan the default one.
+    "q270_dsv2_stats_broadcast" -> QuerySpec(
+      (s, dir) => {
+        val big = s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 3000000).option("slices", 8)
+          .load()
+        val small = s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 3000000).option("slices", 2)
+          .load()
+          .filter(col("id") >= 1000 && col("id") < 1050)
+          .select(col("id"), col("label").as("small_label"))
+        big.join(small, "id")
+          .groupBy("small_label")
+          .agg(count(lit(1)).as("n"), sum("id_sq").as("sum_sq"))
+          .orderBy("small_label")
+      },
+      """WITH r AS (SELECT unnest(generate_series(1000, 1049)) AS id)
+         SELECT 'b' || CAST(id % 16 AS VARCHAR) AS small_label,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id * id) AS BIGINT) AS sum_sq
+         FROM r GROUP BY 1 ORDER BY small_label""")
+  )
+}

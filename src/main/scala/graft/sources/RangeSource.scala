@@ -3,8 +3,9 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, SortDirection, SortOrder => VSortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -75,23 +76,58 @@ final class RangeTable(start: Long, end: Long, slices: Int)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RangeScanBuilder(start, end, slices,
-      Option(options.get("maxRowsPerBatch")).map(_.toLong))
+      Option(options.get("maxRowsPerBatch")).map(_.toLong),
+      options.getBoolean("partitionByBucket", false))
+}
+
+/** One aggregate the connector evaluates at the source. The partial
+  * column type follows Spark's partial-pushdown re-aggregation
+  * contract (`V2ScanRelationPushDown.rewriteAggregate`): COUNT partials
+  * are summed, SUM partials summed, MIN/MAX partials min/max'd — all
+  * BIGINT here because every accepted input column is BIGINT.
+  */
+sealed trait PushedRangeAgg { def name: String }
+object PushedRangeAgg {
+  case object CountStarAgg extends PushedRangeAgg { val name = "count_star" }
+  case object CountIdAgg extends PushedRangeAgg { val name = "count_id" }
+  case object MinIdAgg extends PushedRangeAgg { val name = "min_id" }
+  case object MaxIdAgg extends PushedRangeAgg { val name = "max_id" }
+  case object SumIdAgg extends PushedRangeAgg { val name = "sum_id" }
+}
+
+/** Aggregation accepted at planning time: group-by residue classes
+  * (`bucket` and/or `label` — both are `id mod 16`), aggregates over
+  * `id` only. Everything else is declined and Spark plans its own
+  * aggregate over the raw scan.
+  */
+final case class PushedRangeAggregation(
+    groupCols: Seq[String], aggs: Seq[PushedRangeAgg]) {
+  def readSchema: StructType = StructType(
+    groupCols.map(c => RangeSource.schema(c)) ++
+      aggs.map(a => StructField(a.name, LongType, nullable = false)))
 }
 
 /** Planning-time state: id-range filters tighten [lo, hi); column
-  * pruning keeps the projected subset in declared order.
+  * pruning keeps the projected subset in declared order; group-by
+  * aggregates over the residue classes fold to closed forms per slice;
+  * LIMIT / ORDER BY id LIMIT truncate the interval itself.
   */
 final class RangeScanBuilder(
     start: Long, end: Long, slices: Int,
-    maxRowsPerBatch: Option[Long] = None)
+    maxRowsPerBatch: Option[Long] = None,
+    partitionByBucket: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var lo = start
   private var hi = end
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = RangeSource.schema
+  private var pushedAgg: Option[PushedRangeAggregation] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (taken, residual) = filters.partition {
@@ -127,8 +163,79 @@ final class RangeScanBuilder(
       RangeSource.schema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan =
-    new RangeScan(lo, hi, slices, required, maxRowsPerBatch)
+  private def fieldName(e: VExpression): Option[String] = e match {
+    case ref: NamedReference if ref.fieldNames.length == 1 =>
+      Some(ref.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Partial pushdown only (`supportCompletePushDown` stays false): a
+    * multi-slice scan cannot produce GLOBAL aggregates without its own
+    * shuffle, so each slice emits closed-form per-residue partials and
+    * Spark's planner re-aggregates them — 16 rows per slice upward
+    * instead of the interval, which is the entire point at 100 TB.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groups = aggregation.groupByExpressions.toSeq.map(fieldName)
+    if (groups.exists(_.isEmpty)) return false
+    val groupCols = groups.flatten
+    if (!groupCols.forall(c => c == "bucket" || c == "label")) return false
+    if (groupCols.distinct.length != groupCols.length) return false
+    val aggs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PushedRangeAgg.CountStarAgg)
+      case c: Count if !c.isDistinct && fieldName(c.column).contains("id") =>
+        Some(PushedRangeAgg.CountIdAgg)
+      case m: Min if fieldName(m.column).contains("id") =>
+        Some(PushedRangeAgg.MinIdAgg)
+      case m: Max if fieldName(m.column).contains("id") =>
+        Some(PushedRangeAgg.MaxIdAgg)
+      case s: Sum if !s.isDistinct && fieldName(s.column).contains("id") =>
+        Some(PushedRangeAgg.SumIdAgg)
+      case _ => None
+    }
+    if (aggs.exists(_.isEmpty) || aggs.isEmpty) return false
+    pushedAgg = Some(PushedRangeAggregation(groupCols, aggs.flatten))
+    true
+  }
+
+  /** LIMIT over the generated interval is interval truncation: any
+    * `limit` ids of [lo, hi) satisfy an unordered LIMIT, so the scan
+    * keeps the first `limit` and plans ONE ascending partition (fully
+    * pushed — no post-scan limit remains necessary).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    // span > limit → truncate (a negative hi-lo means the span
+    // overflowed Long, which is certainly > limit)
+    if (hi > lo && { val span = hi - lo; span < 0 || span > limit })
+      hi = lo + limit
+    limitOnePartition = true
+    true
+  }
+
+  /** ORDER BY id ASC LIMIT n: the reader already emits ids ascending
+    * within a partition, so TopN = truncation + a single partition.
+    * Any other ordering is declined.
+    */
+  override def pushTopN(orders: Array[VSortOrder], limit: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    val ascOnId = orders.length == 1 &&
+      fieldName(orders(0).expression).contains("id") &&
+      orders(0).direction == SortDirection.ASCENDING
+    if (!ascOnId) return false
+    pushLimit(limit)
+  }
+
+  override def isPartiallyPushed: Boolean = false
+
+  private var limitOnePartition = false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new RangeAggScan(lo, hi, slices, agg)
+    case None => new RangeScan(
+      lo, hi, if (limitOnePartition) 1 else slices, required, maxRowsPerBatch,
+      partitionByBucket && !limitOnePartition)
+  }
 }
 
 object RangeScan {
@@ -161,16 +268,96 @@ object RangeScan {
 
 final class RangeScan(
     lo: Long, hi: Long, slices: Int, out: StructType,
-    maxRowsPerBatch: Option[Long] = None)
-    extends Scan with Batch {
+    maxRowsPerBatch: Option[Long] = None,
+    partitionByBucket: Boolean = false)
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  // Runtime (DPP-style) narrowing: Spark hands the scan an IN-set of
+  // join keys at EXECUTION time (after the build side materialized);
+  // the scan shrinks to the keys' envelope [min, max] before planning
+  // partitions. A superset is sound — the join still filters row-level
+  // — so envelope pruning keeps the contract simple while skipping the
+  // bulk of a sparse interval.
+  private var effLo = lo
+  private var effHi = hi
+
+  // only advertise columns that survived pruning: Spark resolves these
+  // against the scan's OUTPUT, and an unresolvable reference fails the
+  // whole query at planning time (seen with a bucket-only projection)
+  override def filterAttributes(): Array[NamedReference] =
+    if (out.fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("id", vs) if vs.nonEmpty =>
+      val longs = vs.collect { case n: Number => n.longValue }
+      if (longs.length == vs.length) {
+        effLo = math.max(effLo, longs.min)
+        effHi = math.min(effHi, longs.max + 1)
+      }
+    case EqualTo("id", v: Number) =>
+      effLo = math.max(effLo, v.longValue)
+      effHi = math.min(effHi, v.longValue + 1)
+    case _ => () // unknown runtime filter: keep the planning-time bounds
+  }
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftRangeScan[$lo,$hi) cols=${out.fieldNames.mkString(",")}"
+    s"GraftRangeScan[$lo,$hi) cols=${out.fieldNames.mkString(",")}" +
+      (if (partitionByBucket) " keyGroupedBy=bucket" else "")
+
+  /** Storage-partitioned layout: with `partitionByBucket` the scan
+    * plans one partition PER RESIDUE CLASS and reports
+    * `KeyGroupedPartitioning(identity(bucket), 16)` — two such scans
+    * joined on `bucket` are already co-located, so Spark (with
+    * `spark.sql.sources.v2.bucketing.enabled`) plans the join with NO
+    * shuffle on either side. This is the connector-side contract
+    * behind Iceberg/Delta storage-partitioned joins: the layout, not
+    * an exchange, provides the clustering. All 16 partitions are
+    * always planned (possibly empty) so numPartitions matches the
+    * declared partitioning on any interval.
+    */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (partitionByBucket)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("bucket")), 16)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        slices)
+
+  /** Exact statistics (the interval is arithmetic): row count and a
+    * 40-byte-per-row size estimate. This is what lets Catalyst pick a
+    * broadcast join for a narrowed scan WITHOUT a hint — pushdown
+    * shrinks [lo, hi), the stats shrink with it, and JoinSelection
+    * sees a sub-threshold build side.
+    */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val n: Long =
+        if (effHi <= effLo) 0L
+        else try Math.subtractExact(effHi, effLo) catch {
+          case _: ArithmeticException => Long.MaxValue
+        }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          if (n > Long.MaxValue / 40) Long.MaxValue else n * 40)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
 
   override def planInputPartitions(): Array[InputPartition] =
-    RangeScan.slicePartitions(lo, hi, slices)
+    if (partitionByBucket)
+      (0 until 16).map { r =>
+        RangeResiduePartition(effLo, effHi, r): InputPartition
+      }.toArray
+    else RangeScan.slicePartitions(effLo, effHi, slices)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(out.fieldNames)
@@ -248,15 +435,143 @@ final class RangeMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-final case class RangeInputPartition(from: Long, until: Long)
-    extends InputPartition
+/** The aggregate-pushdown scan: each slice emits one row per residue
+  * class (or one row total when ungrouped) computed in CLOSED FORM —
+  * the ids of residue r inside [from, until) are an arithmetic
+  * progression, so count/min/max/sum are O(1) per group. A pushed
+  * aggregate over a 2^40-id interval moves 16 rows per slice, not the
+  * interval. SUM folds through BigInt and wraps to Long two's
+  * complement — the same wrap Spark's non-ANSI BIGINT sum applies, so
+  * re-aggregated partials equal the unfused sum bit-for-bit.
+  */
+final class RangeAggScan(
+    lo: Long, hi: Long, slices: Int, agg: PushedRangeAggregation)
+    extends Scan with Batch {
 
-final class RangeReaderFactory(cols: Array[String])
+  override def readSchema(): StructType = agg.readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeScan[$lo,$hi) pushedAgg=[groupBy=${agg.groupCols.mkString(",")} " +
+      s"aggs=${agg.aggs.map(_.name).mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    RangeScan.slicePartitions(lo, hi, slices)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RangeAggReaderFactory(agg)
+}
+
+final class RangeAggReaderFactory(agg: PushedRangeAggregation)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RangeInputPartition]
-    new RangePartitionReader(rp.from, rp.until, cols)
+    new RangeAggPartitionReader(rp.from, rp.until, agg)
   }
+}
+
+final class RangeAggPartitionReader(
+    from: Long, until: Long, agg: PushedRangeAggregation)
+    extends PartitionReader[InternalRow] {
+
+  private def sumAp(first: Long, last: Long, cnt: Long): Long =
+    // count * (first + last) / 2 exactly, then wrap like Spark's sum
+    ((BigInt(first) + BigInt(last)) * BigInt(cnt) / 2).longValue
+
+  private def row(groupVals: Seq[Any], first: Long, last: Long): InternalRow = {
+    val cnt = (last - first) / 16 + 1
+    val aggVals: Seq[Any] = agg.aggs.map {
+      case PushedRangeAgg.CountStarAgg | PushedRangeAgg.CountIdAgg => cnt
+      case PushedRangeAgg.MinIdAgg => first
+      case PushedRangeAgg.MaxIdAgg => last
+      case PushedRangeAgg.SumIdAgg => sumAp(first, last, cnt)
+    }
+    new GenericInternalRow((groupVals ++ aggVals).toArray[Any])
+  }
+
+  private val rows: Iterator[InternalRow] =
+    if (from >= until) Iterator.empty
+    else if (agg.groupCols.isEmpty) {
+      val cnt = until - from
+      val aggVals: Seq[Any] = agg.aggs.map {
+        case PushedRangeAgg.CountStarAgg | PushedRangeAgg.CountIdAgg => cnt
+        case PushedRangeAgg.MinIdAgg => from
+        case PushedRangeAgg.MaxIdAgg => until - 1
+        case PushedRangeAgg.SumIdAgg =>
+          ((BigInt(from) + BigInt(until - 1)) * BigInt(cnt) / 2).longValue
+      }
+      Iterator.single(new GenericInternalRow(aggVals.toArray[Any]))
+    } else (0 until 16).iterator.flatMap { r =>
+      val first = from + java.lang.Math.floorMod(r - from, 16L)
+      if (first >= until) Iterator.empty
+      else {
+        val last = first + ((until - 1 - first) / 16) * 16
+        val groupVals: Seq[Any] = agg.groupCols.map {
+          case "bucket" => r.toLong
+          case "label" => UTF8String.fromString("b" + r)
+          case other =>
+            throw new IllegalStateException(s"unexpected group col $other")
+        }
+        Iterator.single(row(groupVals, first, last))
+      }
+    }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean = { val h = rows.hasNext; if (h) cur = rows.next(); h }
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}
+
+final case class RangeInputPartition(from: Long, until: Long)
+    extends InputPartition
+
+/** One residue class `id ≡ r (mod 16)` of [from, until) — the
+  * key-grouped layout partition. `partitionKey` is what Spark matches
+  * across the two join sides when planning a storage-partitioned join.
+  */
+final case class RangeResiduePartition(from: Long, until: Long, r: Int)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](r.toLong))
+}
+
+final class RangeReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case rp: RangeInputPartition =>
+        new RangePartitionReader(rp.from, rp.until, cols)
+      case rp: RangeResiduePartition =>
+        new RangeResidueReader(rp.from, rp.until, rp.r, cols)
+      case other => throw new IllegalArgumentException(
+        s"unknown partition type $other")
+    }
+}
+
+/** Emits the ids of one residue class in ascending order (step 16). */
+final class RangeResidueReader(
+    from: Long, until: Long, r: Int, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val first =
+    if (from >= until) until
+    else from + java.lang.Math.floorMod(r.toLong - from, 16L)
+  private var cur = first - 16
+
+  override def next(): Boolean = { cur += 16; cur < until }
+
+  override def get(): InternalRow = {
+    val vals = cols.map {
+      case "id" => cur: java.lang.Long
+      case "id_sq" => (cur * cur): java.lang.Long
+      case "bucket" => r.toLong: java.lang.Long
+      case "label" => UTF8String.fromString("b" + r)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Materializes ONLY the pruned columns, in the pruned order. */

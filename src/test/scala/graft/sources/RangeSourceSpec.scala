@@ -15,10 +15,23 @@ class RangeSourceSpec extends AnyFunSuite with SparkTestSession {
 
   private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
     df.collect()
-    df.queryExecution.executedPlan
-      .collectFirst { case b: BatchScanExec => b }
+    findScan(df.queryExecution.executedPlan)
       .getOrElse(fail("no BatchScanExec in plan"))
   }
+
+  // descend through the AdaptiveSparkPlanExec leaf AQE wraps shuffling
+  // plans in, and through materialized QueryStageExec leaves (both are
+  // LeafExecNodes whose real subtree hangs off a field, not children)
+  private def findScan(
+      p: org.apache.spark.sql.execution.SparkPlan): Option[BatchScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findScan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findScan(q.plan)
+      case b: BatchScanExec => Some(b)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
 
   test("full read generates the exact interval") {
     val df = read(0, 1000)
@@ -69,6 +82,162 @@ class RangeSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(scan.scan.description().contains("[777,778)"),
       s"equality not collapsed: ${scan.scan.description()}")
     assert(df.select("id_sq").head().getLong(0) === 777L * 777L)
+  }
+
+  test("group-by aggregate pushes down: scan emits per-slice residue partials") {
+    val df = read(0, 100000, slices = 7)
+      .filter(col("id") >= 25000 && col("id") < 90000)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"),
+        min("id").as("min_id"), max("id").as("max_id"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("pushedAgg="),
+      s"aggregate not pushed: ${scan.scan.description()}")
+    assert(scan.scan.description().contains("[25000,90000)"),
+      "filter pushdown must compose with aggregate pushdown")
+    // the scan's output is the PARTIAL schema, 16 rows per slice max
+    assert(scan.scan.readSchema().fieldNames.toSeq ===
+      Seq("bucket", "count_star", "sum_id", "min_id", "max_id"))
+    // bit-equal to the same query over an unpushed generator
+    val expect = spark.range(25000, 90000)
+      .withColumn("bucket", pmod(col("id"), lit(16L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("id").as("sum_id"),
+        min("id").as("min_id"), max("id").as("max_id"))
+    assert(df.orderBy("bucket").collect().toSeq ===
+      expect.orderBy("bucket").collect().toSeq)
+  }
+
+  test("ungrouped aggregate pushes down to one partial row per slice") {
+    val df = read(5, 4321, slices = 5)
+      .agg(count(lit(1)).as("n"), sum("id").as("s"),
+        min("id").as("mn"), max("id").as("mx"))
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("pushedAgg=[groupBy= "),
+      s"ungrouped aggregate not pushed: ${scan.scan.description()}")
+    val r = df.head()
+    assert(r.getLong(0) === 4316L)
+    assert(r.getLong(1) === (5L until 4321L).sum)
+    assert(r.getLong(2) === 5L && r.getLong(3) === 4320L)
+  }
+
+  test("unsupported aggregates decline pushdown and still compute correctly") {
+    // avg over id_sq is not in the accepted surface → raw scan + Spark agg
+    val df = read(0, 1000).groupBy("bucket").agg(avg("id_sq").as("a"))
+    val scan = scanOf(df)
+    assert(!scan.scan.description().contains("pushedAgg="),
+      s"must decline: ${scan.scan.description()}")
+    val expect = spark.range(1000)
+      .withColumn("bucket", pmod(col("id"), lit(16L)))
+      .withColumn("id_sq", col("id") * col("id"))
+      .groupBy("bucket").agg(avg("id_sq").as("a"))
+    assert(df.orderBy("bucket").collect().toSeq ===
+      expect.orderBy("bucket").collect().toSeq)
+    // count(DISTINCT id) likewise declines (partials can't re-aggregate)
+    val dd = read(0, 1000).groupBy("bucket").agg(countDistinct("id").as("d"))
+    assert(!scanOf(dd).scan.description().contains("pushedAgg="))
+  }
+
+  test("limit pushdown truncates the interval to one ascending partition") {
+    val df = read(0, 1000000).limit(7)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("[0,7)"),
+      s"limit not pushed into bounds: ${scan.scan.description()}")
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 7L).toSeq)
+  }
+
+  test("ORDER BY id LIMIT pushes as TopN; descending declines") {
+    val df = read(0, 1000000).filter(col("id") > 1234)
+      .select("id", "id_sq").orderBy("id").limit(5)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("[1235,1240)"),
+      s"topN not pushed into bounds: ${scan.scan.description()}")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      (1235L until 1240L).map(i => (i, i * i)).toSeq)
+    val desc = read(0, 5000).orderBy(col("id").desc).limit(3)
+    assert(scanOf(desc).scan.description().contains("[0,5000)"),
+      "descending TopN must decline truncation")
+    assert(desc.collect().map(_.getLong(0)).toSeq === Seq(4999L, 4998L, 4997L))
+  }
+
+  test("runtime filtering narrows the executed scan to the join keys' envelope") {
+    val big = read(0, 2000000, slices = 8)
+    val dim = spark.range(100, 140).select(col("id"))
+      .filter(col("id") % 2 === 0)
+    val joined = big.join(broadcast(dim), "id")
+    val rows = joined.select("id", "id_sq").collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq ===
+      (100L until 140L by 2).toSeq)
+    // the executed scan must have planned the narrowed band, not the
+    // 2M-id interval: [100, 139) envelope → ≤ 38 generated rows
+    val scan = findScan(joined.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.toString.toLowerCase.contains("runtimefilters"),
+      s"no runtime filter attached:\n${scan.toString}")
+    val produced = scan.metrics("numOutputRows").value
+    assert(produced <= 39L,
+      s"runtime filter did not narrow the scan: produced=$produced rows")
+  }
+
+  private def countShuffles(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      countShuffles(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      countShuffles(q.plan)
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      1 + s.children.map(countShuffles).sum
+    case other => other.children.map(countShuffles).sum
+  }
+
+  test("key-grouped layout: grouped aggregate and join run with ZERO shuffles") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      def bucketed(start: Long, end: Long) =
+        spark.read.format("graft.sources.RangeSource")
+          .option("start", start).option("end", end)
+          .option("partitionByBucket", "true")
+          .load()
+      // sum(id_sq) is OUTSIDE the agg-pushdown surface, so the raw
+      // key-grouped scan survives and the aggregate itself needs no
+      // exchange (the layout already clusters by bucket)
+      val a = bucketed(0, 40000).groupBy("bucket")
+        .agg(sum("id_sq").as("sq1"), count(lit(1)).as("n1"))
+      val b = bucketed(10000, 90000).groupBy("bucket")
+        .agg(sum("id_sq").as("sq2"), count(lit(1)).as("n2"))
+      val joined = a.join(b, "bucket")
+      val rows = joined.collect()
+      assert(rows.length === 16)
+      assert(countShuffles(joined.queryExecution.executedPlan) === 0,
+        s"storage-partitioned plan must not shuffle:\n" +
+          joined.queryExecution.executedPlan)
+      // values equal the unpartitioned computation
+      def expect(start: Long, end: Long) = spark.range(start, end)
+        .groupBy(pmod(col("id"), lit(16L)).as("bucket"))
+        .agg(sum(col("id") * col("id")).as("sq"), count(lit(1)).as("n"))
+      val ea = expect(0, 40000).withColumnRenamed("sq", "sq1")
+        .withColumnRenamed("n", "n1")
+      val eb = expect(10000, 90000).withColumnRenamed("sq", "sq2")
+        .withColumnRenamed("n", "n2")
+      assert(joined.orderBy("bucket").collect().toSeq ===
+        ea.join(eb, "bucket").orderBy("bucket").collect().toSeq)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
+  test("reported statistics let Catalyst auto-broadcast a narrowed scan") {
+    // no broadcast() hint anywhere: JoinSelection must read the scan's
+    // reported numRows/sizeInBytes (shrunk by filter pushdown) and pick
+    // a broadcast join for the 50-row side
+    val big = read(0, 3000000, slices = 8)
+    val small = read(0, 3000000, slices = 2)
+      .filter(col("id") >= 1000 && col("id") < 1050)
+      .select(col("id"), col("label").as("small_label"))
+    val joined = big.join(small, "id")
+    assert(joined.count() === 50L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats did not drive a broadcast join:\n$plan")
   }
 
   private def readStreamRange(end: Long, maxRows: Long) =
