@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-10 session-4 assurance surface: same-pass observed metrics
+  * (q272), bitemporal point-in-time reads (q273), deterministic
+  * bootstrap confidence intervals (q274), and homoglyph-skeleton
+  * entity resolution (q275).
+  */
+object AssuranceQueries {
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q272: observed metrics (`Dataset.observe` → CollectMetrics) —
+    // pipeline telemetry that rides the SAME scan as the result: the
+    // row count and quantity total are collected by a plan node while
+    // the per-flag aggregate computes, not by a second pass over the
+    // table. At 100 TB "how many rows did this job actually read" must
+    // not cost another 100 TB scan; this is Spark's native answer. The
+    // gate emits the main aggregate and the observed row side by side;
+    // the oracle recomputes both (equality proves the observation saw
+    // every row exactly once).
+    "q272_observed_metrics" -> QuerySpec(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val obs = org.apache.spark.sql.Observation()
+        val observed = li.observe(obs,
+          count(lit(1)).as("n"),
+          sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("qty"))
+        val main = observed.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("qty"))
+          .select(col("l_returnflag").as("key"),
+            col("n").cast("long").as("n"), col("qty").cast("long").as("qty"))
+          .transform(graft.CacheScope.persist)
+        main.count() // the ONE action; the observation fills on its scan
+        val m = obs.get
+        val metrics = s.createDataFrame(Seq(
+            ("_observed", m("n").asInstanceOf[Long], m("qty").asInstanceOf[Long])))
+          .toDF("key", "n", "qty")
+        main.unionByName(metrics).orderBy("key")
+      },
+      """SELECT l_returnflag AS key, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem GROUP BY 1
+         UNION ALL
+         SELECT '_observed' AS key, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem
+         ORDER BY key"""),
+
+    // Q273: bitemporal point-in-time read — the two-clock query a
+    // reproducible training snapshot needs: "the state VALID on V, as
+    // the system KNEW it at transaction time T". Versions carry
+    // valid_from (the order date) and tx_from (when the record landed:
+    // order date + a deterministic 0-2 day ingestion lag); the read
+    // picks, per customer, the latest valid version among those
+    // already known at T — one customer-partitioned window, then a
+    // dimension-sized rollup. Late-arriving versions (tx_from > T) are
+    // invisible even though their valid_from qualifies, which is
+    // exactly the audit property transaction time exists to provide.
+    "q273_bitemporal_asof" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q273_orders")
+        s.sql("""
+          WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+                            o_totalprice,
+                            to_date(o_orderdate) AS valid_from,
+                            date_add(to_date(o_orderdate),
+                              CAST(o_orderkey % 3 AS INT)) AS tx_from
+                     FROM g_q273_orders),
+          known AS (SELECT *,
+                           row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY valid_from DESC, o_orderkey DESC) AS rk
+                    FROM v
+                    WHERE valid_from <= DATE'1999-06-15'
+                      AND tx_from <= DATE'1999-07-01'),
+          pick AS (SELECT * FROM known WHERE rk = 1)
+          SELECT o_orderstatus AS status,
+                 CAST(count(*) AS BIGINT) AS n_customers,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS sum_cents,
+                 CAST(min(valid_from) AS DATE) AS oldest_valid,
+                 CAST(max(valid_from) AS DATE) AS newest_valid
+          FROM pick GROUP BY 1 ORDER BY status""")
+      },
+      """WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+                           o_totalprice,
+                           o_orderdate::DATE AS valid_from,
+                           o_orderdate::DATE
+                             + CAST(o_orderkey % 3 AS INT) AS tx_from
+                    FROM orders),
+         known AS (SELECT *,
+                          row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY valid_from DESC, o_orderkey DESC) AS rk
+                   FROM v
+                   WHERE valid_from <= DATE '1999-06-15'
+                     AND tx_from <= DATE '1999-07-01'),
+         pick AS (SELECT * FROM known WHERE rk = 1)
+         SELECT o_orderstatus AS status,
+                CAST(count(*) AS BIGINT) AS n_customers,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                CAST(min(valid_from) AS DATE) AS oldest_valid,
+                CAST(max(valid_from) AS DATE) AS newest_valid
+         FROM pick GROUP BY 1 ORDER BY status"""),
+
+    // Q274: deterministic bootstrap CI — resampling-based uncertainty
+    // for a metric the central limit theorem shouldn't be trusted on,
+    // DERANDOMIZED the q185 way: resample b picks month
+    // hash60('bs|'||b||'|'||i) mod 80 for each of 80 slots, so the
+    // whole procedure is a pure function of the data. The corpus
+    // collapses to the 80-month relation FIRST; the 200×80 pick matrix
+    // is generator-sized, the percentile window runs over 200 rows.
+    // Everything integer cents — both engines agree bit-for-bit.
+    "q274_bootstrap_ci" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q274_orders")
+        s.sql(s"""
+          WITH months AS (SELECT (year(o_orderdate) - 1995) * 12
+                                   + month(o_orderdate) - 1 AS m,
+                                 CAST(sum(CAST(round(o_totalprice * 100)
+                                               AS BIGINT)) AS BIGINT) AS y
+                          FROM g_q274_orders GROUP BY 1),
+          picks AS (SELECT b.id AS b, i.id AS i,
+                           pmod(md5_prefix60(concat('bs|',
+                             CAST(b.id AS STRING), '|',
+                             CAST(i.id AS STRING))), 80L) AS pick
+                    FROM range(200) b CROSS JOIN range(80) i),
+          sums AS (SELECT p.b,
+                          CAST(sum(mo.y) AS BIGINT) AS total,
+                          CAST(sum(mo.y) div 80 AS BIGINT) AS mean_cents
+                   FROM picks p JOIN months mo ON mo.m = p.pick
+                   GROUP BY p.b),
+          ranked AS (SELECT mean_cents,
+                            row_number() OVER (ORDER BY mean_cents, b) AS rn
+                     FROM sums),
+          obs AS (SELECT CAST(sum(y) div 80 AS BIGINT) AS observed_mean
+                  FROM months)
+          SELECT (SELECT mean_cents FROM ranked WHERE rn = 10) AS ci_lo,
+                 (SELECT observed_mean FROM obs) AS observed_mean,
+                 (SELECT mean_cents FROM ranked WHERE rn = 190) AS ci_hi,
+                 CAST(200 AS BIGINT) AS n_resamples""")
+      },
+      s"""WITH months AS (SELECT (year(o_orderdate) - 1995) * 12
+                                  + month(o_orderdate) - 1 AS m,
+                                CAST(sum(CAST(round(o_totalprice * 100)
+                                              AS BIGINT)) AS BIGINT) AS y
+                         FROM orders GROUP BY 1),
+         picks AS (SELECT b.b, i.i,
+                          ${OracleIdioms.hex60(
+                            "'bs|' || CAST(b.b AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)")}
+                            % 80 AS pick
+                   FROM generate_series(0, 199) b(b),
+                        generate_series(0, 79) i(i)),
+         sums AS (SELECT p.b,
+                         CAST(sum(mo.y) AS BIGINT) AS total,
+                         CAST(sum(mo.y) // 80 AS BIGINT) AS mean_cents
+                  FROM picks p JOIN months mo ON mo.m = p.pick
+                  GROUP BY p.b),
+         ranked AS (SELECT mean_cents,
+                           row_number() OVER (ORDER BY mean_cents, b) AS rn
+                    FROM sums),
+         obs AS (SELECT CAST(sum(y) // 80 AS BIGINT) AS observed_mean
+                 FROM months)
+         SELECT (SELECT mean_cents FROM ranked WHERE rn = 10) AS ci_lo,
+                (SELECT observed_mean FROM obs) AS observed_mean,
+                (SELECT mean_cents FROM ranked WHERE rn = 190) AS ci_hi,
+                CAST(200 AS BIGINT) AS n_resamples"""),
+
+    // Q275: homoglyph-skeleton entity resolution — the adversarial
+    // near-duplicate exact dedup can't see: names where Cyrillic
+    // а/е/о replaced Latin a/e/o render identically but hash
+    // differently. The fixture plants variants deterministically
+    // (every 7th customer), the detector folds every confusable to its
+    // ASCII skeleton (one map-only translate) and groups — raw
+    // equality finds 0 of the planted pairs, the skeleton join finds
+    // all of them. Same shape as spam/phishing normalization at corpus
+    // scale: normalize-then-hash, never pairwise-compare.
+    "q275_homoglyph_resolution" -> QuerySpec(
+      (s, dir) => {
+        val clean = Tables.customer(s, dir)
+          .select(col("c_custkey").as("k"), col("c_name").as("name"))
+        val dirty = clean.filter(pmod(col("k"), lit(7L)) === 0)
+          .select((col("k") + 10000000L).as("k"),
+            translate(col("name"), "aeo", "аео").as("name"))
+        val all = clean.unionByName(dirty)
+          .withColumn("skeleton",
+            translate(col("name"), "аео", "aeo"))
+          .transform(graft.CacheScope.persist)
+        val pairs = all.select(col("k").as("k1"), col("name").as("n1"),
+            col("skeleton"))
+          .join(all.select(col("k").as("k2"), col("name").as("n2"),
+            col("skeleton")), "skeleton")
+          .filter(col("k1") < col("k2") && col("n1") =!= col("n2"))
+          .select(col("k1"), col("k2"))
+          .transform(graft.CacheScope.persist)
+        val top = pairs.orderBy("k1", "k2").limit(20)
+          .select(lit("pair").as("part"), col("k1"), col("k2"))
+        val summary = pairs.agg(count(lit(1)).as("n"))
+          .select(lit("summary").as("part"), lit(-1L).as("k1"),
+            col("n").cast("long").as("k2"))
+        top.unionByName(summary).orderBy("part", "k1", "k2")
+      },
+      """WITH clean AS (SELECT c_custkey AS k, c_name AS name FROM customer),
+         dirty AS (SELECT k + 10000000 AS k,
+                          translate(name, 'aeo',
+                            chr(1072) || chr(1077) || chr(1086)) AS name
+                   FROM clean WHERE k % 7 = 0),
+         allr AS (SELECT k, name,
+                         translate(name,
+                           chr(1072) || chr(1077) || chr(1086), 'aeo')
+                           AS skeleton
+                  FROM (SELECT * FROM clean UNION ALL SELECT * FROM dirty)),
+         pairs AS (SELECT a.k AS k1, b.k AS k2
+                   FROM allr a JOIN allr b ON a.skeleton = b.skeleton
+                   WHERE a.k < b.k AND a.name <> b.name),
+         top AS (SELECT 'pair' AS part, k1, k2 FROM pairs
+                 ORDER BY k1, k2 LIMIT 20),
+         summary AS (SELECT 'summary' AS part, CAST(-1 AS BIGINT) AS k1,
+                            CAST(count(*) AS BIGINT) AS k2
+                     FROM pairs)
+         SELECT * FROM top UNION ALL SELECT * FROM summary
+         ORDER BY part, k1, k2""")
+  )
+}

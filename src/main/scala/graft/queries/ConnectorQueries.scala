@@ -176,6 +176,32 @@ object ConnectorQueries {
          SELECT 'b' || CAST(id % 16 AS VARCHAR) AS small_label,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(id * id) AS BIGINT) AS sum_sq
-         FROM r GROUP BY 1 ORDER BY small_label""")
+         FROM r GROUP BY 1 ORDER BY small_label"""),
+
+    // Q271: VECTORIZED read path (`supportColumnarReads` +
+    // ColumnarBatch): the scan delivers 4096-row on-heap column
+    // vectors into whole-stage codegen's ColumnarToRow boundary — the
+    // execution shape of the vectorized parquet reader, demonstrated
+    // from a custom connector. Same relation as the row path
+    // (RangeSourceSpec pins row/columnar equality and the batch-edge
+    // arithmetic); this gate pins the values through a filtered
+    // aggregate. Per-batch amortization is the 100 TB point: one
+    // virtual call per 4096 rows, not per row.
+    "q271_dsv2_columnar_scan" -> QuerySpec(
+      (s, dir) => {
+        s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 500000).option("slices", 8)
+          .option("columnarBatch", "true")
+          .load()
+          .filter(col("id") >= 12345 && col("id") < 480000)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), sum("id_sq").as("sum_sq"))
+          .orderBy("bucket")
+      },
+      """WITH r AS (SELECT unnest(generate_series(12345, 479999)) AS id)
+         SELECT id % 16 AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id * id) AS BIGINT) AS sum_sq
+         FROM r GROUP BY 1 ORDER BY bucket""")
   )
 }

@@ -77,7 +77,8 @@ final class RangeTable(start: Long, end: Long, slices: Int)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RangeScanBuilder(start, end, slices,
       Option(options.get("maxRowsPerBatch")).map(_.toLong),
-      options.getBoolean("partitionByBucket", false))
+      options.getBoolean("partitionByBucket", false),
+      options.getBoolean("columnarBatch", false))
 }
 
 /** One aggregate the connector evaluates at the source. The partial
@@ -115,7 +116,8 @@ final case class PushedRangeAggregation(
 final class RangeScanBuilder(
     start: Long, end: Long, slices: Int,
     maxRowsPerBatch: Option[Long] = None,
-    partitionByBucket: Boolean = false)
+    partitionByBucket: Boolean = false,
+    columnarBatch: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -234,7 +236,7 @@ final class RangeScanBuilder(
     case Some(agg) => new RangeAggScan(lo, hi, slices, agg)
     case None => new RangeScan(
       lo, hi, if (limitOnePartition) 1 else slices, required, maxRowsPerBatch,
-      partitionByBucket && !limitOnePartition)
+      partitionByBucket && !limitOnePartition, columnarBatch)
   }
 }
 
@@ -269,7 +271,8 @@ object RangeScan {
 final class RangeScan(
     lo: Long, hi: Long, slices: Int, out: StructType,
     maxRowsPerBatch: Option[Long] = None,
-    partitionByBucket: Boolean = false)
+    partitionByBucket: Boolean = false,
+    columnarBatch: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -360,7 +363,7 @@ final class RangeScan(
     else RangeScan.slicePartitions(effLo, effHi, slices)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RangeReaderFactory(out.fieldNames)
+    new RangeReaderFactory(out.fieldNames, columnarBatch)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RangeMicroBatchStream(lo, hi, slices, out, maxRowsPerBatch)
@@ -535,7 +538,8 @@ final case class RangeResiduePartition(from: Long, until: Long, r: Int)
     new GenericInternalRow(Array[Any](r.toLong))
 }
 
-final class RangeReaderFactory(cols: Array[String])
+final class RangeReaderFactory(
+    cols: Array[String], columnarBatch: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -546,6 +550,71 @@ final class RangeReaderFactory(cols: Array[String])
       case other => throw new IllegalArgumentException(
         s"unknown partition type $other")
     }
+
+  // Vectorized path (opt-in via .option("columnarBatch", true)): the
+  // scan feeds ColumnarBatches straight into whole-stage codegen's
+  // columnar-to-row boundary, the same execution shape the vectorized
+  // parquet reader uses — per-BATCH virtual calls instead of per-row.
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnarBatch && p.isInstanceOf[RangeInputPartition]
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[
+      org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val rp = p.asInstanceOf[RangeInputPartition]
+    new RangeColumnarReader(rp.from, rp.until, cols)
+  }
+}
+
+/** Fills 4096-row on-heap vectors per `next()` — the connector-side
+  * half of vectorized execution. Values are identical to the row
+  * reader's; only the delivery unit changes.
+  */
+final class RangeColumnarReader(
+    from: Long, until: Long, cols: Array[String])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+
+  private val BatchRows = 4096
+  private val schema = StructType(
+    cols.map(c => RangeSource.schema(RangeSource.schema.fieldIndex(c))))
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, schema)
+  private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+    vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+  private var cur = from
+
+  override def next(): Boolean = {
+    if (cur >= until) return false
+    val n = math.min(BatchRows.toLong, until - cur).toInt
+    vectors.foreach(_.reset())
+    var i = 0
+    while (i < n) {
+      val id = cur + i
+      var c = 0
+      while (c < cols.length) {
+        cols(c) match {
+          case "id" => vectors(c).putLong(i, id)
+          case "id_sq" => vectors(c).putLong(i, id * id)
+          case "bucket" => vectors(c).putLong(i, ((id % 16) + 16) % 16)
+          case "label" =>
+            val b = ("b" + (((id % 16) + 16) % 16)).getBytes("UTF-8")
+            vectors(c).putByteArray(i, b, 0, b.length)
+          case other =>
+            throw new IllegalArgumentException(s"unknown column $other")
+        }
+        c += 1
+      }
+      i += 1
+    }
+    batch.setNumRows(n)
+    cur += n
+    true
+  }
+
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+
+  override def close(): Unit = batch.close()
 }
 
 /** Emits the ids of one residue class in ascending order (step 16). */

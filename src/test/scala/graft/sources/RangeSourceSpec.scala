@@ -240,6 +240,33 @@ class RangeSourceSpec extends AnyFunSuite with SparkTestSession {
       s"stats did not drive a broadcast join:\n$plan")
   }
 
+  test("columnar batches deliver the same relation through ColumnarToRow") {
+    val columnar = spark.read.format("graft.sources.RangeSource")
+      .option("start", 0).option("end", 100000).option("slices", 4)
+      .option("columnarBatch", "true")
+      .load()
+      .filter(col("id") >= 5000 && col("id") < 95000)
+    val agg = columnar.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("id_sq").as("sq"))
+      .orderBy("label")
+    val got = agg.collect().toSeq // execute, then read the FINAL plan
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"vectorized path not planned:\n$plan")
+    val expect = read(0, 100000)
+      .filter(col("id") >= 5000 && col("id") < 95000)
+      .groupBy("label").agg(count(lit(1)).as("n"), sum("id_sq").as("sq"))
+      .orderBy("label")
+    assert(got === expect.collect().toSeq)
+    // batch boundaries respect interval edges: a non-multiple-of-4096
+    // interval ends exactly at until
+    val edge = spark.read.format("graft.sources.RangeSource")
+      .option("start", 10).option("end", 4100).option("slices", 1)
+      .option("columnarBatch", "true").load()
+    assert(edge.count() === 4090L)
+    assert(edge.agg(sum("id")).head().getLong(0) === (10L until 4100L).sum)
+  }
+
   private def readStreamRange(end: Long, maxRows: Long) =
     spark.readStream.format("graft.sources.RangeSource")
       .option("start", 0).option("end", end).option("slices", 3)
