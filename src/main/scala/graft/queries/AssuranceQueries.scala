@@ -223,6 +223,61 @@ object AssuranceQueries {
                             CAST(count(*) AS BIGINT) AS k2
                      FROM pairs)
          SELECT * FROM top UNION ALL SELECT * FROM summary
-         ORDER BY part, k1, k2""")
+         ORDER BY part, k1, k2"""),
+
+    // Q277: join-skew advisor — the measurement that DECIDES the
+    // salting the engine already implements (q104/q57/q129): per join
+    // key, compare its row count to the table mean with
+    // cross-multiplied integers (n·n_keys > 2·total — no float ratio,
+    // no division), and for hot keys emit the salt factor
+    // ceil(n·n_keys / total) that equalizes the partitions. One
+    // key-rollup pass; the advisor output is heavy-hitter-sized. At
+    // 100 TB you run THIS first, then write the salted join with its
+    // numbers instead of a guessed constant.
+    "q277_skew_advisor" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q277_orders")
+        s.sql("""
+          WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                     FROM g_q277_orders GROUP BY 1),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS n_keys
+                  FROM k),
+          hot AS (SELECT o_custkey, n,
+                         CAST((n * n_keys + total - 1) div total AS BIGINT)
+                           AS salt_factor
+                  FROM k CROSS JOIN tot
+                  WHERE n * n_keys > 2 * total),
+          top AS (SELECT 'hot_key' AS part, o_custkey, n, salt_factor
+                  FROM hot ORDER BY n DESC, o_custkey LIMIT 20),
+          summary AS (SELECT 'summary' AS part,
+                             CAST(-1 AS BIGINT) AS o_custkey,
+                             CAST(count(*) AS BIGINT) AS n,
+                             CAST(coalesce(max(salt_factor), 0) AS BIGINT)
+                               AS salt_factor
+                      FROM hot)
+          SELECT * FROM top UNION ALL SELECT * FROM summary
+          ORDER BY part, n DESC, o_custkey""")
+      },
+      """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                    FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                        CAST(count(*) AS BIGINT) AS n_keys
+                 FROM k),
+         hot AS (SELECT o_custkey, n,
+                        CAST((n * n_keys + total - 1) // total AS BIGINT)
+                          AS salt_factor
+                 FROM k CROSS JOIN tot
+                 WHERE n * n_keys > 2 * total),
+         top AS (SELECT 'hot_key' AS part, o_custkey, n, salt_factor
+                 FROM hot ORDER BY n DESC, o_custkey LIMIT 20),
+         summary AS (SELECT 'summary' AS part,
+                            CAST(-1 AS BIGINT) AS o_custkey,
+                            CAST(count(*) AS BIGINT) AS n,
+                            CAST(coalesce(max(salt_factor), 0) AS BIGINT)
+                              AS salt_factor
+                     FROM hot)
+         SELECT * FROM top UNION ALL SELECT * FROM summary
+         ORDER BY part, n DESC, o_custkey""")
   )
 }

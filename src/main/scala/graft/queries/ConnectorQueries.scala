@@ -202,6 +202,52 @@ object ConnectorQueries {
          SELECT id % 16 AS bucket,
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(id * id) AS BIGINT) AS sum_sq
-         FROM r GROUP BY 1 ORDER BY bucket""")
+         FROM r GROUP BY 1 ORDER BY bucket"""),
+
+    // Q276: parquet FOOTER-STATS aggregate pushdown
+    // (spark.sql.parquet.aggregatePushdown): an unfiltered
+    // MIN/MAX/COUNT answers from row-group statistics in the file
+    // footers — zero data pages decoded. At 100 TB this turns "what's
+    // the date range of this table" from a full scan into a
+    // metadata-only read. The conf is set inside the gate (a
+    // driver-built session can't drop it); the spec asserts
+    // PushedAggregation reaches the scan node.
+    "q276_parquet_footer_agg" -> QuerySpec(
+      (s, dir) => {
+        // footer aggregates live on the V2 parquet ScanBuilder, so the
+        // gate flips parquet off the V1 list for ITS OWN eager read
+        // (materialized inside the conf window — plans are lazy and the
+        // driver acts on the returned frame later) and restores both
+        // confs before returning
+        val prevV1 = s.conf.get("spark.sql.sources.useV1SourceList")
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s.conf.set("spark.sql.sources.useV1SourceList",
+          prevV1.split(",").map(_.trim)
+            .filterNot(v => v == "parquet" || v.isEmpty).mkString(","))
+        try {
+          val r = s.read.parquet(s"$dir/lineitem.parquet")
+            .agg(count(lit(1)).as("n"),
+              min("l_orderkey").as("min_key"),
+              max("l_orderkey").as("max_key"),
+              min("l_quantity").as("min_qty"),
+              max("l_quantity").as("max_qty"))
+            .select(col("n"), col("min_key"), col("max_key"),
+              floor(col("min_qty")).cast("long").as("min_qty_l"),
+              floor(col("max_qty")).cast("long").as("max_qty_l"))
+            .head()
+          s.createDataFrame(Seq((r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))))
+            .toDF("n", "min_key", "max_key", "min_qty_l", "max_qty_l")
+        } finally {
+          s.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+          s.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+        }
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(min(l_orderkey) AS BIGINT) AS min_key,
+                CAST(max(l_orderkey) AS BIGINT) AS max_key,
+                CAST(floor(min(l_quantity)) AS BIGINT) AS min_qty_l,
+                CAST(floor(max(l_quantity)) AS BIGINT) AS max_qty_l
+         FROM lineitem""")
   )
 }
