@@ -278,6 +278,180 @@ object AssuranceQueries {
                               AS salt_factor
                      FROM hot)
          SELECT * FROM top UNION ALL SELECT * FROM summary
-         ORDER BY part, n DESC, o_custkey""")
+         ORDER BY part, n DESC, o_custkey"""),
+
+    // Q278: runtime BLOOM-FILTER join pruning — the row-level sibling
+    // of DPP (q268): Spark builds a bloom filter from the SELECTIVE
+    // build side at runtime and injects might_contain() into the probe
+    // side's scan, discarding non-joining rows BEFORE the shuffle. The
+    // gate forces the shuffle-join path (broadcast off) and lowers the
+    // size thresholds that gate injection at toy scale — at 100 TB the
+    // defaults fire on their own. Confs flip only inside the eager
+    // read window; ScaleTechniquesSpec asserts might_contain lands in
+    // the executed plan.
+    "q278_runtime_bloom_join" -> QuerySpec(
+      (s, dir) => {
+        val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        try {
+          val li = Tables.lineitem(s, dir)
+          val o = Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT")
+          val rows = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(count(lit(1)).as("n"),
+              sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("qty"))
+            .select(col("o_orderstatus").as("status"),
+              col("n").cast("long").as("n"), col("qty").cast("long").as("qty"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .toSeq
+          s.createDataFrame(rows).toDF("status", "n", "qty")
+            .orderBy("status")
+        } finally {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+          s.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        }
+      },
+      """SELECT o.o_orderstatus AS status,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY status"""),
+
+    // Q279: SQL-defined scalar function (CREATE FUNCTION … RETURN) —
+    // the catalog surface that lets a team publish ONE governed metric
+    // definition instead of copy-pasted expressions: the cents
+    // conversion lives in the session catalog and every query calls it
+    // by name; Catalyst inlines the body, so it costs nothing at
+    // execution. The oracle inlines the same expression — equality
+    // proves the function body, registration, and call path.
+    "q279_sql_udf" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q279_orders")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_q279_cents(p DOUBLE)
+                 RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)""")
+        s.sql("""
+          SELECT o_orderpriority AS priority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(g_q279_cents(o_totalprice)) AS BIGINT) AS cents,
+                 CAST(max(g_q279_cents(o_totalprice)) AS BIGINT) AS max_cents
+          FROM g_q279_orders GROUP BY 1 ORDER BY priority""")
+      },
+      """SELECT o_orderpriority AS priority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents,
+                CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS max_cents
+         FROM orders GROUP BY 1 ORDER BY priority"""),
+
+    // Q280: parameterized SQL (`spark.sql(text, args)`) — named
+    // placeholders bind as LITERALS in the parsed plan, not string
+    // splices: the date and segment below arrive as typed parameters,
+    // which is both the injection-safe API and the plan-cache-friendly
+    // one (same text, different args → same parsed shape). The oracle
+    // inlines the same constants.
+    "q280_parameterized_sql" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q280_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("g_q280_customer")
+        s.sql(
+          """SELECT c.c_mktsegment AS segment,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+             FROM g_q280_orders o
+             JOIN g_q280_customer c ON c.c_custkey = o.o_custkey
+             WHERE o.o_orderdate >= :cutoff
+               AND c.c_mktsegment <> :excluded
+             GROUP BY 1 ORDER BY segment""",
+          Map("cutoff" -> java.sql.Date.valueOf("1998-01-01"),
+            "excluded" -> "MACHINERY"))
+      },
+      """SELECT c.c_mktsegment AS segment,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE o.o_orderdate >= DATE '1998-01-01'
+           AND c.c_mktsegment <> 'MACHINERY'
+         GROUP BY 1 ORDER BY segment"""),
+
+    // Q281: rule-based mode imputation — the repair step between
+    // validation (q245 says "nationkey is null for 7% of rows") and
+    // training: fill each synthetic-missing nationkey with its
+    // segment's MODAL nation (ties → smallest key, so the rule is a
+    // function, not a coin flip), and publish the audit of what was
+    // imputed with what. Mode is a dimension-sized rollup + one
+    // per-segment top-1; the fill is a broadcast join back onto the
+    // rows.
+    "q281_mode_imputation" -> QuerySpec(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_q281_customer")
+        s.sql("""
+          WITH base AS (SELECT c_custkey, c_mktsegment,
+                               CASE WHEN c_custkey % 13 = 0 THEN NULL
+                                    ELSE CAST(c_nationkey AS BIGINT) END
+                                 AS nationkey
+                        FROM g_q281_customer),
+          modes AS (SELECT c_mktsegment, nationkey AS mode_nation,
+                           cnt,
+                           row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY cnt DESC, nationkey) AS rk
+                    FROM (SELECT c_mktsegment, nationkey,
+                                 CAST(count(*) AS BIGINT) AS cnt
+                          FROM base WHERE nationkey IS NOT NULL
+                          GROUP BY 1, 2)),
+          pick AS (SELECT c_mktsegment, mode_nation, cnt
+                   FROM modes WHERE rk = 1),
+          filled AS (SELECT b.c_mktsegment,
+                            coalesce(b.nationkey, p.mode_nation) AS nationkey,
+                            CASE WHEN b.nationkey IS NULL THEN 1 ELSE 0 END
+                              AS was_imputed
+                     FROM base b
+                     JOIN pick p ON p.c_mktsegment = b.c_mktsegment)
+          SELECT f.c_mktsegment AS segment,
+                 CAST(p.mode_nation AS BIGINT) AS mode_nation,
+                 CAST(p.cnt AS BIGINT) AS mode_support,
+                 CAST(sum(f.was_imputed) AS BIGINT) AS n_imputed,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(f.nationkey) AS BIGINT) AS nation_checksum
+          FROM filled f JOIN pick p ON p.c_mktsegment = f.c_mktsegment
+          GROUP BY 1, 2, 3 ORDER BY segment""")
+      },
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+                              CASE WHEN c_custkey % 13 = 0 THEN NULL
+                                   ELSE CAST(c_nationkey AS BIGINT) END
+                                AS nationkey
+                       FROM customer),
+         modes AS (SELECT c_mktsegment, nationkey AS mode_nation,
+                          cnt,
+                          row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY cnt DESC, nationkey) AS rk
+                   FROM (SELECT c_mktsegment, nationkey,
+                                CAST(count(*) AS BIGINT) AS cnt
+                         FROM base WHERE nationkey IS NOT NULL
+                         GROUP BY 1, 2)),
+         pick AS (SELECT c_mktsegment, mode_nation, cnt
+                  FROM modes WHERE rk = 1),
+         filled AS (SELECT b.c_mktsegment,
+                           coalesce(b.nationkey, p.mode_nation) AS nationkey,
+                           CASE WHEN b.nationkey IS NULL THEN 1 ELSE 0 END
+                             AS was_imputed
+                    FROM base b
+                    JOIN pick p ON p.c_mktsegment = b.c_mktsegment)
+         SELECT f.c_mktsegment AS segment,
+                CAST(p.mode_nation AS BIGINT) AS mode_nation,
+                CAST(p.cnt AS BIGINT) AS mode_support,
+                CAST(sum(f.was_imputed) AS BIGINT) AS n_imputed,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(f.nationkey) AS BIGINT) AS nation_checksum
+         FROM filled f JOIN pick p ON p.c_mktsegment = f.c_mktsegment
+         GROUP BY 1, 2, 3 ORDER BY segment""")
   )
 }
