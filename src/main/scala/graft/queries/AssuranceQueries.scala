@@ -452,6 +452,120 @@ object AssuranceQueries {
                 CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(f.nationkey) AS BIGINT) AS nation_checksum
          FROM filled f JOIN pick p ON p.c_mktsegment = f.c_mktsegment
-         GROUP BY 1, 2, 3 ORDER BY segment""")
+         GROUP BY 1, 2, 3 ORDER BY segment"""),
+
+    // Q282: classical seasonal decomposition, integerized — the 2×12
+    // centered moving average (half-weight endpoints) extracts trend
+    // from the monthly revenue series; the per-calendar-month mean of
+    // the detrended residue is the seasonal index. Everything stays in
+    // cents: the doubled-weight window sum T2 = y₋₆ + 2Σy + y₊₆ makes
+    // the half weights integral, trend = T2 div 24. The corpus
+    // collapses to the 80-month relation FIRST; the window self-join
+    // is 80×13. This is how you de-seasonalize a metric before
+    // anomaly-gating it (q80) without a single float.
+    "q282_seasonal_decomposition" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q282_orders")
+        s.sql("""
+          WITH months AS (SELECT (year(o_orderdate) - 1995) * 12
+                                   + month(o_orderdate) - 1 AS m,
+                                 month(o_orderdate) AS moy,
+                                 CAST(sum(CAST(round(o_totalprice * 100)
+                                               AS BIGINT)) AS BIGINT) AS y
+                          FROM g_q282_orders GROUP BY 1, 2),
+          win AS (SELECT a.m, a.moy, a.y,
+                         CAST(sum(CASE WHEN abs(b.m - a.m) = 6 THEN b.y
+                                       ELSE 2 * b.y END) AS BIGINT) AS t2,
+                         CAST(count(*) AS BIGINT) AS covered
+                  FROM months a JOIN months b ON abs(b.m - a.m) <= 6
+                  GROUP BY 1, 2, 3),
+          det AS (SELECT moy, y - t2 div 24 AS d
+                  FROM win WHERE covered = 13),
+          seasonal AS (SELECT moy, CAST(count(*) AS BIGINT) AS n_terms,
+                              CAST(sum(d) AS BIGINT) AS sum_d
+                       FROM det GROUP BY 1)
+          SELECT CAST(moy AS BIGINT) AS moy, n_terms,
+                 CAST(CASE WHEN sum_d >= 0 THEN sum_d div n_terms
+                           ELSE -((-sum_d) div n_terms) END
+                      AS BIGINT) AS seasonal_cents
+          FROM seasonal ORDER BY moy""")
+      },
+      """WITH months AS (SELECT (year(o_orderdate) - 1995) * 12
+                                  + month(o_orderdate) - 1 AS m,
+                                month(o_orderdate) AS moy,
+                                CAST(sum(CAST(round(o_totalprice * 100)
+                                              AS BIGINT)) AS BIGINT) AS y
+                         FROM orders GROUP BY 1, 2),
+         win AS (SELECT a.m, a.moy, a.y,
+                        CAST(sum(CASE WHEN abs(b.m - a.m) = 6 THEN b.y
+                                      ELSE 2 * b.y END) AS BIGINT) AS t2,
+                        CAST(count(*) AS BIGINT) AS covered
+                 FROM months a JOIN months b ON abs(b.m - a.m) <= 6
+                 GROUP BY 1, 2, 3),
+         det AS (SELECT moy, y - t2 // 24 AS d
+                 FROM win WHERE covered = 13),
+         seasonal AS (SELECT moy, CAST(count(*) AS BIGINT) AS n_terms,
+                             CAST(sum(d) AS BIGINT) AS sum_d
+                      FROM det GROUP BY 1)
+         SELECT CAST(moy AS BIGINT) AS moy, n_terms,
+                CAST(CASE WHEN sum_d >= 0 THEN sum_d // n_terms
+                          ELSE -((-sum_d) // n_terms) END
+                     AS BIGINT) AS seasonal_cents
+         FROM seasonal ORDER BY moy"""),
+
+    // Q283: STREAMING observed metrics — q272's telemetry on the
+    // streaming plane: `observe` attaches CollectMetrics to the
+    // micro-batch plan and every StreamingQueryProgress carries that
+    // batch's row count and value total; summing across the progress
+    // log reconstructs the whole drain without touching the sink. At
+    // 100 TB this is how a pipeline proves "every ingested row was
+    // counted" — the metrics ride the ingest, reconciliation reads the
+    // progress log, and the sink is never re-scanned. The gate emits
+    // the progress-log totals next to the sink rollup; the oracle
+    // recomputes both from the source table (equality = the
+    // observation saw exactly the drained rows).
+    "q283_streaming_observe" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q283")
+        val tmp = tmpPath.toString
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"))
+          .coalesce(1).write.parquet(s"$tmp/staging")
+        val stream = s.readStream
+          .schema("event_type STRING, value DOUBLE")
+          .parquet(s"$tmp/staging")
+          .observe("q283_metrics",
+            count(lit(1)).as("n"),
+            sum(expr("CAST(floor(value) AS BIGINT)")).as("val_sum"))
+        val q = stream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/checkpoint")
+          .format("parquet").option("path", s"$tmp/out")
+          .start()
+        q.awaitTermination()
+        val observed = q.recentProgress.toSeq
+          .flatMap(p => Option(p.observedMetrics.get("q283_metrics")))
+          .map(r => (r.getAs[Long]("n"), r.getAs[Long]("val_sum")))
+        val metrics = s.createDataFrame(Seq((
+            "_observed",
+            observed.map(_._1).sum,
+            observed.map(_._2).sum)))
+          .toDF("key", "n", "val_sum")
+        s.read.parquet(s"$tmp/out")
+          .groupBy(col("event_type").as("key"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(expr("CAST(floor(value) AS BIGINT)")).cast("long")
+              .as("val_sum"))
+          .unionByName(metrics)
+          .orderBy("key")
+      },
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_sum
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT '_observed' AS key, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_sum
+         FROM events
+         ORDER BY key""")
   )
 }
