@@ -29,6 +29,9 @@ object GraftSession {
       // V2 scans (RangeSource partitionByBucket; q269). Also set inside
       // the q269 gate itself so a driver-built session can't drop it.
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // the in-repo V2 catalog plugin (tables + functions over the
+      // range connector; q284/q285). Also set inside those gates.
+      .config("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String): SparkSession = {

@@ -248,6 +248,60 @@ object ConnectorQueries {
                 CAST(max(l_orderkey) AS BIGINT) AS max_key,
                 CAST(floor(min(l_quantity)) AS BIGINT) AS min_qty_l,
                 CAST(floor(max(l_quantity)) AS BIGINT) AS max_qty_l
-         FROM lineitem""")
+         FROM lineitem"""),
+
+    // Q284: V2 CATALOG plugin (`TableCatalog`) — connector tables as
+    // first-class SQL citizens: CREATE TABLE against the in-repo
+    // catalog, then plain SQL over the catalog-qualified name, with
+    // the ScanBuilder's whole pushdown stack (here: id-range filter +
+    // aggregate partials) flowing through catalog resolution
+    // unchanged. This is the plug-in seam Iceberg/Delta live behind
+    // (spark.sql.catalog.<name>=<impl>); GraftCatalogSpec pins the
+    // DDL lifecycle (create/alter/rename/drop, duplicate rejection).
+    "q284_dsv2_catalog_sql" -> QuerySpec(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        s.sql("""CREATE TABLE IF NOT EXISTS graft_cat.ns.q284_range
+                 (id BIGINT, id_sq BIGINT, bucket BIGINT, label STRING)
+                 TBLPROPERTIES('start'='0', 'end'='60000', 'slices'='6')""")
+        s.sql("""
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(id) AS BIGINT) AS sum_id,
+                 CAST(min(id) AS BIGINT) AS min_id
+          FROM graft_cat.ns.q284_range
+          WHERE id >= 15000 AND id < 45000
+          GROUP BY 1 ORDER BY bucket""")
+      },
+      """WITH r AS (SELECT unnest(generate_series(15000, 44999)) AS id)
+         SELECT id % 16 AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id) AS BIGINT) AS sum_id,
+                CAST(min(id) AS BIGINT) AS min_id
+         FROM r GROUP BY 1 ORDER BY bucket"""),
+
+    // Q285: V2 FUNCTION catalog (`FunctionCatalog` + bound
+    // `ScalarFunction` with the MAGIC static-shaped invoke(Long)):
+    // Catalyst compiles graft_cat.ns.residue16(k) to a direct method
+    // invocation inside codegen — no InternalRow boxing — which is the
+    // performance contract that makes catalog UDFs usable in a 100 TB
+    // hot path. The function IS the range table's bucketing key, so
+    // SQL can group on exactly the layout the SPJ partitions use.
+    "q285_dsv2_function_catalog" -> QuerySpec(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        graft.Tables.orders(s, dir).createOrReplaceTempView("g_q285_orders")
+        s.sql("""
+          SELECT graft_cat.ns.residue16(o_orderkey) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM g_q285_orders
+          GROUP BY 1 ORDER BY bucket""")
+      },
+      """SELECT o_orderkey % 16 AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders GROUP BY 1 ORDER BY bucket""")
   )
 }

@@ -64,7 +64,7 @@ object RangeSource {
       nullable = false)))
 }
 
-final class RangeTable(start: Long, end: Long, slices: Int)
+final class RangeTable(val start: Long, val end: Long, val slices: Int)
     extends Table with SupportsRead {
   require(slices > 0, s"slices must be positive, got $slices")
 
