@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.sources.ChecksumSink
+
 /** Round-10 session-4 connector-pushdown surface: the DataSource V2
   * range connector's aggregate pushdown (q260) and ORDER-BY-id TopN
   * pushdown (q261). Together with q213 (filter + pruning) and q252
@@ -302,6 +304,38 @@ object ConnectorQueries {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) AS cents
-         FROM orders GROUP BY 1 ORDER BY bucket""")
+         FROM orders GROUP BY 1 ORDER BY bucket"""),
+
+    // Q286: write-side distribution contract
+    // (`RequiresDistributionAndOrdering`): the SINK declares "clustered
+    // by k, sorted (k, v), exactly 5 partitions" and Spark plans the
+    // exchange + sort to deliver it — the layout arrives because the
+    // writer asked, not because the caller remembered
+    // repartition().sortWithinPartitions(). The writer VERIFIES at
+    // write time (out-of-order rows fail the task → 2PC abort →
+    // nothing published; the driver commit re-checks key
+    // disjointness), so the published digest existing at all proves
+    // the engine honored the contract; the oracle pins its value.
+    "q286_dsv2_write_distribution" -> QuerySpec(
+      (s, dir) => {
+        val tag = "q286-" + Integer.toHexString(dir.hashCode)
+        ChecksumSink.clear(tag)
+        graft.Tables.orders(s, dir)
+          .select(pmod(col("o_custkey"), lit(32L)).as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+          .write.format("graft.sources.ChecksumSink")
+          .option("tag", tag).option("clusterByK", "true")
+          .option("numPartitions", "5")
+          .mode("append").save()
+        val d = ChecksumSink.result(tag).getOrElse(
+          sys.error("clustered write published nothing"))
+        s.createDataFrame(Seq((d.rows, d.sum, d.xor)))
+          .toDF("n_rows", "sum_cents", "xor_cents")
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(bit_xor(cents) AS BIGINT) AS xor_cents
+         FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)""")
   )
 }

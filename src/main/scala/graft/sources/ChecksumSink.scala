@@ -31,13 +31,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class ChecksumSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ChecksumSink.schema
+    if (options.getBoolean("clusterByK", false)) ChecksumSink.clusteredSchema
+    else ChecksumSink.schema
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ChecksumTable
+    new ChecksumTable(schema)
 }
 
 object ChecksumSink {
@@ -45,6 +46,11 @@ object ChecksumSink {
     * output resolution enforces arity/type against this at analysis.
     */
   val schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("v", LongType, nullable = false)))
+
+  /** clusterByK mode: a cluster key + the digest column. */
+  val clusteredSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("k", LongType, nullable = false),
     org.apache.spark.sql.types.StructField("v", LongType, nullable = false)))
 
   /** Committed digests by tag. JVM-local by design: this sink exists
@@ -61,23 +67,128 @@ object ChecksumSink {
     committed.put(tag, d)
 }
 
-final class ChecksumTable extends Table with SupportsWrite {
+final class ChecksumTable(tableSchema: StructType = ChecksumSink.schema)
+    extends Table with SupportsWrite {
   override def name(): String = "graft_checksum_sink"
-  override def schema(): StructType = ChecksumSink.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()
-    require(schema.fields.length == 1 && schema.fields(0).dataType == LongType,
-      s"ChecksumSink takes exactly one BIGINT column, got $schema")
     val tag = info.options().getOrDefault("tag", info.queryId())
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new ChecksumBatchWrite(tag)
+    val clustered = info.options().getBoolean("clusterByK", false)
+    if (clustered) {
+      require(schema.fields.length == 2 &&
+        schema.fields.forall(_.dataType == LongType) &&
+        schema.fieldNames.sameElements(Array("k", "v")),
+        s"clusterByK mode takes columns (k BIGINT, v BIGINT), got $schema")
+      val parts = info.options().getInt("numPartitions", 0)
+      new WriteBuilder {
+        override def build(): Write = new ClusteredChecksumWrite(tag, parts)
+      }
+    } else {
+      require(schema.fields.length == 1 &&
+        schema.fields(0).dataType == LongType,
+        s"ChecksumSink takes exactly one BIGINT column, got $schema")
+      new WriteBuilder {
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite = new ChecksumBatchWrite(tag)
+        }
       }
     }
   }
+}
+
+/** The write-side distribution contract
+  * (`RequiresDistributionAndOrdering`): the SINK tells Spark how the
+  * data must arrive — clustered by `k` (all rows of a key in ONE
+  * task), sorted (k, v) within each task, optionally an exact
+  * partition count — and Spark plans the exchange + sort to satisfy
+  * it. This is how real table formats get layout (partitioned,
+  * sorted files) without the caller remembering repartition/sortWithin:
+  * the WRITER declares, the ENGINE provides. The writer then VERIFIES
+  * the contract at write time: out-of-order rows fail the task (→
+  * abort → nothing published), and the driver-side commit re-checks
+  * that no key was seen by two tasks before publishing.
+  */
+final class ClusteredChecksumWrite(tag: String, parts: Int) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+
+  override def requiredDistribution():
+      org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.column("k")))
+
+  override def requiredOrdering(): Array[
+      org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array(
+      Expressions.sort(Expressions.column("k"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("v"), SortDirection.ASCENDING))
+
+  override def requiredNumPartitions(): Int = parts
+
+  override def toBatch: BatchWrite = new ClusteredChecksumBatchWrite(tag)
+}
+
+final class ClusteredChecksumBatchWrite(tag: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new ClusteredChecksumWriterFactory
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    var rows = 0L; var sum = 0L; var xor = 0L
+    // boxed map types: put() returns null for first insertion, and a
+    // primitive-typed Scala map would silently unbox that null to 0,
+    // making every key first seen by a task other than 0 a false
+    // violation
+    val owners = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    messages.foreach { case ClusteredPartial(pid, r, s, x, keys) =>
+      rows += r; sum += s; xor ^= x
+      keys.foreach { k =>
+        val prev = owners.put(k, pid)
+        require(prev == null || prev.intValue == pid,
+          s"clustering violated: key $k seen by tasks $prev and $pid")
+      }
+    }
+    ChecksumSink.publish(tag, ChecksumSink.Digest(rows, sum, xor))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class ClusteredPartial(
+    partitionId: Int, rows: Long, sum: Long, xor: Long, keys: Array[Long])
+    extends WriterCommitMessage
+
+final class ClusteredChecksumWriterFactory extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var rows = 0L; private var sum = 0L; private var xor = 0L
+      private var lastK = Long.MinValue; private var lastV = Long.MinValue
+      private val keys = scala.collection.mutable.LinkedHashSet.empty[Long]
+
+      override def write(record: InternalRow): Unit = {
+        val k = record.getLong(0); val v = record.getLong(1)
+        // verify the engine honored requiredOrdering — a violation
+        // fails the TASK, the job aborts, and nothing is published
+        require(k > lastK || (k == lastK && v >= lastV),
+          s"ordering violated: ($k,$v) after ($lastK,$lastV)")
+        lastK = k; lastV = v
+        keys += k
+        rows += 1; sum += v; xor ^= v
+      }
+
+      override def commit(): WriterCommitMessage =
+        ClusteredPartial(partitionId, rows, sum, xor, keys.toArray)
+
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 final class ChecksumBatchWrite(tag: String) extends BatchWrite {

@@ -110,4 +110,39 @@ class ChecksumSinkSpec extends AnyFunSuite with SparkTestSession {
     assert(d.rows === 1000L)
     assert(d.sum === (0L until 1000L).sum)
   }
+
+  test("RequiresDistributionAndOrdering: the engine clusters and sorts for the sink") {
+    import spark.implicits._
+    ChecksumSink.clear("t-clustered")
+    // deliberately unsorted, key-interleaved input across partitions:
+    // the SINK's declared distribution/ordering must fix the layout
+    val vals = (1L to 8000L).map(v => (v % 32, v))
+    spark.sparkContext.parallelize(scala.util.Random.javaRandomToRandom(
+      new java.util.Random(42)).shuffle(vals), 9)
+      .toDF("k", "v")
+      .write.format("graft.sources.ChecksumSink")
+      .option("tag", "t-clustered").option("clusterByK", "true")
+      .mode("append").save()
+    // the writer THROWS on any ordering violation and the driver-side
+    // commit re-checks key disjointness, so a published digest IS the
+    // proof the engine satisfied the contract
+    val d = ChecksumSink.result("t-clustered")
+      .getOrElse(fail("nothing committed"))
+    assert(d.rows === 8000L)
+    assert(d.sum === (1L to 8000L).sum)
+    assert(d.xor === (1L to 8000L).reduce(_ ^ _))
+  }
+
+  test("clusterByK honors an exact requiredNumPartitions") {
+    import spark.implicits._
+    ChecksumSink.clear("t-parts")
+    (1L to 1000L).map(v => (v % 8, v)).toDF("k", "v")
+      .repartition(13)
+      .write.format("graft.sources.ChecksumSink")
+      .option("tag", "t-parts").option("clusterByK", "true")
+      .option("numPartitions", "3")
+      .mode("append").save()
+    val d = ChecksumSink.result("t-parts").getOrElse(fail("nothing committed"))
+    assert(d.rows === 1000L)
+  }
 }
