@@ -362,6 +362,21 @@ final class RangeScan(
       }.toArray
     else RangeScan.slicePartitions(effLo, effHi, slices)
 
+  /** Connector-reported execution metrics (`CustomMetric`): the scan
+    * publishes how many ids it actually GENERATED into the SQL metrics
+    * system — the number pushdown/pruning/runtime-filter economics are
+    * judged by, surfaced through the engine's own observability
+    * channel instead of log lines. Task readers report
+    * `currentMetricsValues`; Spark sums them per the metric's
+    * aggregation.
+    */
+  override def supportedCustomMetrics(): Array[
+      org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = "idsGenerated"
+      override def description(): String = "ids generated by the range scan"
+    })
+
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(out.fieldNames, columnarBatch)
 
@@ -650,6 +665,15 @@ final class RangePartitionReader(from: Long, until: Long, cols: Array[String])
   private var cur = from - 1
 
   override def next(): Boolean = { cur += 1; cur < until }
+
+  override def currentMetricsValues(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val produced = math.max(0L, math.min(cur, until - 1) - from + 1)
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "idsGenerated"
+      override def value(): Long = produced
+    })
+  }
 
   override def get(): InternalRow = {
     val vals = cols.map {

@@ -267,6 +267,18 @@ class RangeSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(edge.agg(sum("id")).head().getLong(0) === (10L until 4100L).sum)
   }
 
+  test("connector custom metric reports exactly the generated id count") {
+    val df = read(0, 500000, slices = 6)
+      .filter(col("id") >= 100000 && col("id") < 230000)
+    // sum(id_sq) declines aggregate pushdown, so the RAW scan (which
+    // carries the metric) is what executes
+    val scan = scanOf(df.agg(sum("id_sq")))
+    assert(scan.metrics.contains("idsGenerated"),
+      s"custom metric missing: ${scan.metrics.keys}")
+    assert(scan.metrics("idsGenerated").value === 130000L,
+      "pushdown economics must be visible in the reported metric")
+  }
+
   private def readStreamRange(end: Long, maxRows: Long) =
     spark.readStream.format("graft.sources.RangeSource")
       .option("start", 0).option("end", end).option("slices", 3)
