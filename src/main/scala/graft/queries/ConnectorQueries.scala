@@ -336,6 +336,57 @@ object ConnectorQueries {
                 CAST(sum(cents) AS BIGINT) AS sum_cents,
                 CAST(bit_xor(cents) AS BIGINT) AS xor_cents
          FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-               FROM orders)""")
+               FROM orders)"""),
+
+    // Q287: hidden FILE METADATA columns (`_metadata`) — per-row
+    // provenance on file sources without a real column: which file a
+    // row came from rides the scan for free and joins into any audit.
+    // At 100 TB this is how "which input file poisoned this
+    // aggregate" is answerable without re-ingesting lineage.
+    "q287_file_metadata_column" -> QuerySpec(
+      (s, dir) => {
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("_metadata.file_name").as("file_name"),
+            col("l_quantity"))
+          .groupBy("file_name")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(l_quantity) AS BIGINT)")).as("qty"))
+          .orderBy("file_name")
+      },
+      """SELECT 'lineitem.parquet' AS file_name,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem"""),
+
+    // Q288: connector METADATA columns (`SupportsMetadataColumns`) —
+    // the same provenance idea exposed from the V2 source: `_slice` is
+    // the planned-partition ordinal, hidden unless selected, emitted
+    // by the readers on demand. The oracle reproduces the planner's
+    // base/remainder slice arithmetic exactly, so the gate pins BOTH
+    // the metadata plumbing and the documented partition-planning
+    // contract.
+    "q288_dsv2_metadata_column" -> QuerySpec(
+      (s, dir) => {
+        s.read.format("graft.sources.RangeSource")
+          .option("start", 0).option("end", 12347).option("slices", 5)
+          .load()
+          .select(col("_slice"), col("id"))
+          .groupBy("_slice")
+          .agg(count(lit(1)).as("n"), min("id").as("min_id"),
+            max("id").as("max_id"))
+          .select(col("_slice").as("slice"), col("n"),
+            col("min_id"), col("max_id"))
+          .orderBy("slice")
+      },
+      """WITH s AS (SELECT unnest(generate_series(0, 4)) AS slice),
+           b AS (SELECT slice,
+                        slice * 2469 + LEAST(slice, 2) AS lo,
+                        (slice + 1) * 2469 + LEAST(slice + 1, 2) AS hi
+                 FROM s)
+         SELECT CAST(slice AS BIGINT) AS slice,
+                CAST(hi - lo AS BIGINT) AS n,
+                CAST(lo AS BIGINT) AS min_id,
+                CAST(hi - 1 AS BIGINT) AS max_id
+         FROM b ORDER BY slice""")
   )
 }

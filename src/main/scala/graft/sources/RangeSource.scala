@@ -65,11 +65,25 @@ object RangeSource {
 }
 
 final class RangeTable(val start: Long, val end: Long, val slices: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(slices > 0, s"slices must be positive, got $slices")
 
   override def name(): String = s"graft_range[$start,$end)"
   override def schema(): StructType = RangeSource.schema
+
+  /** `_slice`: which planned partition produced the row — the
+    * connector-side analog of `_metadata.file_name` on file sources
+    * (hidden unless selected; lineage/debugging without a real column).
+    */
+  override def metadataColumns(): Array[
+      org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_slice"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "ordinal of the planned partition"
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
@@ -163,7 +177,9 @@ final class RangeScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
       RangeSource.schema.fields.filter(f =>
-        requiredSchema.fieldNames.contains(f.name)))
+        requiredSchema.fieldNames.contains(f.name)) ++
+        // the `_slice` METADATA column survives pruning when selected
+        requiredSchema.fields.filter(_.name == "_slice"))
 
   private def fieldName(e: VExpression): Option[String] = e match {
     case ref: NamedReference if ref.fieldNames.length == 1 =>
@@ -263,7 +279,7 @@ object RangeScan {
     // min(i, rem) <= k, so every intermediate stays within [lo, hi].
     def bound(i: Int): Long = lo + i * base + math.min(i.toLong, rem)
     (0 until k).map { i =>
-      RangeInputPartition(bound(i), bound(i + 1)): InputPartition
+      RangeInputPartition(bound(i), bound(i + 1), i): InputPartition
     }.toArray
   }
 }
@@ -539,7 +555,8 @@ final class RangeAggPartitionReader(
   override def close(): Unit = ()
 }
 
-final case class RangeInputPartition(from: Long, until: Long)
+final case class RangeInputPartition(
+    from: Long, until: Long, sliceIdx: Int = 0)
     extends InputPartition
 
 /** One residue class `id ≡ r (mod 16)` of [from, until) — the
@@ -559,7 +576,7 @@ final class RangeReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case rp: RangeInputPartition =>
-        new RangePartitionReader(rp.from, rp.until, cols)
+        new RangePartitionReader(rp.from, rp.until, cols, rp.sliceIdx)
       case rp: RangeResiduePartition =>
         new RangeResidueReader(rp.from, rp.until, rp.r, cols)
       case other => throw new IllegalArgumentException(
@@ -577,7 +594,7 @@ final class RangeReaderFactory(
       p: InputPartition): PartitionReader[
       org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val rp = p.asInstanceOf[RangeInputPartition]
-    new RangeColumnarReader(rp.from, rp.until, cols)
+    new RangeColumnarReader(rp.from, rp.until, cols, rp.sliceIdx)
   }
 }
 
@@ -586,14 +603,16 @@ final class RangeReaderFactory(
   * reader's; only the delivery unit changes.
   */
 final class RangeColumnarReader(
-    from: Long, until: Long, cols: Array[String])
+    from: Long, until: Long, cols: Array[String], sliceIdx: Int = 0)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 
   private val BatchRows = 4096
-  private val schema = StructType(
-    cols.map(c => RangeSource.schema(RangeSource.schema.fieldIndex(c))))
+  private val schema = StructType(cols.map { c =>
+    if (c == "_slice") StructField("_slice", LongType, nullable = false)
+    else RangeSource.schema(RangeSource.schema.fieldIndex(c))
+  })
   private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, schema)
   private val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
     vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
@@ -615,6 +634,7 @@ final class RangeColumnarReader(
           case "label" =>
             val b = ("b" + (((id % 16) + 16) % 16)).getBytes("UTF-8")
             vectors(c).putByteArray(i, b, 0, b.length)
+          case "_slice" => vectors(c).putLong(i, sliceIdx.toLong)
           case other =>
             throw new IllegalArgumentException(s"unknown column $other")
         }
@@ -650,6 +670,7 @@ final class RangeResidueReader(
       case "id_sq" => (cur * cur): java.lang.Long
       case "bucket" => r.toLong: java.lang.Long
       case "label" => UTF8String.fromString("b" + r)
+      case "_slice" => r.toLong: java.lang.Long
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
@@ -659,7 +680,8 @@ final class RangeResidueReader(
 }
 
 /** Materializes ONLY the pruned columns, in the pruned order. */
-final class RangePartitionReader(from: Long, until: Long, cols: Array[String])
+final class RangePartitionReader(
+    from: Long, until: Long, cols: Array[String], sliceIdx: Int = 0)
     extends PartitionReader[InternalRow] {
 
   private var cur = from - 1
@@ -681,6 +703,7 @@ final class RangePartitionReader(from: Long, until: Long, cols: Array[String])
       case "id_sq" => (cur * cur): java.lang.Long
       case "bucket" => (((cur % 16) + 16) % 16): java.lang.Long
       case "label" => UTF8String.fromString("b" + (((cur % 16) + 16) % 16))
+      case "_slice" => sliceIdx.toLong: java.lang.Long
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
