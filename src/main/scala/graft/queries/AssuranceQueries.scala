@@ -566,6 +566,71 @@ object AssuranceQueries {
          SELECT '_observed' AS key, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_sum
          FROM events
+         ORDER BY key"""),
+
+    // Q289: foreachBatch multi-sink fanout with batch-keyed
+    // idempotence — the pattern for "one stream, two destinations,
+    // exactly-once on both": each micro-batch lands in a
+    // batch=<id>-keyed directory with MODE OVERWRITE (a replayed batch
+    // rewrites its own slot instead of duplicating) and appends the
+    // same batch's rollup to a ledger keyed the same way. The drain is
+    // forced through 4 batches (4 staged files, maxFilesPerTrigger=1)
+    // so the idempotence key actually varies; the gate emits the data
+    // sink's rollup, the ledger's reconciliation row, and the batch
+    // count — all three must agree with the batch oracle.
+    "q289_foreachbatch_fanout" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q289")
+        val tmp = tmpPath.toString
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"))
+          .repartition(4).write.parquet(s"$tmp/staging")
+        val stream = s.readStream
+          .schema("event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/staging")
+        val q = stream.writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/checkpoint")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val b = batch.persist()
+            // sink A: the data, slotted by batch id (replay overwrites)
+            b.write.mode("overwrite").parquet(s"$tmp/data/batch=$id")
+            // sink B: the per-batch ledger, same idempotence key
+            b.agg(count(lit(1)).cast("long").as("n"),
+                sum(expr("CAST(floor(value) AS BIGINT)")).cast("long")
+                  .as("val_sum"))
+              .write.mode("overwrite").parquet(s"$tmp/ledger/batch=$id")
+            b.unpersist()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        val data = s.read.parquet(s"$tmp/data")
+          .groupBy(col("event_type").as("key"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(expr("CAST(floor(value) AS BIGINT)")).cast("long")
+              .as("val_sum"))
+        val ledger = s.read.parquet(s"$tmp/ledger")
+          .agg(count(lit(1)).cast("long").as("batches"),
+            sum("n").cast("long").as("n"),
+            sum("val_sum").cast("long").as("val_sum"))
+        val rows = ledger.select(lit("_ledger").as("key"), col("n"),
+            col("val_sum"))
+          .unionByName(ledger.select(lit("_batches").as("key"),
+            col("batches").as("n"), lit(0L).as("val_sum")))
+        data.unionByName(rows).orderBy("key")
+      },
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_sum
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT '_ledger' AS key, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS val_sum
+         FROM events
+         UNION ALL
+         SELECT '_batches' AS key, CAST(4 AS BIGINT) AS n,
+                CAST(0 AS BIGINT) AS val_sum
          ORDER BY key""")
   )
 }
