@@ -631,6 +631,45 @@ object AssuranceQueries {
          UNION ALL
          SELECT '_batches' AS key, CAST(4 AS BIGINT) AS n,
                 CAST(0 AS BIGINT) AS val_sum
-         ORDER BY key""")
+         ORDER BY key"""),
+
+    // Q290: V2 STREAMING sink with epoch-keyed 2PC — the checksum
+    // sink's streaming leg: each micro-batch commits its merged task
+    // partials under its epochId, a replayed epoch REPLACES its slot
+    // (exactly-once aggregate from at-least-once delivery —
+    // ChecksumSinkSpec pins the replay path directly), and the
+    // cumulative digest republishes after every epoch. The gate drains
+    // a 4-epoch stream and pins the final digest against the batch
+    // oracle: any dropped or double-counted epoch moves all three
+    // columns.
+    "q290_dsv2_streaming_sink" -> QuerySpec(
+      (s, dir) => {
+        val tmpPath = GateTmp.dir("graft-q290")
+        val tmp = tmpPath.toString
+        val tag = "q290-" + Integer.toHexString(dir.hashCode)
+        graft.sources.ChecksumSink.clear(tag)
+        Tables.events(s, dir)
+          .select(expr("CAST(floor(value) AS BIGINT)").as("v"))
+          .repartition(4).write.parquet(s"$tmp/staging")
+        val q = s.readStream
+          .schema("v BIGINT")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tmp/staging")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$tmp/checkpoint")
+          .format("graft.sources.ChecksumSink")
+          .option("tag", tag)
+          .start()
+        q.awaitTermination()
+        val d = graft.sources.ChecksumSink.result(tag).getOrElse(
+          sys.error("streaming sink published nothing"))
+        s.createDataFrame(Seq((d.rows, d.sum, d.xor)))
+          .toDF("n_rows", "sum_v", "xor_v")
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(v) AS BIGINT) AS sum_v,
+                CAST(bit_xor(v) AS BIGINT) AS xor_v
+         FROM (SELECT CAST(floor(value) AS BIGINT) AS v FROM events)""")
   )
 }

@@ -60,11 +60,34 @@ object ChecksumSink {
 
   private val committed = new ConcurrentHashMap[String, Digest]()
 
+  /** Per-tag epoch ledgers for the streaming leg. Registry-level (not
+    * StreamingWrite-instance) state: the engine may construct a fresh
+    * Write per micro-batch, and epoch idempotence must survive that —
+    * and restarts within the JVM.
+    */
+  private val epochLedgers =
+    new ConcurrentHashMap[String, ConcurrentHashMap[java.lang.Long, Digest]]()
+
   def result(tag: String): Option[Digest] = Option(committed.get(tag))
-  def clear(tag: String): Unit = committed.remove(tag)
+  def clear(tag: String): Unit = {
+    committed.remove(tag)
+    epochLedgers.remove(tag)
+  }
 
   private[sources] def publish(tag: String, d: Digest): Unit =
     committed.put(tag, d)
+
+  /** Epoch-keyed commit: a replayed epoch REPLACES its slot, then the
+    * cumulative digest across all committed epochs republishes.
+    */
+  private[sources] def commitEpoch(tag: String, epochId: Long, d: Digest): Unit = {
+    val ledger = epochLedgers.computeIfAbsent(tag,
+      _ => new ConcurrentHashMap[java.lang.Long, Digest]())
+    ledger.put(epochId, d)
+    var tr = 0L; var ts = 0L; var tx = 0L
+    ledger.values().forEach { e => tr += e.rows; ts += e.sum; tx ^= e.xor }
+    committed.put(tag, Digest(tr, ts, tx))
+  }
 }
 
 final class ChecksumTable(tableSchema: StructType = ChecksumSink.schema)
@@ -72,7 +95,8 @@ final class ChecksumTable(tableSchema: StructType = ChecksumSink.schema)
   override def name(): String = "graft_checksum_sink"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val schema = info.schema()
@@ -94,10 +118,49 @@ final class ChecksumTable(tableSchema: StructType = ChecksumSink.schema)
       new WriteBuilder {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite = new ChecksumBatchWrite(tag)
+          override def toStreaming:
+              org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new ChecksumStreamingWrite(tag)
         }
       }
     }
   }
+}
+
+/** The STREAMING write leg — epoch-keyed two-phase commit: each
+  * micro-batch (epoch) merges its task partials under its epochId, and
+  * a REPLAYED epoch (restart re-running a committed batch) REPLACES
+  * its slot instead of double-counting — per-epoch idempotence is what
+  * turns at-least-once batch delivery into an exactly-once aggregate.
+  * After every epoch commit the cumulative digest across all committed
+  * epochs is re-published under the tag.
+  */
+final class ChecksumStreamingWrite(tag: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(
+          partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new ChecksumWriterFactory().createWriter(partitionId, taskId)
+    }
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    var rows = 0L; var sum = 0L; var xor = 0L
+    messages.foreach { case ChecksumPartial(r, s, x) =>
+      rows += r; sum += s; xor ^= x
+    }
+    // ledger state lives in the tag registry, NOT this instance — the
+    // engine constructs a fresh Write per micro-batch
+    ChecksumSink.commitEpoch(tag, epochId, ChecksumSink.Digest(rows, sum, xor))
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** The write-side distribution contract

@@ -145,4 +145,44 @@ class ChecksumSinkSpec extends AnyFunSuite with SparkTestSession {
     val d = ChecksumSink.result("t-parts").getOrElse(fail("nothing committed"))
     assert(d.rows === 1000L)
   }
+
+  test("streaming epoch commit is replay-idempotent and cumulative") {
+    val w = new ChecksumStreamingWrite("t-stream-unit")
+    ChecksumSink.clear("t-stream-unit")
+    w.commit(0L, Array(ChecksumPartial(10, 100, 7)))
+    w.commit(1L, Array(ChecksumPartial(5, 50, 3)))
+    assert(ChecksumSink.result("t-stream-unit").get ===
+      ChecksumSink.Digest(15, 150, 7 ^ 3))
+    // a REPLAYED epoch replaces its slot - no double counting
+    w.commit(1L, Array(ChecksumPartial(5, 50, 3)))
+    assert(ChecksumSink.result("t-stream-unit").get ===
+      ChecksumSink.Digest(15, 150, 7 ^ 3))
+    // a corrected replay (retried batch produced the same logical rows
+    // split differently across tasks) still lands once
+    w.commit(1L, Array(ChecksumPartial(2, 20, 1), ChecksumPartial(3, 30, 2)))
+    assert(ChecksumSink.result("t-stream-unit").get ===
+      ChecksumSink.Digest(15, 150, 7 ^ 3))
+  }
+
+  test("streaming drain through the sink digests every micro-batch exactly once") {
+    import spark.implicits._
+    ChecksumSink.clear("t-stream-e2e")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-stream")
+    (1L to 5000L).toDF("v").repartition(3)
+      .write.parquet(dir.resolve("staging").toString)
+    val q = spark.readStream.schema("v BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.resolve("staging").toString)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .format("graft.sources.ChecksumSink")
+      .option("tag", "t-stream-e2e")
+      .start()
+    q.awaitTermination()
+    val d = ChecksumSink.result("t-stream-e2e").getOrElse(fail("nothing"))
+    assert(d.rows === 5000L)
+    assert(d.sum === (1L to 5000L).sum)
+    assert(d.xor === (1L to 5000L).reduce(_ ^ _))
+  }
 }
