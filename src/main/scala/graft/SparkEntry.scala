@@ -44,7 +44,8 @@ object SparkEntry {
       CorpusOpsQueries.specs ++ ProfileQueries.specs ++ RetrievalQueries.specs ++
       SignalQueries.specs ++ JourneyQueries.specs ++ FitEvalQueries.specs ++
       SegmentationQueries.specs ++ ConnectorQueries.specs ++
-      AffinityQueries.specs ++ AssuranceQueries.specs
+      AffinityQueries.specs ++ AssuranceQueries.specs ++
+      TypedApiQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }
