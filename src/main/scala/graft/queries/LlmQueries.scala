@@ -775,8 +775,16 @@ object LlmQueries {
           .withColumn("total",
             when(size(col("ws")) >= 3, size(col("ws")) - 2).otherwise(lit(1))
               .cast("long"))
+          // nd only feeds the r3 predicate, and the reason ladder
+          // tests r1 (length) and r2 (lang) first — so gate the
+          // shingle-distinct work behind those cheap rules (CaseWhen
+          // branches evaluate lazily under codegen; rejected docs
+          // never pay the dominant array cost). The sentinel -1 can
+          // never be read: the ladder short-circuits before r3.
           .withColumn("nd",
-            size(Dedup.shingles(col("text"))).cast("long"))
+            when(col("n_tok") < 20 ||
+                 !col("lang").isin("en", "de", "fr", "copy"), lit(-1L))
+              .otherwise(size(Dedup.shingles(col("text"))).cast("long")))
           .withColumn("keeper",
             min(col("doc_id")).over(
               org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))

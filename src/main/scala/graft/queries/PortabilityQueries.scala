@@ -147,5 +147,92 @@ object PortabilityQueries {
              CAST(CAST('12345678901234567890' AS DECIMAL(38,0))
                   * (r_regionkey + 1) % 4611686018427387904
                   AS BIGINT) AS dec_prod
+         FROM region ORDER BY k"""),
+
+    // Q293: the exclusive running-sum window frame (ROWS ... AND 1
+    // PRECEDING + coalesce) against its version-stable twin
+    // (inclusive frame minus the current row) — the idiom the q235
+    // oracle leaned on when it went red in round 10. Both columns are
+    // CAST to BIGINT *outside* the window (DuckDB's windowed
+    // sum(BIGINT) is HUGEINT — the round-9 casualty type — so an
+    // uncast emit is exactly what this canary must never do).
+    "q293_canary_exclframe" -> QuerySpec(
+      (s, dir) => {
+        Tables.region(s, dir).createOrReplaceTempView("g_q293_region")
+        s.sql("""
+          WITH v AS (SELECT r_regionkey AS k,
+                            CAST((r_regionkey + 1) * 37 AS BIGINT) AS v
+                     FROM g_q293_region)
+          SELECT k, v,
+                 CAST(coalesce(sum(v) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS rb_excl,
+                 CAST(sum(v) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v
+                   AS BIGINT) AS rb_incl
+          FROM v ORDER BY k""")
+      },
+      """WITH v AS (SELECT r_regionkey AS k,
+                           CAST((r_regionkey + 1) * 37 AS BIGINT) AS v
+                    FROM region)
+         SELECT k, v,
+                CAST(coalesce(sum(v) OVER (ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS rb_excl,
+                CAST(sum(v) OVER (ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - v
+                  AS BIGINT) AS rb_incl
+         FROM v ORDER BY k"""),
+
+    // Q294: floor division applied to a windowed sum — in DuckDB the
+    // running sum is HUGEINT, so `rs // 7` divides in HUGEINT while
+    // `CAST(rs AS BIGINT) // 7` divides in BIGINT. Values are
+    // nonnegative (floor == trunc) and both columns are emitted as
+    // BIGINT; if HUGEINT division ever drifts from BIGINT division,
+    // only div_huge goes red and names the construct.
+    "q294_canary_windivfloor" -> QuerySpec(
+      (s, dir) => {
+        Tables.region(s, dir).createOrReplaceTempView("g_q294_region")
+        s.sql("""
+          WITH v AS (SELECT r_regionkey AS k,
+                            CAST((r_regionkey + 1) * 37 AS BIGINT) AS v
+                     FROM g_q294_region),
+               r AS (SELECT k, sum(v) OVER (ORDER BY k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS rs FROM v)
+          SELECT k, CAST(rs div 7 AS BIGINT) AS div_big,
+                 CAST(rs div 7 AS BIGINT) AS div_huge
+          FROM r ORDER BY k""")
+      },
+      """WITH v AS (SELECT r_regionkey AS k,
+                           CAST((r_regionkey + 1) * 37 AS BIGINT) AS v
+                    FROM region),
+              r AS (SELECT k, sum(v) OVER (ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS rs FROM v)
+         SELECT k, CAST(CAST(rs AS BIGINT) // 7 AS BIGINT) AS div_big,
+                CAST(rs // 7 AS BIGINT) AS div_huge
+         FROM r ORDER BY k"""),
+
+    // Q295: regexp_replace capture-group backreference — the BPE
+    // chain's '(.)' -> '[\1]' bracketing (q223/q230/q235 all ride on
+    // it). The twin is pure arithmetic: region names are single-byte
+    // ASCII, so bracketing every character triples the length. A
+    // replacement-syntax drift (\1 vs $1 vs literal) breaks len_re
+    // against len_arith in one obviously-named place.
+    "q295_canary_regexbackref" -> QuerySpec(
+      (s, dir) => {
+        Tables.region(s, dir).createOrReplaceTempView("g_q295_region")
+        s.sql("""
+          SELECT r_regionkey AS k,
+                 CAST(length(regexp_replace(r_name, '(.)', '[$1]'))
+                   AS BIGINT) AS len_re,
+                 CAST(3 * length(r_name) AS BIGINT) AS len_arith
+          FROM g_q295_region ORDER BY k""")
+      },
+      """SELECT r_regionkey AS k,
+             CAST(length(regexp_replace(r_name, '(.)', '[\1]', 'g'))
+               AS BIGINT) AS len_re,
+             CAST(3 * length(r_name) AS BIGINT) AS len_arith
          FROM region ORDER BY k"""))
 }

@@ -174,12 +174,14 @@ object TokenizerQueries {
          dt AS (SELECT o.doc_id, CAST(sum(vc.n_sym) AS BIGINT) AS n_tok
                 FROM occ o JOIN vc ON o.word = vc.word GROUP BY 1),
          run AS (SELECT doc_id, n_tok,
-                        coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                        CAST(sum(n_tok) OVER (ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING), 0) AS tok_before
+                               AND CURRENT ROW) - n_tok
+                             AS BIGINT) AS tok_before
                  FROM dt),
-         b AS (SELECT doc_id, n_tok, tok_before // 512 AS bin FROM run)
-         SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         b AS (SELECT doc_id, n_tok,
+                      CAST(tok_before // 512 AS BIGINT) AS bin FROM run)
+         SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_tok) AS BIGINT) AS tokens,
                 CAST(min(doc_id) AS BIGINT) AS first_doc,
                 CAST(max(doc_id) AS BIGINT) AS last_doc

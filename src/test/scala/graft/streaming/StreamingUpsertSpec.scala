@@ -172,6 +172,54 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     assert(live(snap) == Map(9L -> 3L))
   }
 
+  test("crash between bucket write and manifest publish: readers see only committed state; restart replays idempotently") {
+    // The one window the restart test above does not cover: the JVM
+    // dies AFTER a batch's delta data hits disk but BEFORE its
+    // manifest is published (and hence before the checkpoint commits
+    // the batch). The exactly-once story requires (a) a reader during
+    // that window sees the previous committed snapshot — the torn
+    // delta is unreachable because no manifest references it — and
+    // (b) the restarted stream replays the same batch id, overwriting
+    // the torn delta by name before publishing its manifest.
+    val root = Files.createTempDirectory("graft-upsert-crash")
+    val snap = drain(root,
+      Seq((1L, 10L, 1L, "upsert"), (2L, 20L, 2L, "upsert")), buckets = 2)
+    val m1 = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(m1.version == 0L)
+
+    // Simulate the crash artifact: batch 1 wrote (part of) its delta —
+    // including a TRUNCATED parquet file — and died before
+    // writeManifest. Same on-disk state a kill -9 there leaves.
+    val torn = java.nio.file.Path.of(snap, "delta-v1", "__bucket=0")
+    Files.createDirectories(torn)
+    val tornFile = torn.resolve("part-00000-dead.snappy.parquet")
+    Files.write(tornFile, Array[Byte]('P', 'A', 'R', '1', 0, 0, 0))
+
+    // Crash-window invariant: latest manifest is still v0, references
+    // nothing under the torn delta, and the reader view is exactly the
+    // committed snapshot.
+    val mCrash = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(mCrash.version == 0L)
+    assert(mCrash.buckets.values.forall(!_.contains("delta-v1")),
+      s"manifest references a half-written delta: ${mCrash.buckets}")
+    assert(live(snap) == Map(1L -> 10L, 2L -> 20L))
+
+    // Restart against the same checkpoint: the staged file replays as
+    // batch id 1 — the SAME delta name — so overwrite replaces the
+    // torn directory wholesale before manifest v1 is published.
+    drain(root, Seq((2L, 21L, 3L, "upsert"), (3L, 30L, 4L, "upsert")),
+      buckets = 2)
+    val m2 = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(m2.version == 1L)
+    // every manifest-referenced bucket directory must be fully
+    // parquet-readable (a torn file surviving into a referenced path
+    // would throw here)
+    m2.buckets.values.foreach(p => spark.read.parquet(p).count())
+    assert(!Files.exists(tornFile),
+      "truncated pre-crash part file survived the replay overwrite")
+    assert(live(snap) == Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
+  }
+
   test("vacuum drops superseded deltas and keeps the snapshot readable") {
     val root = Files.createTempDirectory("graft-upsert-vac")
     val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
