@@ -39,9 +39,17 @@ object BottomKSample {
   }
 
   /** Nearest-rank sample quantiles: for each q (percent), the value at
-    * 0-based index `(k−1)·q div 100` of the sample sorted by
-    * (`valueCol`, `__h`). The window is over the k-row sample —
-    * post-shrink by construction.
+    * 0-based index `(k'−1)·q div 100` of the sample sorted by
+    * (`valueCol`, `__h`) — where k' is the sample's ACTUAL row count,
+    * not the nominal k: an input smaller than the requested sample
+    * size yields a sample of every row, and deriving indices from the
+    * nominal k would target rows that don't exist and silently drop
+    * quantiles. The window is over the k-row sample — post-shrink by
+    * construction.
+    *
+    * @param k the nominal sample size the caller requested — retained
+    *          for call-site symmetry with [[sample]]; indices come
+    *          from the actual count.
     */
   def sampleQuantiles(
       sampled: DataFrame, valueCol: Column, k: Int,
@@ -49,13 +57,15 @@ object BottomKSample {
     val sord = sampled
       .withColumn("__i",
         row_number().over(Window.orderBy(valueCol, col("__h"))) - 1)
+    val actualK = sampled.agg(count(lit(1)).cast("long").as("__k"))
     val qdf = qs.foldLeft(Option.empty[DataFrame]) { (acc, q) =>
       val one = sampled.sparkSession.range(1)
         .select(lit(q.toLong).as("q_pct"))
       Some(acc.map(_.unionByName(one)).getOrElse(one))
     }.get
-    qdf.join(sord,
-      col("__i") === expr(s"((${k - 1}) * q_pct) div 100"))
+    qdf.crossJoin(broadcast(actualK))
+      .select(col("q_pct"), expr("((__k - 1) * q_pct) div 100").as("__t"))
+      .join(sord, col("__i") === col("__t"))
       .select(col("q_pct"), valueCol.cast("long").as("est"))
   }
 

@@ -78,33 +78,42 @@ object ConstraintSuite {
     val subCs = constraints.collect { case c: SubsetOf => c }
 
     // One pass: n_rows + one conditional sum per row predicate + one
-    // exact distinct per uniqueness constraint.
+    // exact distinct per uniqueness constraint. Aggregate aliases are
+    // POSITIONAL (__ok_0, __d_1, …), never name-derived: constraint
+    // names are caller data and must stay out of every parsed surface
+    // — a name with a quote, comma, or backtick would otherwise break
+    // (or silently mis-bind) the alias and long-format SQL.
     val aggs: Seq[Column] =
       count(lit(1)).cast("long").as("__n") +:
-        (rowCs.map(c =>
+        (rowCs.zipWithIndex.map { case (c, i) =>
           sum(when(c.predicate, 1L).otherwise(0L)).cast("long")
-            .as(s"__ok_${c.name}")) ++
-          uniqCs.map(c =>
+            .as(s"__ok_$i")
+        } ++
+          uniqCs.zipWithIndex.map { case (c, i) =>
             count_distinct(struct(c.cols: _*)).cast("long")
-              .as(s"__d_${c.name}")))
+              .as(s"__d_$i")
+          })
     val one = df.agg(aggs.head, aggs.tail: _*)
 
-    // Long format via stack: (name, n_ok) per single-pass constraint.
-    // A suite of only referential checks has nothing to stack — the
-    // aggregate row then exists purely to anchor later unions, so it
-    // contributes zero rows here (stack(0) is a parse error).
+    // Long format: explode an array of (name, n_ok) structs — typed
+    // Column ops only, so constraint names ride as literal VALUES
+    // (never through a SQL parser). A suite of only referential checks
+    // has nothing to explode — the aggregate row then exists purely to
+    // anchor later unions, so it contributes zero rows here.
     val pairs: Seq[(String, String)] =
-      rowCs.map(c => c.name -> s"__ok_${c.name}") ++
-        uniqCs.map(c => c.name -> s"__d_${c.name}")
+      rowCs.zipWithIndex.map { case (c, i) => c.name -> s"__ok_$i" } ++
+        uniqCs.zipWithIndex.map { case (c, i) => c.name -> s"__d_$i" }
     val stacked =
       if (pairs.isEmpty)
         one.select(col("__n"), lit("").as("check_name"),
           lit(0L).as("__ok")).limit(0)
       else one.select(
         col("__n"),
-        expr(pairs.map { case (n, c) => s"'$n', $c" }
-          .mkString(s"stack(${pairs.size}, ", ", ", ")"))
-          .as(Seq("check_name", "__ok")))
+        explode(array(pairs.map { case (n, c) =>
+          struct(lit(n).as("check_name"), col(c).as("ok"))
+        }: _*)).as("__e"))
+        .select(col("__n"), col("__e.check_name").as("check_name"),
+          col("__e.ok").as("__ok"))
 
     // Referential constraints: one anti-join count each against the
     // deduplicated (and usually broadcast) reference key set.
@@ -125,8 +134,12 @@ object ConstraintSuite {
       acc.unionByName(d.select("__n", "check_name", "__ok")))
     all.select(
       col("check_name"),
+      // ppm through DECIMAL(38,0) like every other ppm site: __ok·10⁶
+      // in BIGINT wraps past ~9.2e12 rows — real at 100 TB.
       when(col("__n") === 0, lit(1000000L))
-        .otherwise(expr("(__ok * 1000000) div __n")).cast("long")
+        .otherwise(expr(
+          "CAST((CAST(__ok AS DECIMAL(38,0)) * 1000000) div __n AS BIGINT)"))
+        .cast("long")
         .as("metric_ppm"),
       (col("__n") - col("__ok")).cast("long").as("n_violations"),
       when(col("__ok") === col("__n"), lit("pass")).otherwise(lit("fail"))

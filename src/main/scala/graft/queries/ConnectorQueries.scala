@@ -387,6 +387,36 @@ object ConnectorQueries {
                 CAST(hi - lo AS BIGINT) AS n,
                 CAST(lo AS BIGINT) AS min_id,
                 CAST(hi - 1 AS BIGINT) AS max_id
-         FROM b ORDER BY slice""")
+         FROM b ORDER BY slice"""),
+
+    // Q296: V2 FUNCTION catalog — the AGGREGATE leg
+    // (`connector.catalog.functions.AggregateFunction`, the q285
+    // scalar leg's big sibling): the catalog publishes a mergeable
+    // aggregation that Spark plans with real partial/merge stages, so
+    // the exchange carries one 8-byte XOR state per (group, partition)
+    // instead of rows — the property that makes a catalog-published
+    // aggregate usable over 100 TB. XOR is the repo's order-
+    // independent digest primitive (the ChecksumSink commit protocol),
+    // and DuckDB's bit_xor is its oracle twin. Grouped by the
+    // catalog's own scalar residue16 so one statement exercises both
+    // function kinds through catalog resolution.
+    "q296_dsv2_catalog_aggregate" -> QuerySpec(
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+        graft.Tables.orders(s, dir).createOrReplaceTempView("g_q296_orders")
+        s.sql("""
+          SELECT graft_cat.ns.residue16(o_orderkey) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(graft_cat.ns.xor_digest(
+                        CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS xor_cents
+          FROM g_q296_orders
+          GROUP BY 1 ORDER BY bucket""")
+      },
+      """SELECT o_orderkey % 16 AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(bit_xor(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS xor_cents
+         FROM orders GROUP BY 1 ORDER BY bucket""")
   )
 }

@@ -60,33 +60,52 @@ object ChecksumSink {
 
   private val committed = new ConcurrentHashMap[String, Digest]()
 
-  /** Per-tag epoch ledgers for the streaming leg. Registry-level (not
-    * StreamingWrite-instance) state: the engine may construct a fresh
-    * Write per micro-batch, and epoch idempotence must survive that —
-    * and restarts within the JVM.
+  /** Per-tag streaming epoch state: the RUNNING cumulative digest plus
+    * only the most recent epoch's (id, digest) — O(1) per tag, not a
+    * per-epoch ledger. A long-running query commits millions of
+    * epochs; folding a full ledger on every commit would cost
+    * O(#epochs) driver time per batch and unbounded memory. The three
+    * replay cases Spark's epoch protocol can produce:
+    *  - epoch > last: new batch — add to the cumulative;
+    *  - epoch == last: replay of the batch in flight — REPLACE
+    *    (subtract the old digest, add the new: rows/sum negate, xor is
+    *    its own inverse);
+    *  - epoch < last: replay of a long-committed batch (its digest is
+    *    deterministic and already folded in) — ignore.
+    * Registry-level (not StreamingWrite-instance) state: the engine
+    * constructs a fresh Write per micro-batch, and epoch idempotence
+    * must survive that — and restarts within the JVM.
     */
-  private val epochLedgers =
-    new ConcurrentHashMap[String, ConcurrentHashMap[java.lang.Long, Digest]]()
+  private final case class EpochState(
+      cum: Digest, lastEpoch: Long, lastDigest: Digest)
+  private val epochStates = new ConcurrentHashMap[String, EpochState]()
 
   def result(tag: String): Option[Digest] = Option(committed.get(tag))
   def clear(tag: String): Unit = {
     committed.remove(tag)
-    epochLedgers.remove(tag)
+    epochStates.remove(tag)
   }
 
   private[sources] def publish(tag: String, d: Digest): Unit =
     committed.put(tag, d)
 
-  /** Epoch-keyed commit: a replayed epoch REPLACES its slot, then the
-    * cumulative digest across all committed epochs republishes.
+  /** Epoch-keyed commit: replay-idempotent (see [[EpochState]]), then
+    * the cumulative digest across all committed epochs republishes.
     */
   private[sources] def commitEpoch(tag: String, epochId: Long, d: Digest): Unit = {
-    val ledger = epochLedgers.computeIfAbsent(tag,
-      _ => new ConcurrentHashMap[java.lang.Long, Digest]())
-    ledger.put(epochId, d)
-    var tr = 0L; var ts = 0L; var tx = 0L
-    ledger.values().forEach { e => tr += e.rows; ts += e.sum; tx ^= e.xor }
-    committed.put(tag, Digest(tr, ts, tx))
+    val next = epochStates.compute(tag, (_, prev) =>
+      if (prev == null)
+        EpochState(d, epochId, d)
+      else if (epochId > prev.lastEpoch)
+        EpochState(Digest(prev.cum.rows + d.rows, prev.cum.sum + d.sum,
+          prev.cum.xor ^ d.xor), epochId, d)
+      else if (epochId == prev.lastEpoch)
+        EpochState(Digest(
+          prev.cum.rows - prev.lastDigest.rows + d.rows,
+          prev.cum.sum - prev.lastDigest.sum + d.sum,
+          prev.cum.xor ^ prev.lastDigest.xor ^ d.xor), epochId, d)
+      else prev)
+    committed.put(tag, next.cum)
   }
 }
 

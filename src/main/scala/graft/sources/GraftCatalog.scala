@@ -68,6 +68,22 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
       properties: util.Map[String, String]): Table = {
     requireNamespace(ident.namespace)
     if (tables.containsKey(ident)) throw new TableAlreadyExistsException(ident)
+    // Every table this catalog serves has the fixed range schema and
+    // no partitioning — a declaration that disagrees must FAIL here,
+    // not silently succeed and then serve different columns than the
+    // user declared. (An empty column list is allowed: the catalog
+    // fills in its schema, the usual CTAS-less "USING provider" form.)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"GraftCatalog tables are unpartitioned; got PARTITIONED BY " +
+          partitions.mkString(", "))
+    // names + types only: SQL-declared columns parse as nullable while
+    // the served schema is non-null — nullability is the catalog's call
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    if (schema.nonEmpty && shape(schema) != shape(RangeSource.schema))
+      throw new IllegalArgumentException(
+        s"GraftCatalog tables have the fixed schema " +
+          s"${RangeSource.schema.simpleString}; declared ${schema.simpleString}")
     val t = new RangeTable(
       Option(properties.get("start")).map(_.toLong).getOrElse(0L),
       Option(properties.get("end")).map(_.toLong).getOrElse(0L),
@@ -152,11 +168,13 @@ class GraftCatalog extends CatalogPlugin with TableCatalog
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] = {
     requireNamespace(namespace)
-    Array(Identifier.of(namespace, "residue16"))
+    Array(Identifier.of(namespace, "residue16"),
+      Identifier.of(namespace, "xor_digest"))
   }
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "residue16") GraftCatalog.Residue16Unbound
+    else if (ident.name == "xor_digest") GraftCatalog.XorDigestUnbound
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -181,6 +199,51 @@ object GraftCatalog {
       require(ok, s"residue16 takes one integral argument, got $inputType")
       Residue16
     }
+  }
+
+  /** `xor_digest(x)` — the V2 AGGREGATE function leg of the catalog
+    * ladder (`connector.catalog.functions.AggregateFunction`): the
+    * catalog publishes not just scalar compute but a full mergeable
+    * aggregation Spark plans with partial/merge stages like any
+    * builtin — `update` runs map-side per partition, `merge` combines
+    * partial states across the exchange, so the shuffle carries ONE
+    * 8-byte state per group per partition regardless of row count.
+    * XOR is the repo's order-independent digest primitive (the
+    * ChecksumSink commit protocol, the fingerprint gates), and its
+    * DuckDB twin `bit_xor` makes the leg oracle-checkable end to end.
+    * NULLs are ignored (aggregate convention); empty input → 0.
+    */
+  object XorDigestUnbound extends UnboundFunction {
+    override def name(): String = "xor_digest"
+    override def description(): String =
+      "xor_digest(x BIGINT) -> BIGINT: XOR of all non-null inputs (order-independent digest)"
+    override def bind(inputType: StructType): BoundFunction = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+      val ok = inputType.fields.length == 1 &&
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(inputType.fields(0).dataType)
+      require(ok, s"xor_digest takes one integral argument, got $inputType")
+      XorDigest
+    }
+  }
+
+  object XorDigest
+      extends org.apache.spark.sql.connector.catalog.functions
+        .AggregateFunction[java.lang.Long, java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = "xor_digest"
+    override def canonicalName(): String = "graft.xor_digest"
+    override def isResultNullable: Boolean = false
+    override def newAggregationState(): java.lang.Long = 0L
+    override def update(
+        state: java.lang.Long,
+        input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) state
+      else java.lang.Long.valueOf(state.longValue ^ input.getLong(0))
+    override def merge(s1: java.lang.Long, s2: java.lang.Long): java.lang.Long =
+      java.lang.Long.valueOf(s1.longValue ^ s2.longValue)
+    override def produceResult(state: java.lang.Long): java.lang.Long = state
   }
 
   object Residue16 extends ScalarFunction[java.lang.Long] {

@@ -56,4 +56,19 @@ class BottomKSampleSpec extends AnyFunSuite with SparkTestSession {
     assert(out(50L) == 3200L)  // index 31 -> 32nd smallest
     assert(out(100L) == 6400L)
   }
+
+  test("input smaller than the nominal k still answers every quantile") {
+    // indices must come from the ACTUAL sample count: with 5 rows and
+    // nominal k=256, index (255*q) div 100 targets rows that don't
+    // exist and would silently drop the quantile from the output
+    val df = (1 to 5).map(i => (s"k$i", i * 10L)).toDF("key", "v")
+    val samp = BottomKSample.sample(df, col("key"), 256)
+    val out = BottomKSample.sampleQuantiles(samp, col("v"), 256,
+      Seq(0, 50, 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 50L, 100L), s"quantiles dropped: $out")
+    assert(out(0L) == 10L)    // index (4*0) div 100 = 0
+    assert(out(50L) == 30L)   // index (4*50) div 100 = 2
+    assert(out(100L) == 50L)  // index 4
+  }
 }

@@ -69,6 +69,22 @@ class ConstraintSuiteSpec extends AnyFunSuite with SparkTestSession {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("hostile check names (quotes, commas, backticks, dots) ride as data") {
+    // names never enter a parsed surface — positional aggregate
+    // aliases + typed explode — so SQL metacharacters in a
+    // caller-supplied name must neither break parsing nor mis-bind
+    val df = Seq(1, 2, 3).toDF("v")
+    val names = Seq("it's, tricky", "back`tick", "a.b\"c", "stack(1, 'x')")
+    val out = byName(ConstraintSuite.evaluate(df,
+      names.zipWithIndex.map { case (n, i) => Satisfies(n, col("v") > i) } :+
+        Unique("dotted.unique", Seq(col("v")))))
+    assert(out(names.head) == ((1000000L, 0L, "pass")))
+    assert(out(names(1)) == ((666666L, 1L, "fail")))
+    assert(out(names(2)) == ((333333L, 2L, "fail")))
+    assert(out(names(3)) == ((0L, 3L, "fail")))
+    assert(out("dotted.unique") == ((1000000L, 0L, "pass")))
+  }
+
   test("duplicate check names are rejected") {
     val df = Seq(1).toDF("v")
     intercept[IllegalArgumentException] {

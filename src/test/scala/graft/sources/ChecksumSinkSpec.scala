@@ -162,6 +162,16 @@ class ChecksumSinkSpec extends AnyFunSuite with SparkTestSession {
     w.commit(1L, Array(ChecksumPartial(2, 20, 1), ChecksumPartial(3, 30, 2)))
     assert(ChecksumSink.result("t-stream-unit").get ===
       ChecksumSink.Digest(15, 150, 7 ^ 3))
+    // a replay of a LONG-committed epoch (older than the last) is a
+    // no-op: its deterministic digest is already folded in
+    w.commit(0L, Array(ChecksumPartial(10, 100, 7)))
+    assert(ChecksumSink.result("t-stream-unit").get ===
+      ChecksumSink.Digest(15, 150, 7 ^ 3))
+    // and the state is O(1) per tag — commits keep advancing correctly
+    // long after any per-epoch ledger would have grown unbounded
+    (2L to 101L).foreach(e => w.commit(e, Array(ChecksumPartial(1, e, 0))))
+    assert(ChecksumSink.result("t-stream-unit").get ===
+      ChecksumSink.Digest(115, 150 + (2L to 101L).sum, 7 ^ 3))
   }
 
   test("streaming drain through the sink digests every micro-batch exactly once") {

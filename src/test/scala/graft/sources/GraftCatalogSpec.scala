@@ -46,10 +46,56 @@ class GraftCatalogSpec extends AnyFunSuite with SparkTestSession {
     sqlc("DROP TABLE graft_cat.ns.t3")
   }
 
+  test("create rejects a schema or partitioning the catalog cannot serve") {
+    // a declared schema that disagrees with the fixed range schema
+    // must fail at CREATE, not silently serve different columns
+    val e1 = intercept[Exception] {
+      sqlc("""CREATE TABLE graft_cat.ns.t_bad (x INT, y STRING)
+              TBLPROPERTIES('start'='0', 'end'='10')""")
+    }
+    assert(e1.getMessage.contains("fixed schema"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      sqlc("""CREATE TABLE graft_cat.ns.t_bad
+              (id BIGINT, id_sq BIGINT, bucket BIGINT, label STRING)
+              PARTITIONED BY (bucket)
+              TBLPROPERTIES('start'='0', 'end'='10')""")
+    }
+    assert(e2.getMessage.contains("unpartitioned"), e2.getMessage)
+    intercept[Exception] { sqlc("SELECT * FROM graft_cat.ns.t_bad").collect() }
+    // the schema-less form is fine: the catalog fills in its schema
+    sqlc("""CREATE TABLE graft_cat.ns.t_free
+            TBLPROPERTIES('start'='0', 'end'='7')""")
+    assert(sqlc("SELECT count(*) FROM graft_cat.ns.t_free").head().getLong(0) === 7L)
+    sqlc("DROP TABLE graft_cat.ns.t_free")
+  }
+
   test("catalog namespaces: create and list") {
     sqlc("CREATE NAMESPACE IF NOT EXISTS graft_cat.aux")
     val ns = sqlc("SHOW NAMESPACES IN graft_cat").collect().map(_.getString(0))
     assert(ns.contains("aux") && ns.contains("ns"))
+  }
+
+  test("V2 catalog AGGREGATE function: partial/merge planning, null skip, empty input") {
+    import spark.implicits._
+    // 16 partitions force real cross-partition merge of XOR states
+    Seq[java.lang.Long](1L, 2L, 4L, null, 8L).toDF("v").repartition(16)
+      .createOrReplaceTempView("g_cat_agg")
+    val df = sqlc("SELECT graft_cat.ns.xor_digest(v) AS d FROM g_cat_agg")
+    assert(df.head().getLong(0) === (1L ^ 2L ^ 4L ^ 8L)) // null skipped
+    // the plan must be a two-stage aggregate (partial then final) —
+    // the merge path, not a single-stage collapse
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"no partial aggregation stage:\n$plan")
+    // empty input produces the initial state, not null
+    assert(sqlc("SELECT graft_cat.ns.xor_digest(v) FROM g_cat_agg WHERE v > 99")
+      .head().getLong(0) === 0L)
+    // grouped form through catalog resolution
+    val grouped = sqlc("""SELECT graft_cat.ns.residue16(v) AS b,
+                                 graft_cat.ns.xor_digest(v) AS d
+                          FROM g_cat_agg WHERE v IS NOT NULL
+                          GROUP BY 1 ORDER BY b""").collect()
+    assert(grouped.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 4L -> 4L, 8L -> 8L))
   }
 
   test("bound V2 function evaluates and matches its floorMod contract") {
