@@ -45,7 +45,8 @@ object SparkEntry {
       SignalQueries.specs ++ JourneyQueries.specs ++ FitEvalQueries.specs ++
       SegmentationQueries.specs ++ ConnectorQueries.specs ++
       AffinityQueries.specs ++ AssuranceQueries.specs ++
-      TypedApiQueries.specs ++ VariantQueries.specs ++ Sql4Queries.specs
+      TypedApiQueries.specs ++ VariantQueries.specs ++ Sql4Queries.specs ++
+      StateInspectionQueries.specs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map { case (k, v) => k -> v.fn }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+
+/** The streaming STATE introspection plane — Spark's state data
+  * source (`format("statestore")` / `format("state-metadata")`): the
+  * ops tool that answers "what does this production streaming job
+  * currently believe?" by reading a checkpoint's state stores as
+  * plain DataFrames, without touching the running query. At 100 TB
+  * of daily stream this is how state-skew, key-explosion, and
+  * poisoned-key incidents get debugged — offline, from the
+  * checkpoint, with ordinary SQL.
+  */
+object StateInspectionQueries {
+
+  private def withStatePartitions[A](
+      s: org.apache.spark.sql.SparkSession, n: Int)(start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  val specs: Map[String, QuerySpec] = Map(
+
+    // Q301: state-store reader — drain a keyed streaming aggregation
+    // (count + sum per order status) into a checkpoint, then read the
+    // aggregation STATE back through the state data source and check
+    // it equals the truth computed directly from the table. The sink
+    // is a discard foreachBatch (count() forces the batch so the
+    // state stores execute and commit; the OUTPUT goes nowhere): the
+    // assertion target is the state itself, which is exactly what an
+    // operator inspecting a production checkpoint has. State rows are
+    // (key struct, value struct, partition_id); each key lives in
+    // exactly one shuffle partition, so the projection needs no
+    // re-aggregation. Scale shape: the reader loads each state
+    // partition independently (one task per store) — inspection
+    // parallelism equals the query's state partitioning.
+    "q301_state_store_reader" -> QuerySpec(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q301")
+        Tables.orders(s, dir)
+          .select(col("o_orderstatus").as("st"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .write.mode("overwrite").parquet(tmp.resolve("in").toString)
+        val q = withStatePartitions(s, 4) {
+          s.readStream.schema("st STRING, cents BIGINT")
+            .parquet(tmp.resolve("in").toString)
+            .groupBy("st")
+            .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", tmp.resolve("cp").toString)
+            .start()
+        }
+        q.awaitTermination()
+        s.read.format("statestore").load(tmp.resolve("cp").toString)
+          .select(col("key.st").as("status"),
+            col("value.count").cast("long").as("n"),
+            col("value.sum").cast("long").as("cents"))
+          .orderBy("status")
+      },
+      """SELECT o_orderstatus AS status,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders GROUP BY 1 ORDER BY status"""),
+
+    // Q302: state-metadata reader — the checkpoint's own catalog:
+    // which stateful operators exist, under which store names, across
+    // how many partitions, spanning which batch range. The drain runs
+    // TWO batches (maxFilesPerTrigger=1 over two staged files) so the
+    // batch span is nontrivial; the oracle pins the expected metadata
+    // row exactly (operator name, store, partitions, batch ids) —
+    // values fixed by the query shape, not the data.
+    "q302_state_metadata" -> QuerySpec(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q302")
+        val src = Tables.orders(s, dir)
+          .select(col("o_orderstatus").as("st"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        src.filter(col("st") === "O").coalesce(1)
+          .write.mode("append").parquet(tmp.resolve("in").toString)
+        src.filter(col("st") =!= "O").coalesce(1)
+          .write.mode("append").parquet(tmp.resolve("in").toString)
+        val q = withStatePartitions(s, 4) {
+          s.readStream.schema("st STRING, cents BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp.resolve("in").toString)
+            .groupBy("st").agg(count(lit(1)).as("n"))
+            .writeStream
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", tmp.resolve("cp").toString)
+            .start()
+        }
+        q.awaitTermination()
+        s.read.format("state-metadata").load(tmp.resolve("cp").toString)
+          .select(col("operatorId").cast("long").as("operator_id"),
+            col("operatorName").as("operator_name"),
+            col("stateStoreName").as("store"),
+            col("numPartitions").cast("long").as("n_partitions"),
+            col("minBatchId").cast("long").as("min_batch"),
+            col("maxBatchId").cast("long").as("max_batch"))
+          .orderBy("operator_id")
+      },
+      """SELECT CAST(0 AS BIGINT) AS operator_id,
+                'stateStoreSave' AS operator_name,
+                'default' AS store,
+                CAST(4 AS BIGINT) AS n_partitions,
+                CAST(0 AS BIGINT) AS min_batch,
+                CAST(1 AS BIGINT) AS max_batch""")
+  )
+}
