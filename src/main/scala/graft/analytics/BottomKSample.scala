@@ -44,8 +44,8 @@ object BottomKSample {
     * not the nominal k: an input smaller than the requested sample
     * size yields a sample of every row, and deriving indices from the
     * nominal k would target rows that don't exist and silently drop
-    * quantiles. The window is over the k-row sample — post-shrink by
-    * construction.
+    * quantiles. The window runs over the sample relation (at most k
+    * rows) — post-shrink by construction.
     *
     * @param k the nominal sample size the caller requested — retained
     *          for call-site symmetry with [[sample]]; indices come

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.Tables
+import graft.{CacheScope, Tables}
 
 /** The streaming STATE introspection plane — Spark's state data
   * source (`format("statestore")` / `format("state-metadata")`): the
@@ -15,11 +15,28 @@ import graft.Tables
   */
 object StateInspectionQueries {
 
-  private def withStatePartitions[A](
-      s: org.apache.spark.sql.SparkSession, n: Int)(start: => A): A = {
+  /** Scope `spark.sql.shuffle.partitions` around an ENTIRE drain
+    * (start through awaitTermination), not just the `start()` call:
+    * StreamExecution counts down its start latch BEFORE cloning the
+    * session conf onto the stream thread, so a restore racing the
+    * clone could hand the stream the session default — and q302's
+    * oracle pins the partition count, which would turn that race into
+    * a flaky red. Holding the override until termination closes the
+    * window (AvailableNow drains terminate on their own).
+    */
+  private def drainWithStatePartitions(
+      s: org.apache.spark.sql.SparkSession, n: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    try start.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   val specs: Map[String, QuerySpec] = Map(
@@ -36,7 +53,11 @@ object StateInspectionQueries {
     // exactly one shuffle partition, so the projection needs no
     // re-aggregation. Scale shape: the reader loads each state
     // partition independently (one task per store) — inspection
-    // parallelism equals the query's state partitioning.
+    // parallelism equals the query's state partitioning. The state is
+    // status-cardinality-bounded, so it collects into a local
+    // relation and the staged copy + checkpoint are deleted before
+    // returning (bench reruns must not accumulate orders-sized temp
+    // copies).
     "q301_state_store_reader" -> QuerySpec(
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q301")
@@ -44,23 +65,29 @@ object StateInspectionQueries {
           .select(col("o_orderstatus").as("st"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
           .write.mode("overwrite").parquet(tmp.resolve("in").toString)
-        val q = withStatePartitions(s, 4) {
+        drainWithStatePartitions(s, 4) {
           s.readStream.schema("st STRING, cents BIGINT")
             .parquet(tmp.resolve("in").toString)
             .groupBy("st")
             .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
             .writeStream
-            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+              { b.count(); () })
             .outputMode("complete")
             .trigger(Trigger.AvailableNow())
             .option("checkpointLocation", tmp.resolve("cp").toString)
             .start()
         }
-        q.awaitTermination()
-        s.read.format("statestore").load(tmp.resolve("cp").toString)
+        val state = s.read.format("statestore")
+          .load(tmp.resolve("cp").toString)
           .select(col("key.st").as("status"),
             col("value.count").cast("long").as("n"),
             col("value.sum").cast("long").as("cents"))
+          .collect().toSeq // ≤ |status domain| rows
+        deleteRecursively(tmp)
+        import s.implicits._
+        state.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .toDF("status", "n", "cents")
           .orderBy("status")
       },
       """SELECT o_orderstatus AS status,
@@ -72,40 +99,48 @@ object StateInspectionQueries {
     // Q302: state-metadata reader — the checkpoint's own catalog:
     // which stateful operators exist, under which store names, across
     // how many partitions, spanning which batch range. The drain runs
-    // TWO batches (maxFilesPerTrigger=1 over two staged files) so the
-    // batch span is nontrivial; the oracle pins the expected metadata
-    // row exactly (operator name, store, partitions, batch ids) —
-    // values fixed by the query shape, not the data.
+    // TWO batches (maxFilesPerTrigger=1 over two staged files, both
+    // cut from ONE cached scan of orders) so the batch span is
+    // nontrivial; the oracle pins the expected metadata row exactly
+    // (operator name, store, partitions, batch ids) — values fixed by
+    // the query shape, not the data. Metadata is one row per stateful
+    // operator, so it collects and the staging is deleted.
     "q302_state_metadata" -> QuerySpec(
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-q302")
-        val src = Tables.orders(s, dir)
+        val src = CacheScope.persist(Tables.orders(s, dir)
           .select(col("o_orderstatus").as("st"),
-            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
         src.filter(col("st") === "O").coalesce(1)
           .write.mode("append").parquet(tmp.resolve("in").toString)
         src.filter(col("st") =!= "O").coalesce(1)
           .write.mode("append").parquet(tmp.resolve("in").toString)
-        val q = withStatePartitions(s, 4) {
+        drainWithStatePartitions(s, 4) {
           s.readStream.schema("st STRING, cents BIGINT")
             .option("maxFilesPerTrigger", 1)
             .parquet(tmp.resolve("in").toString)
             .groupBy("st").agg(count(lit(1)).as("n"))
             .writeStream
-            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => { b.count(); () })
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+              { b.count(); () })
             .outputMode("complete")
             .trigger(Trigger.AvailableNow())
             .option("checkpointLocation", tmp.resolve("cp").toString)
             .start()
         }
-        q.awaitTermination()
-        s.read.format("state-metadata").load(tmp.resolve("cp").toString)
-          .select(col("operatorId").cast("long").as("operator_id"),
-            col("operatorName").as("operator_name"),
-            col("stateStoreName").as("store"),
-            col("numPartitions").cast("long").as("n_partitions"),
-            col("minBatchId").cast("long").as("min_batch"),
-            col("maxBatchId").cast("long").as("max_batch"))
+        val meta = s.read.format("state-metadata")
+          .load(tmp.resolve("cp").toString)
+          .select(col("operatorId").cast("long"),
+            col("operatorName"), col("stateStoreName"),
+            col("numPartitions").cast("long"),
+            col("minBatchId").cast("long"), col("maxBatchId").cast("long"))
+          .collect().toSeq // one row per stateful operator
+        deleteRecursively(tmp)
+        import s.implicits._
+        meta.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toDF("operator_id", "operator_name", "store",
+            "n_partitions", "min_batch", "max_batch")
           .orderBy("operator_id")
       },
       """SELECT CAST(0 AS BIGINT) AS operator_id,

@@ -93,19 +93,27 @@ object ChecksumSink {
     * the cumulative digest across all committed epochs republishes.
     */
   private[sources] def commitEpoch(tag: String, epochId: Long, d: Digest): Unit = {
-    val next = epochStates.compute(tag, (_, prev) =>
-      if (prev == null)
-        EpochState(d, epochId, d)
-      else if (epochId > prev.lastEpoch)
-        EpochState(Digest(prev.cum.rows + d.rows, prev.cum.sum + d.sum,
-          prev.cum.xor ^ d.xor), epochId, d)
-      else if (epochId == prev.lastEpoch)
-        EpochState(Digest(
-          prev.cum.rows - prev.lastDigest.rows + d.rows,
-          prev.cum.sum - prev.lastDigest.sum + d.sum,
-          prev.cum.xor ^ prev.lastDigest.xor ^ d.xor), epochId, d)
-      else prev)
-    committed.put(tag, next.cum)
+    // The publish happens INSIDE the compute closure — under the
+    // tag's bin lock — so two queries sharing a tag can never publish
+    // a stale cumulative (state advanced to epoch N, committed left
+    // at N-1 by a late-finishing thread).
+    epochStates.compute(tag, (_, prev) => {
+      val next =
+        if (prev == null)
+          EpochState(d, epochId, d)
+        else if (epochId > prev.lastEpoch)
+          EpochState(Digest(prev.cum.rows + d.rows, prev.cum.sum + d.sum,
+            prev.cum.xor ^ d.xor), epochId, d)
+        else if (epochId == prev.lastEpoch)
+          EpochState(Digest(
+            prev.cum.rows - prev.lastDigest.rows + d.rows,
+            prev.cum.sum - prev.lastDigest.sum + d.sum,
+            prev.cum.xor ^ prev.lastDigest.xor ^ d.xor), epochId, d)
+        else prev
+      committed.put(tag, next.cum)
+      next
+    })
+    ()
   }
 }
 

@@ -43,9 +43,11 @@ class BpeOracleCrossEngineSpec extends AnyFunSuite with SparkTestSession {
          |    print('\\t'.join('NULL' if v is None else str(v) for v in r))
          |""".stripMargin
     val out = new StringBuilder
+    val err = new StringBuilder
     val code = (Seq("python3", "-c", script) ! ProcessLogger(
-      l => { out.append(l).append('\n'); () }, l => ()))
-    assert(code == 0, s"duckdb oracle run failed:\n$out")
+      l => { out.append(l).append('\n'); () },
+      l => { err.append(l).append('\n'); () }))
+    assert(code == 0, s"duckdb oracle run failed:\n$out\nstderr:\n$err")
     out.toString.split("\n").toSeq.filter(_.nonEmpty)
   }
 
