@@ -688,9 +688,10 @@ object LlmQueries {
           .select(col("doc_id"), col("sig"), col("sh"),
             size(col("sh")).cast("long").as("n"))
           .transform(graft.CacheScope.persist)
-        val banded = sets
-          .withColumn("hs", transform(col("sh"), h => hashMod(h)))
-          .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))
+        // band off the PERSISTED signature relation — recomputing the
+        // MinhashN-hash signature a second time just for banding was
+        // the dominant avoidable cost of this gate
+        val banded = sigs
           .withColumn("bands", Dedup.bandKeys(col("sig"), Bands, RowsPerBand))
           .select(col("doc_id"), col("bands"))
         val pairs = Dedup.candidatePairs(banded, "doc_id", "bands")
