@@ -16,7 +16,15 @@ package graft.queries
   *      hex-string cast in favor of an arithmetic strpos fold — same
   *      value, zero dependence on string→int cast behavior;
   *   3. bit lengths avoid `length(bin(w))` (render-width dependent)
-  *      in favor of counting powers of two ≤ w from a VALUES table.
+  *      in favor of counting powers of two ≤ w from a VALUES table;
+  *   4. DOUBLE final columns are allowed ONLY when the value is
+  *      per-row deterministic or integer-derived — a ratio of exact
+  *      BIGINTs, a dot product over a fixed-order array, an exact
+  *      rank pick. NEVER a cross-row float accumulation
+  *      (`sum(double)`, `avg(double)` over a shuffled relation):
+  *      float addition is non-associative, so partitioning would
+  *      change the bits and the driver hash. Audited round 11: all 18
+  *      DOUBLE-emitting gates satisfy this.
   *
   * Everything here is SQL-92-shaped arithmetic any DuckDB build
   * evaluates identically; each idiom also has a standalone canary gate
