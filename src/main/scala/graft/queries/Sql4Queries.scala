@@ -91,6 +91,120 @@ object Sql4Queries {
                      AS BIGINT) AS cents,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
          FROM lineitem WHERE l_quantity >= 10
-         GROUP BY 1, 2 ORDER BY 1, 2""")
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // Q303: collated grouping (Spark 4 string collations) — group
+    // case-mangled segment strings under UTF8_LCASE so 'AUTOMOBILE',
+    // 'automobile' and 'Automobile' land in ONE group, while
+    // count(DISTINCT seg) inside the group still counts binary
+    // variants. The group key is emitted as lower(min(seg)) — min
+    // over the UNCOLLATED column is a deterministic binary pick
+    // (uppercase sorts first), never whichever variant the hash
+    // aggregate happened to see first. Oracle: lower()-keyed grouping,
+    // equivalent for ASCII segment names. Collation-aware grouping is
+    // a property of the comparator, so the plan is still one ordinary
+    // hash aggregate — no normalization pre-pass materialized.
+    "q303_collated_grouping" -> QuerySpec(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_q303_customer")
+        s.sql("""
+          WITH src AS (SELECT CASE CAST(pmod(c_custkey, 3) AS INT)
+                         WHEN 0 THEN c_mktsegment
+                         WHEN 1 THEN lower(c_mktsegment)
+                         ELSE initcap(lower(c_mktsegment)) END AS seg
+                       FROM g_q303_customer)
+          SELECT lower(min(seg)) AS segment,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT seg) AS BIGINT) AS n_variants
+          FROM src
+          GROUP BY seg COLLATE UTF8_LCASE
+          ORDER BY segment""")
+      },
+      """WITH src AS (SELECT CASE c_custkey % 3
+                        WHEN 0 THEN c_mktsegment
+                        WHEN 1 THEN lower(c_mktsegment)
+                        ELSE upper(substr(c_mktsegment, 1, 1)) ||
+                             lower(substr(c_mktsegment, 2)) END AS seg
+                      FROM customer)
+         SELECT lower(min(seg)) AS segment,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT seg) AS BIGINT) AS n_variants
+         FROM src GROUP BY lower(seg) ORDER BY segment"""),
+
+    // Q304: XML ingest — the reference's envelope story for the OTHER
+    // document markup: build an XML envelope per order, parse it with
+    // schema'd from_xml AND path-level xpath, and prove both
+    // extraction planes agree with each other and with the raw
+    // columns (the oracle computes from the columns directly — no XML
+    // on the oracle side, same lossless-round-trip trick as q297).
+    // n_xpath_agree == n pins from_xml ≡ xpath row-by-row.
+    "q304_xml_ingest" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q304_orders")
+        s.sql("""
+          WITH env AS (SELECT concat('<o><k>', o_orderkey, '</k><st>',
+                         o_orderstatus, '</st><p>',
+                         CAST(round(o_totalprice * 100) AS BIGINT),
+                         '</p></o>') AS xml
+                       FROM g_q304_orders),
+          parsed AS (SELECT from_xml(xml, 'k BIGINT, st STRING, p BIGINT') AS x,
+                            xpath_string(xml, '/o/st') AS st_xpath
+                     FROM env)
+          SELECT x.st AS status,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x.p) AS BIGINT) AS cents,
+                 CAST(max(x.k) AS BIGINT) AS max_key,
+                 CAST(sum(CASE WHEN st_xpath = x.st THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_xpath_agree
+          FROM parsed GROUP BY 1 ORDER BY status""")
+      },
+      """SELECT o_orderstatus AS status,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents,
+                CAST(max(o_orderkey) AS BIGINT) AS max_key,
+                CAST(count(*) AS BIGINT) AS n_xpath_agree
+         FROM orders GROUP BY 1 ORDER BY status"""),
+
+    // Q305: try_* error-safe arithmetic — the ANSI-mode answer to
+    // "one poisoned row kills the 100 TB job": try_divide / try_cast
+    // / try_add return NULL instead of raising on division by zero,
+    // malformed numerics, and int64 overflow. The gate counts
+    // survivors per failure class; the oracle replays the
+    // admission rule arithmetically (no reliance on the oracle
+    // engine's own error semantics).
+    "q305_try_arithmetic" -> QuerySpec(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_q305_customer")
+        s.sql("""
+          WITH src AS (SELECT c_custkey AS k,
+                              CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                              CASE CAST(pmod(c_custkey, 3) AS INT)
+                                WHEN 0 THEN CAST(c_custkey AS STRING)
+                                WHEN 1 THEN concat('x', c_custkey)
+                                ELSE '' END AS numlike
+                       FROM g_q305_customer)
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(try_divide(cents, pmod(k, 7))) AS BIGINT)
+                   AS n_div_ok,
+                 CAST(count(try_cast(numlike AS BIGINT)) AS BIGINT)
+                   AS n_cast_ok,
+                 CAST(count(try_add(9223372036854775807,
+                        CASE WHEN pmod(k, 11) = 0 THEN 1 ELSE 0 END))
+                      AS BIGINT) AS n_add_ok,
+                 CAST(sum(coalesce(try_cast(numlike AS BIGINT), 0))
+                      AS BIGINT) AS cast_sum
+          FROM src""")
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN c_custkey % 7 <> 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_div_ok,
+                CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_cast_ok,
+                CAST(sum(CASE WHEN c_custkey % 11 <> 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_add_ok,
+                CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN c_custkey
+                              ELSE 0 END) AS BIGINT) AS cast_sum
+         FROM customer""")
   )
 }
