@@ -205,6 +205,39 @@ object Sql4Queries {
                      AS BIGINT) AS n_add_ok,
                 CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN c_custkey
                               ELSE 0 END) AS BIGINT) AS cast_sum
-         FROM customer""")
+         FROM customer"""),
+
+    // Q306: the SQL definition plane — Spark 4's CREATE FUNCTION
+    // (scalar SQL UDF), SQL table function, and session VARIABLE,
+    // composed: a scalar UDF defines the cents conversion once, a
+    // session variable holds the admission threshold, and a TABLE
+    // function parameterized by BOTH serves the filtered relation the
+    // final rollup reads. SQL UDFs inline into the plan (they are
+    // substitution, not black boxes), so the composed query still
+    // planned as one scan + filter + aggregate. The oracle writes the
+    // same logic inline.
+    "q306_sql_definitions" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q306_orders")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_q306_cents(p DOUBLE)
+                 RETURNS BIGINT RETURN CAST(round(p * 100) AS BIGINT)""")
+        s.sql("DECLARE OR REPLACE VARIABLE g_q306_min BIGINT DEFAULT 0")
+        s.sql("SET VAR g_q306_min = 15000000")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION g_q306_big()
+                 RETURNS TABLE(status STRING, cents BIGINT)
+                 RETURN SELECT o_orderstatus, g_q306_cents(o_totalprice)
+                        FROM g_q306_orders
+                        WHERE g_q306_cents(o_totalprice) >= g_q306_min""")
+        s.sql("""SELECT status, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(cents) AS BIGINT) AS cents
+                 FROM g_q306_big() GROUP BY 1 ORDER BY status""")
+      },
+      """SELECT o_orderstatus AS status,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders
+         WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 15000000
+         GROUP BY 1 ORDER BY status""")
   )
 }
