@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.{CacheScope, Tables}
+import graft.streaming.StreamingUpsert
 
 /** The streaming STATE introspection plane — Spark's state data
   * source (`format("statestore")` / `format("state-metadata")`): the
@@ -148,6 +149,77 @@ object StateInspectionQueries {
                 'default' AS store,
                 CAST(4 AS BIGINT) AS n_partitions,
                 CAST(0 AS BIGINT) AS min_batch,
-                CAST(1 AS BIGINT) AS max_batch""")
+                CAST(1 AS BIGINT) AS max_batch"""),
+
+    // Q307: snapshot TIME TRAVEL on the bucketed upsert store —
+    // versioned manifests + by-reference bucket carry-forward make
+    // "the table as of batch N" a free read: manifest v0 still points
+    // at exactly the files that were live when batch 0 committed
+    // (the Delta/Iceberg VERSION AS OF contract, built on the store's
+    // own commit protocol). Batch 0 lands every order; batch 1
+    // deletes the 'F' orders and bumps every 10th surviving key by 5
+    // cents. The gate reads BOTH versions and rolls each up; the
+    // oracle recomputes both states from the raw table. Reading v0
+    // after batch 1 costs the same as reading latest — time travel
+    // is manifest selection, not replay.
+    "q307_snapshot_time_travel" -> QuerySpec(
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q307")
+        val src = CacheScope.persist(Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("st")))
+        val b1 = src.select(col("k"), col("cents"),
+          lit(1L).as("__seq"), lit("upsert").as("__op"))
+        val b2 = src.filter(col("st") === "F")
+          .select(col("k"), lit(0L).as("cents"),
+            lit(2L).as("__seq"), lit("delete").as("__op"))
+          .unionByName(src.filter(col("st") =!= "F" && pmod(col("k"), lit(10)) === 0)
+            .select(col("k"), (col("cents") + 5L).as("cents"),
+              lit(2L).as("__seq"), lit("upsert").as("__op")))
+        val staging = tmp.resolve("staging").toString
+        val snap = tmp.resolve("snap").toString
+        val cp = tmp.resolve("cp").toString
+        def drainOne(batch: org.apache.spark.sql.DataFrame): Unit = {
+          batch.coalesce(1).write.mode("append").parquet(staging)
+          StreamingUpsert.mergeStream(s,
+            s.readStream.schema("k BIGINT, cents BIGINT, __seq BIGINT, __op STRING")
+              .parquet(staging),
+            snap, "k", cp, buckets = 8)
+          ()
+        }
+        drainOne(b1)
+        drainOne(b2)
+        def rollup(df: org.apache.spark.sql.DataFrame) = {
+          val r = df.agg(count(lit(1)).cast("long"),
+            sum("cents").cast("long")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val v0 = rollup(StreamingUpsert.snapshotAt(s, snap, 0L))
+        val v1 = rollup(StreamingUpsert.finalSnapshot(s, snap))
+        import s.implicits._
+        val out = Seq((0L, v0._1, v0._2), (1L, v1._1, v1._2))
+          .toDF("version", "n_live", "cents").orderBy("version")
+        val rows = out.collect().toSeq // 2 rows — detach from tmp
+        deleteRecursively(tmp)
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("version", "n_live", "cents").orderBy("version")
+      },
+      """WITH base AS (SELECT o_orderkey AS k,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                              o_orderstatus AS st
+                       FROM orders)
+         SELECT CAST(0 AS BIGINT) AS version,
+                CAST(count(*) AS BIGINT) AS n_live,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM base
+         UNION ALL
+         SELECT CAST(1 AS BIGINT),
+                CAST(sum(CASE WHEN st <> 'F' THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(CASE WHEN st <> 'F'
+                              THEN cents + CASE WHEN k % 10 = 0 THEN 5 ELSE 0 END
+                              ELSE 0 END) AS BIGINT)
+         FROM base
+         ORDER BY version""")
   )
 }

@@ -185,9 +185,27 @@ object StreamingUpsert {
   /** The reader view of a snapshot: live rows only (tombstones out),
     * assembled from the latest manifest's per-bucket directories.
     */
-  def finalSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val m = readLatestManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no snapshot manifest under $dir"))
+  def finalSnapshot(spark: SparkSession, dir: String): DataFrame =
+    snapshotOf(spark, dir, readLatestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no snapshot manifest under $dir")))
+
+  /** TIME TRAVEL: the live-row view as of manifest `version` (the
+    * batch id that committed it). Versioned manifests + by-reference
+    * bucket carry-forward make this free — an old manifest still
+    * points at exactly the files that were live when it was
+    * published, byte-untouched, so reading "the snapshot after batch
+    * N" costs the same as reading the latest. Valid until [[vacuum]]
+    * reclaims superseded deltas — run vacuum only after no reader
+    * needs the history (the same contract Delta/Iceberg retention
+    * windows encode).
+    */
+  def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    snapshotOf(spark, dir, readManifestVersion(spark, dir, version).getOrElse(
+      throw new IllegalStateException(
+        s"no manifest v$version under $dir (vacuumed, or never committed)")))
+
+  private def snapshotOf(
+      spark: SparkSession, dir: String, m: Manifest): DataFrame = {
     if (m.buckets.isEmpty)
       throw new IllegalStateException(s"snapshot under $dir holds no buckets")
     spark.read.parquet(m.buckets.values.toSeq: _*)
@@ -261,6 +279,19 @@ object StreamingUpsert {
       })
     if (versions.isEmpty) return None
     val (version, path) = versions.maxBy(_._1)
+    parseManifest(fs, path, version)
+  }
+
+  private[streaming] def readManifestVersion(
+      spark: SparkSession, dir: String, version: Long): Option[Manifest] = {
+    val mdir = new HPath(s"$dir/$ManifestDir")
+    val fs = fileSystem(spark, mdir)
+    val path = new HPath(mdir, s"v$version.json")
+    if (!fs.exists(path)) None else parseManifest(fs, path, version)
+  }
+
+  private def parseManifest(
+      fs: FileSystem, path: HPath, version: Long): Option[Manifest] = {
     val in = fs.open(path)
     val body =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)

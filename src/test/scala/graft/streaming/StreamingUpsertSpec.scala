@@ -220,6 +220,28 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     assert(live(snap) == Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
   }
 
+  test("snapshotAt reads the exact historical state; vacuum reclaims it") {
+    // versioned manifests + by-reference carry-forward = free time
+    // travel: manifest v0 still points at exactly the files that were
+    // live after batch 0
+    val root = Files.createTempDirectory("graft-upsert-tt")
+    val snap = drain(root,
+      Seq((1L, 10L, 1L, "upsert"), (2L, 20L, 2L, "upsert")), buckets = 2)
+    drain(root, Seq((2L, 21L, 3L, "upsert"), (3L, 30L, 4L, "upsert"),
+      (1L, 0L, 5L, "delete")), buckets = 2)
+    def liveAt(v: Long) =
+      StreamingUpsert.snapshotAt(spark, snap, v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(liveAt(0L) == Map(1L -> 10L, 2L -> 20L))
+    assert(live(snap) == Map(2L -> 21L, 3L -> 30L))
+    intercept[IllegalStateException] { liveAt(99L) }
+    // vacuum keeps only the latest manifest: history is reclaimed and
+    // time travel to v0 now fails loudly instead of reading torn state
+    StreamingUpsert.vacuum(spark, snap)
+    intercept[IllegalStateException] { liveAt(0L) }
+    assert(live(snap) == Map(2L -> 21L, 3L -> 30L))
+  }
+
   test("vacuum drops superseded deltas and keeps the snapshot readable") {
     val root = Files.createTempDirectory("graft-upsert-vac")
     val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
