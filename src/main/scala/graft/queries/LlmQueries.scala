@@ -679,9 +679,11 @@ object LlmQueries {
     // exhibit.
     "q253_minhash_estimate" -> QuerySpec(
       (s, dir) => {
+        // sets has exactly ONE consumer now that banding derives from
+        // the persisted sigs — no persist, or the gate pays a cache
+        // materialization of its largest intermediate for zero reuse
         val sets = nearDupCorpus(s, dir)
           .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-          .transform(graft.CacheScope.persist)
         val sigs = sets
           .withColumn("hs", transform(col("sh"), h => hashMod(h)))
           .withColumn("sig", Dedup.minhashSignature(col("hs"), coeffs))

@@ -195,14 +195,13 @@ object StateInspectionQueries {
             sum("cents").cast("long")).head()
           (r.getLong(0), r.getLong(1))
         }
+        // rollup() already materialized both states as plain tuples,
+        // so nothing below references tmp — safe to delete first
         val v0 = rollup(StreamingUpsert.snapshotAt(s, snap, 0L))
         val v1 = rollup(StreamingUpsert.finalSnapshot(s, snap))
-        import s.implicits._
-        val out = Seq((0L, v0._1, v0._2), (1L, v1._1, v1._2))
-          .toDF("version", "n_live", "cents").orderBy("version")
-        val rows = out.collect().toSeq // 2 rows — detach from tmp
         deleteRecursively(tmp)
-        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        import s.implicits._
+        Seq((0L, v0._1, v0._2), (1L, v1._1, v1._2))
           .toDF("version", "n_live", "cents").orderBy("version")
       },
       """WITH base AS (SELECT o_orderkey AS k,

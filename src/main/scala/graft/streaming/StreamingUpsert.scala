@@ -157,7 +157,27 @@ object StreamingUpsert {
               val prev =
                 if (prevPaths.isEmpty) admitted.limit(0)
                 else spark.read.parquet(prevPaths: _*)
-              val delta = s"$dir/delta-v$id"
+              // Delta naming must never overwrite files the PREV read
+              // references. Normal runs and crash-before-manifest
+              // replays write (over) `delta-v<id>` — nothing points at
+              // it. But a crash AFTER manifest v<id> published and
+              // BEFORE the checkpoint committed replays batch <id>
+              // with prevPaths INSIDE delta-v<id>; overwriting it
+              // would delete the files the lazy prev scan is about to
+              // read (overwrite clears the target before tasks run)
+              // and wedge the store on every restart. In that case
+              // write a fresh retry directory instead; the manifest
+              // overwrite re-points the buckets and vacuum reclaims
+              // the superseded attempt.
+              val deltaBase = s"$dir/delta-v$id"
+              val delta =
+                if (readManifestVersion(spark, dir, id).isEmpty) deltaBase
+                else {
+                  val fs = fileSystem(spark, new HPath(dir))
+                  val attempts = Option(fs.globStatus(new HPath(deltaBase + "*")))
+                    .map(_.length).getOrElse(0)
+                  s"$deltaBase-r$attempts"
+                }
               compact(prev, admitted, keyCol)
                 // expiry against the POST-batch high water
                 .filter(!(col("__op") === "delete"

@@ -220,6 +220,50 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     assert(live(snap) == Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
   }
 
+  test("crash AFTER manifest publish: replay must not overwrite the files it reads from") {
+    // The other half of the crash window: the JVM dies after
+    // writeManifest(v1) but BEFORE the checkpoint commits batch 1.
+    // On restart the engine replays batch 1 while the recovered
+    // manifest's bucket paths point INSIDE delta-v1 — so the replay
+    // must write a fresh retry directory instead of overwriting the
+    // very files its prev-snapshot scan reads (overwrite clears the
+    // target before tasks run → FileNotFound → the store would wedge
+    // on every restart). Simulated with a REAL engine replay: delete
+    // the checkpoint's commit marker for batch 1 and re-drain.
+    val root = Files.createTempDirectory("graft-upsert-replay")
+    val snap = drain(root,
+      Seq((1L, 10L, 1L, "upsert"), (2L, 20L, 2L, "upsert")), buckets = 2)
+    drain(root, Seq((2L, 21L, 3L, "upsert"), (3L, 30L, 4L, "upsert")),
+      buckets = 2)
+    val m1 = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(m1.version == 1L)
+    // crash simulation: batch 1's manifest is durable, its checkpoint
+    // commit is not (the local FS keeps a .crc sidecar — drop it too,
+    // or recreating the commit file trips the checksum layer's
+    // FileAlreadyExists guard)
+    val commits = root.resolve("checkpoint").resolve("commits")
+    Files.delete(commits.resolve("1"))
+    Files.deleteIfExists(commits.resolve(".1.crc"))
+
+    // restart with no new staged data: AvailableNow replays batch 1
+    val stream = spark.readStream
+      .schema("k BIGINT, v BIGINT, __seq BIGINT, __op STRING")
+      .parquet(root.resolve("staging").toString)
+    StreamingUpsert.mergeStream(spark, stream, snap,
+      "k", root.resolve("checkpoint").toString, buckets = 2)
+
+    val m2 = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(m2.version == 1L)
+    // every referenced bucket is fully readable and the merged state
+    // is EXACTLY the first attempt's — replay is idempotent
+    m2.buckets.values.foreach(p => spark.read.parquet(p).count())
+    assert(live(snap) == Map(1L -> 10L, 2L -> 21L, 3L -> 30L))
+    // the replay attempt wrote a RETRY delta, leaving the published
+    // v1 files untouched for its own prev read
+    assert(m2.buckets.values.exists(_.contains("delta-v1-r")),
+      s"replay overwrote the referenced delta in place: ${m2.buckets}")
+  }
+
   test("snapshotAt reads the exact historical state; vacuum reclaims it") {
     // versioned manifests + by-reference carry-forward = free time
     // travel: manifest v0 still points at exactly the files that were
