@@ -388,16 +388,26 @@ final class RangeScan(
     */
   override def supportedCustomMetrics(): Array[
       org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new org.apache.spark.sql.connector.metric.CustomSumMetric {
-      override def name(): String = "idsGenerated"
-      override def description(): String = "ids generated by the range scan"
-    })
+    Array(new IdsGeneratedMetric)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RangeReaderFactory(out.fieldNames, columnarBatch)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new RangeMicroBatchStream(lo, hi, slices, out, maxRowsPerBatch)
+}
+
+/** Driver-side descriptor for the scan's `idsGenerated` metric.
+  * MUST be a top-level class with a zero-arg constructor: the SQL UI
+  * listener re-instantiates it by reflection when aggregating task
+  * metrics, and an anonymous/inner class (whose constructor captures
+  * the enclosing scan) fails that load — the metric silently
+  * disappears from the SQL metrics pane.
+  */
+final class IdsGeneratedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "idsGenerated"
+  override def description(): String = "ids generated by the range scan"
 }
 
 /** Streaming offset = the next unrevealed id (ids below it are

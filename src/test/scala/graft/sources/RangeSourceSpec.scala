@@ -277,6 +277,19 @@ class RangeSourceSpec extends AnyFunSuite with SparkTestSession {
       s"custom metric missing: ${scan.metrics.keys}")
     assert(scan.metrics("idsGenerated").value === 130000L,
       "pushdown economics must be visible in the reported metric")
+    // The SQL UI listener aggregates task metrics by re-instantiating
+    // each declared CustomMetric class REFLECTIVELY with a zero-arg
+    // constructor (SQLAppStatusListener.aggregateMetrics). An
+    // anonymous/inner metric class captures its enclosing scan in the
+    // constructor, fails that load, and the metric silently vanishes
+    // from the SQL metrics pane — so replay the listener's load here.
+    scan.scan.supportedCustomMetrics().foreach { m =>
+      val reloaded = Class.forName(m.getClass.getName)
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.connector.metric.CustomMetric]
+      assert(reloaded.name() === m.name(),
+        s"listener-reloaded metric diverges for ${m.getClass.getName}")
+    }
   }
 
   private def readStreamRange(end: Long, maxRows: Long) =
