@@ -54,18 +54,24 @@ object BottomKSample {
   def sampleQuantiles(
       sampled: DataFrame, valueCol: Column, k: Int,
       qs: Seq[Int]): DataFrame = {
+    // k' rides the SAME window pass as the row index (unbounded frame
+    // over the identical spec) — a separate count aggregation over an
+    // un-persisted `sampled` would recompute the bottom-k sort/limit a
+    // second time, one extra full job per call. Both run over the
+    // sample relation (≤ k rows), so the single-partition window is
+    // post-shrink by construction.
+    val w = Window.orderBy(valueCol, col("__h"))
     val sord = sampled
-      .withColumn("__i",
-        row_number().over(Window.orderBy(valueCol, col("__h"))) - 1)
-    val actualK = sampled.agg(count(lit(1)).cast("long").as("__k"))
+      .withColumn("__i", row_number().over(w) - 1)
+      .withColumn("__k", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val qdf = qs.foldLeft(Option.empty[DataFrame]) { (acc, q) =>
       val one = sampled.sparkSession.range(1)
         .select(lit(q.toLong).as("q_pct"))
       Some(acc.map(_.unionByName(one)).getOrElse(one))
     }.get
-    qdf.crossJoin(broadcast(actualK))
-      .select(col("q_pct"), expr("((__k - 1) * q_pct) div 100").as("__t"))
-      .join(sord, col("__i") === col("__t"))
+    sord.join(broadcast(qdf),
+        col("__i") === expr("((__k - 1) * q_pct) div 100"))
       .select(col("q_pct"), valueCol.cast("long").as("est"))
   }
 

@@ -60,30 +60,57 @@ object ChecksumSink {
 
   private val committed = new ConcurrentHashMap[String, Digest]()
 
-  /** Per-tag streaming epoch state: the RUNNING cumulative digest plus
-    * only the most recent epoch's (id, digest) — O(1) per tag, not a
-    * per-epoch ledger. A long-running query commits millions of
-    * epochs; folding a full ledger on every commit would cost
-    * O(#epochs) driver time per batch and unbounded memory. The three
-    * replay cases Spark's epoch protocol can produce:
+  /** Per-tag streaming epoch state: the RUNNING cumulative digest, the
+    * most recent epoch's (id, digest), and a BOUNDED ring of the last
+    * [[RecentWindow]] epoch digests — O(1) per tag, not a per-epoch
+    * ledger. A long-running query commits millions of epochs; folding
+    * a full ledger on every commit would cost O(#epochs) driver time
+    * per batch and unbounded memory. The three replay cases Spark's
+    * epoch protocol can produce:
     *  - epoch > last: new batch — add to the cumulative;
     *  - epoch == last: replay of the batch in flight — REPLACE
     *    (subtract the old digest, add the new: rows/sum negate, xor is
     *    its own inverse);
-    *  - epoch < last: replay of a long-committed batch (its digest is
-    *    deterministic and already folded in) — ignore.
+    *  - epoch < last: replay of a long-committed batch — ignore, BUT
+    *    verify: the ignore is only sound when the source is
+    *    DETERMINISTIC (the replayed digest equals what was folded in).
+    *    If the replayed epoch is still inside the recent ring and its
+    *    digest DIFFERS (non-deterministic source, partitioning changed
+    *    across a restart), the stale digest is already baked into the
+    *    cumulative with no way to subtract it — so the mismatch is
+    *    logged and counted in [[replayMismatches]] for callers to
+    *    assert on. Replays older than the ring cannot be verified;
+    *    determinism of the source is the sink's API precondition.
     * Registry-level (not StreamingWrite-instance) state: the engine
     * constructs a fresh Write per micro-batch, and epoch idempotence
     * must survive that — and restarts within the JVM.
     */
   private final case class EpochState(
-      cum: Digest, lastEpoch: Long, lastDigest: Digest)
+      cum: Digest, lastEpoch: Long, lastDigest: Digest,
+      recent: Map[Long, Digest]) {
+    def remember(epochId: Long, d: Digest): Map[Long, Digest] = {
+      val r = recent + (epochId -> d)
+      if (r.size > RecentWindow) r - r.keys.min else r
+    }
+  }
+  private val RecentWindow = 64
   private val epochStates = new ConcurrentHashMap[String, EpochState]()
+  private val replayMismatchCounts = new ConcurrentHashMap[String, Long]()
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def result(tag: String): Option[Digest] = Option(committed.get(tag))
+
+  /** Count of older-epoch replays whose digest DIFFERED from the one
+    * already folded into the cumulative — each is a determinism-
+    * precondition violation the cumulative cannot self-correct.
+    */
+  def replayMismatches(tag: String): Long =
+    Option(replayMismatchCounts.get(tag)).getOrElse(0L)
+
   def clear(tag: String): Unit = {
     committed.remove(tag)
     epochStates.remove(tag)
+    replayMismatchCounts.remove(tag)
   }
 
   private[sources] def publish(tag: String, d: Digest): Unit =
@@ -100,16 +127,28 @@ object ChecksumSink {
     epochStates.compute(tag, (_, prev) => {
       val next =
         if (prev == null)
-          EpochState(d, epochId, d)
+          EpochState(d, epochId, d, Map(epochId -> d))
         else if (epochId > prev.lastEpoch)
           EpochState(Digest(prev.cum.rows + d.rows, prev.cum.sum + d.sum,
-            prev.cum.xor ^ d.xor), epochId, d)
+            prev.cum.xor ^ d.xor), epochId, d, prev.remember(epochId, d))
         else if (epochId == prev.lastEpoch)
           EpochState(Digest(
             prev.cum.rows - prev.lastDigest.rows + d.rows,
             prev.cum.sum - prev.lastDigest.sum + d.sum,
-            prev.cum.xor ^ prev.lastDigest.xor ^ d.xor), epochId, d)
-        else prev
+            prev.cum.xor ^ prev.lastDigest.xor ^ d.xor), epochId, d,
+            prev.remember(epochId, d))
+        else {
+          prev.recent.get(epochId).foreach { folded =>
+            if (folded != d) {
+              replayMismatchCounts.merge(tag, 1L, (a, b) => a + b)
+              log.error(
+                s"ChecksumSink[$tag] epoch $epochId replayed with digest $d "
+                  + s"but $folded is already folded into the cumulative — "
+                  + "non-deterministic source; cumulative digest is stale")
+            }
+          }
+          prev
+        }
       committed.put(tag, next.cum)
       next
     })

@@ -135,63 +135,8 @@ object StreamingUpsert {
 
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val st = state
-        // Late-record rejection against the PRE-batch high water (see
-        // the pairing argument in the scaladoc).
-        val admitted =
-          batch.filter(col("__seq") >= cutoff(st.highWater, tombstoneHorizon))
-            .persist()
-        try {
-          val bucketOf = pmod(hash(col(keyCol)), lit(buckets))
-          val touched = admitted.select(bucketOf.as("__bucket"))
-            .distinct().collect().map(_.getInt(0)).toSet // ≤ `buckets` rows
-          val batchMax = admitted.agg(max(col("__seq"))).head()
-          val newHigh =
-            if (batchMax.isNullAt(0)) st.highWater
-            else math.max(st.highWater, batchMax.getLong(0))
-
-          val newBuckets: SortedMap[Int, String] =
-            if (touched.isEmpty) st.buckets
-            else {
-              val prevPaths = touched.toSeq.sorted.flatMap(st.buckets.get)
-              val prev =
-                if (prevPaths.isEmpty) admitted.limit(0)
-                else spark.read.parquet(prevPaths: _*)
-              // Delta naming must never overwrite files the PREV read
-              // references. Normal runs and crash-before-manifest
-              // replays write (over) `delta-v<id>` — nothing points at
-              // it. But a crash AFTER manifest v<id> published and
-              // BEFORE the checkpoint committed replays batch <id>
-              // with prevPaths INSIDE delta-v<id>; overwriting it
-              // would delete the files the lazy prev scan is about to
-              // read (overwrite clears the target before tasks run)
-              // and wedge the store on every restart. In that case
-              // write a fresh retry directory instead; the manifest
-              // overwrite re-points the buckets and vacuum reclaims
-              // the superseded attempt.
-              val deltaBase = s"$dir/delta-v$id"
-              val delta =
-                if (readManifestVersion(spark, dir, id).isEmpty) deltaBase
-                else {
-                  val fs = fileSystem(spark, new HPath(dir))
-                  val attempts = Option(fs.globStatus(new HPath(deltaBase + "*")))
-                    .map(_.length).getOrElse(0)
-                  s"$deltaBase-r$attempts"
-                }
-              compact(prev, admitted, keyCol)
-                // expiry against the POST-batch high water
-                .filter(!(col("__op") === "delete"
-                  && col("__seq") < cutoff(newHigh, tombstoneHorizon)))
-                .withColumn("__bucket", bucketOf)
-                .repartition(math.min(buckets, touched.size), col("__bucket"))
-                .write.mode("overwrite").partitionBy("__bucket").parquet(delta)
-              st.buckets ++ touched.toSeq.sorted.map(b =>
-                b -> s"$delta/__bucket=$b")
-            }
-          val next = Manifest(newBuckets, newHigh, id)
-          writeManifest(spark, dir, next)
-          state = next
-        } finally admitted.unpersist()
+        state = mergeBatch(
+          spark, state, batch, id, dir, keyCol, buckets, tombstoneHorizon)
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -200,6 +145,107 @@ object StreamingUpsert {
     if (state.version < 0)
       throw new IllegalStateException("stream produced no microbatch")
     dir
+  }
+
+  /** One microbatch's merge against the snapshot — the exact
+    * `foreachBatch` body, extracted so the crash-recovery property
+    * can drive it directly under a simulated engine (checkpoint-
+    * commit markers + manifest recovery) and kill it at a RANDOM
+    * point in the write-delta → publish-manifest → commit sequence.
+    * `crashHook` fires at the three durability boundaries —
+    * `"start"` (nothing of this batch durable), `"after-delta"`
+    * (delta data durable, manifest not), `"after-manifest"`
+    * (manifest durable, checkpoint commit not — the caller records
+    * the commit only after this returns) — and a throw from the hook
+    * IS the kill: everything written before it stays on disk,
+    * exactly what a `kill -9` there leaves. Production passes the
+    * no-op hook and pays nothing.
+    */
+  private[streaming] def mergeBatch(
+      spark: SparkSession,
+      st: Manifest,
+      batch: DataFrame,
+      id: Long,
+      dir: String,
+      keyCol: String,
+      buckets: Int,
+      tombstoneHorizon: Long,
+      crashHook: String => Unit = _ => ()): Manifest = {
+    crashHook("start")
+    // Late-record rejection against the PRE-batch high water (see
+    // the pairing argument in the scaladoc).
+    val admitted =
+      batch.filter(col("__seq") >= cutoff(st.highWater, tombstoneHorizon))
+        .persist()
+    try {
+      val bucketOf = pmod(hash(col(keyCol)), lit(buckets))
+      val touched = admitted.select(bucketOf.as("__bucket"))
+        .distinct().collect().map(_.getInt(0)).toSet // ≤ `buckets` rows
+      val batchMax = admitted.agg(max(col("__seq"))).head()
+      val newHigh =
+        if (batchMax.isNullAt(0)) st.highWater
+        else math.max(st.highWater, batchMax.getLong(0))
+
+      val newBuckets: SortedMap[Int, String] =
+        if (touched.isEmpty) st.buckets
+        else {
+          val prevPaths = touched.toSeq.sorted.flatMap(st.buckets.get)
+          val prev =
+            if (prevPaths.isEmpty) admitted.limit(0)
+            else spark.read.parquet(prevPaths: _*)
+          // Delta naming must never overwrite files the PREV read
+          // references. Normal runs and crash-before-manifest
+          // replays write (over) `delta-v<id>` — nothing points at
+          // it. But a crash AFTER manifest v<id> published and
+          // BEFORE the checkpoint committed replays batch <id>
+          // with prevPaths INSIDE delta-v<id>; overwriting it
+          // would delete the files the lazy prev scan is about to
+          // read (overwrite clears the target before tasks run)
+          // and wedge the store on every restart. In that case
+          // write a fresh retry directory instead; the manifest
+          // overwrite re-points the buckets and vacuum reclaims
+          // the superseded attempt.
+          val deltaBase = s"$dir/delta-v$id"
+          val delta =
+            if (readManifestVersion(spark, dir, id).isEmpty) deltaBase
+            else {
+              // Retry suffix = 1 + MAX surviving -rN, never a COUNT
+              // of surviving attempts: vacuum can reclaim superseded
+              // attempts, and a count would then shrink and
+              // regenerate the name of a still-manifest-referenced
+              // survivor (only delta-v7-r1 left → count=1 → write
+              // delta-v7-r1 — the exact overwrite this branch
+              // exists to avoid). The exact-prefix glob
+              // `delta-v<id>-r*` also keeps delta-v1 from matching
+              // delta-v10's attempts.
+              val fs = fileSystem(spark, new HPath(dir))
+              val RetryName = raw"delta-v$id-r(\d+)".r
+              val maxRetry = Option(
+                fs.globStatus(new HPath(s"$deltaBase-r*")))
+                .getOrElse(Array.empty)
+                .flatMap(_.getPath.getName match {
+                  case RetryName(n) => Some(n.toLong)
+                  case _ => None
+                })
+                .foldLeft(0L)(math.max)
+              s"$deltaBase-r${maxRetry + 1}"
+            }
+          compact(prev, admitted, keyCol)
+            // expiry against the POST-batch high water
+            .filter(!(col("__op") === "delete"
+              && col("__seq") < cutoff(newHigh, tombstoneHorizon)))
+            .withColumn("__bucket", bucketOf)
+            .repartition(math.min(buckets, touched.size), col("__bucket"))
+            .write.mode("overwrite").partitionBy("__bucket").parquet(delta)
+          st.buckets ++ touched.toSeq.sorted.map(b =>
+            b -> s"$delta/__bucket=$b")
+        }
+      crashHook("after-delta")
+      val next = Manifest(newBuckets, newHigh, id)
+      writeManifest(spark, dir, next)
+      crashHook("after-manifest")
+      next
+    } finally admitted.unpersist()
   }
 
   /** The reader view of a snapshot: live rows only (tombstones out),
@@ -232,30 +278,53 @@ object StreamingUpsert {
       .filter(col("__op") === "upsert")
   }
 
-  /** Drop delta directories and manifests no longer referenced by the
-    * LATEST manifest (superseded buckets accumulate otherwise). Safe
-    * for readers of the latest snapshot; a reader pinned to an older
-    * manifest must finish first — run vacuum between drains, not
-    * concurrently with reads.
+  /** Drop delta directories and manifests outside the RETENTION
+    * WINDOW: the newest `retainLast` manifests stay readable (their
+    * versions keep time-traveling via [[snapshotAt]] — the full file
+    * CLOSURE of every retained manifest is kept, since carry-forward
+    * means an old manifest references files written many batches
+    * earlier), everything older is reclaimed and fails loudly on
+    * read. `retainLast = 1` is the classic "latest only" vacuum; a
+    * larger window is the Delta/Iceberg retention contract — routine
+    * vacuuming and snapshot history compose. Safe for readers of
+    * retained snapshots; a reader pinned to an OLDER manifest must
+    * finish first — run vacuum between drains, not concurrently with
+    * reads.
     */
-  def vacuum(spark: SparkSession, dir: String): Unit =
-    readLatestManifest(spark, dir).foreach { m =>
-      val root = new HPath(dir)
-      val fs = fileSystem(spark, root)
-      val live: Set[String] =
-        m.buckets.values.map(p => new HPath(p).getParent.toUri.getPath).toSet
-      fs.listStatus(root).foreach { s =>
-        val name = s.getPath.getName
-        if (name.startsWith("delta-v")
-            && !live.contains(s.getPath.toUri.getPath))
-          fs.delete(s.getPath, true)
-      }
-      val mdir = new HPath(root, ManifestDir)
-      fs.listStatus(mdir).foreach { s =>
-        if (s.getPath.getName != s"v${m.version}.json")
-          fs.delete(s.getPath, false)
-      }
+  def vacuum(spark: SparkSession, dir: String, retainLast: Int = 1): Unit = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    val root = new HPath(dir)
+    val fs = fileSystem(spark, root)
+    val mdir = new HPath(root, ManifestDir)
+    if (!fs.exists(mdir)) return
+    val versions = fs.listStatus(mdir).toSeq.flatMap(s =>
+      s.getPath.getName match {
+        case ManifestName(v) => Some(v.toLong)
+        case _ => None
+      }).sorted(Ordering[Long].reverse)
+    if (versions.isEmpty) return
+    val retained = versions.take(retainLast).toSet
+    // Live set = union of bucket-dir parents across EVERY retained
+    // manifest — by-reference carry-forward means version N's buckets
+    // may live in delta-v(N-k) for any k, so retention is closure-
+    // based, never "the last N delta dirs".
+    val live: Set[String] = retained.flatMap(v =>
+      readManifestVersion(spark, dir, v).toSeq.flatMap(
+        _.buckets.values.map(p => new HPath(p).getParent.toUri.getPath)))
+    fs.listStatus(root).foreach { s =>
+      val name = s.getPath.getName
+      if (name.startsWith("delta-v")
+          && !live.contains(s.getPath.toUri.getPath))
+        fs.delete(s.getPath, true)
     }
+    fs.listStatus(mdir).foreach { s =>
+      val keep = s.getPath.getName match {
+        case ManifestName(v) => retained.contains(v.toLong)
+        case _ => false
+      }
+      if (!keep) fs.delete(s.getPath, false)
+    }
+  }
 
   // ---- manifest persistence (tiny hand-rolled JSON — no new deps) ----
 

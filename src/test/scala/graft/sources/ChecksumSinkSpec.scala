@@ -174,6 +174,34 @@ class ChecksumSinkSpec extends AnyFunSuite with SparkTestSession {
       ChecksumSink.Digest(115, 150 + (2L to 101L).sum, 7 ^ 3))
   }
 
+  test("older-epoch replay with a DIFFERENT digest is detected, not silently absorbed") {
+    // The determinism precondition: an epoch < last replay is ignored
+    // because its digest is assumed already folded in. When that
+    // assumption breaks (non-deterministic source, partitioning change
+    // across a restart), the stale cumulative cannot self-correct —
+    // the sink must at least surface the violation.
+    val w = new ChecksumStreamingWrite("t-stream-mm")
+    ChecksumSink.clear("t-stream-mm")
+    w.commit(0L, Array(ChecksumPartial(10, 100, 7)))
+    w.commit(1L, Array(ChecksumPartial(5, 50, 3)))
+    w.commit(2L, Array(ChecksumPartial(1, 10, 1)))
+    assert(ChecksumSink.replayMismatches("t-stream-mm") === 0L)
+    // same-digest replay of a long-committed epoch: verified clean
+    w.commit(0L, Array(ChecksumPartial(10, 100, 7)))
+    assert(ChecksumSink.replayMismatches("t-stream-mm") === 0L)
+    // DIFFERENT digest for epoch 0 — counted; cumulative unchanged
+    // (there is nothing sound to do with it, that's the point)
+    w.commit(0L, Array(ChecksumPartial(11, 101, 7)))
+    assert(ChecksumSink.replayMismatches("t-stream-mm") === 1L)
+    assert(ChecksumSink.result("t-stream-mm").get ===
+      ChecksumSink.Digest(16, 160, 7 ^ 3 ^ 1))
+    // split-differently-but-equal replay still verifies clean
+    w.commit(1L, Array(ChecksumPartial(2, 20, 1), ChecksumPartial(3, 30, 2)))
+    assert(ChecksumSink.replayMismatches("t-stream-mm") === 1L)
+    ChecksumSink.clear("t-stream-mm")
+    assert(ChecksumSink.replayMismatches("t-stream-mm") === 0L)
+  }
+
   test("streaming drain through the sink digests every micro-batch exactly once") {
     import spark.implicits._
     ChecksumSink.clear("t-stream-e2e")

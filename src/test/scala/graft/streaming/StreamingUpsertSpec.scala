@@ -286,6 +286,81 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     assert(live(snap) == Map(2L -> 21L, 3L -> 30L))
   }
 
+  test("retention-window vacuum: retained versions stay readable, older fail loudly, reclaim is exactly the complement") {
+    val root = Files.createTempDirectory("graft-upsert-ret")
+    val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 2)
+    drain(root, Seq((2L, 20L, 2L, "upsert")), buckets = 2)
+    drain(root, Seq((1L, 11L, 3L, "upsert")), buckets = 2)
+    def liveAt(v: Long) =
+      StreamingUpsert.snapshotAt(spark, snap, v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the closure of the retained manifests, BEFORE vacuuming
+    val retainedDirs = (1L to 2L).flatMap(v =>
+      StreamingUpsert.readManifestVersion(spark, snap, v).get
+        .buckets.values.map(p =>
+          java.nio.file.Path.of(p).getParent.getFileName.toString)).toSet
+    import scala.jdk.CollectionConverters._
+    def deltaDirs = Files.list(java.nio.file.Path.of(snap)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("delta-v")).toSet
+    val reclaimable = deltaDirs -- retainedDirs
+
+    StreamingUpsert.vacuum(spark, snap, retainLast = 2)
+    // retained versions keep time-traveling (v1's buckets may live in
+    // delta-v0 via carry-forward — the closure keeps them)...
+    assert(liveAt(1L) == Map(1L -> 10L, 2L -> 20L))
+    assert(liveAt(2L) == Map(1L -> 11L, 2L -> 20L))
+    assert(live(snap) == Map(1L -> 11L, 2L -> 20L))
+    // ...older history fails loudly...
+    intercept[IllegalStateException] { liveAt(0L) }
+    // ...and the reclaimed file set is EXACTLY the complement of the
+    // retained closure
+    assert(deltaDirs == retainedDirs,
+      s"vacuum kept non-closure dirs or dropped closure dirs: " +
+        s"have $deltaDirs, closure $retainedDirs (reclaimable was $reclaimable)")
+    val manifests = Files.list(java.nio.file.Path.of(snap, "_graft_manifest"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).toSet
+    assert(manifests == Set("v1.json", "v2.json"))
+  }
+
+  test("retry suffix survives vacuum: a second replay never reuses a surviving retry name") {
+    // The round-11 advisory scenario: derive the retry suffix from a
+    // COUNT of surviving attempts and a post-vacuum second replay
+    // regenerates the name of the still-referenced survivor
+    // (delta-v1-r1), overwriting the files its own prev scan reads.
+    // The suffix must come from max(existing -rN) + 1 instead.
+    val root = Files.createTempDirectory("graft-upsert-rr")
+    val snap = drain(root,
+      Seq((1L, 10L, 1L, "upsert"), (2L, 20L, 2L, "upsert")), buckets = 1)
+    drain(root, Seq((2L, 21L, 3L, "upsert")), buckets = 1)
+    val commits = root.resolve("checkpoint").resolve("commits")
+    def replayBatch1(): Unit = {
+      Files.delete(commits.resolve("1"))
+      Files.deleteIfExists(commits.resolve(".1.crc"))
+      val stream = spark.readStream
+        .schema("k BIGINT, v BIGINT, __seq BIGINT, __op STRING")
+        .parquet(root.resolve("staging").toString)
+      StreamingUpsert.mergeStream(spark, stream, snap,
+        "k", root.resolve("checkpoint").toString, buckets = 1)
+    }
+    // first crash-after-manifest replay → writes delta-v1-r1
+    replayBatch1()
+    val mR1 = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(mR1.buckets.values.exists(_.contains("delta-v1-r1")), s"${mR1.buckets}")
+    // vacuum reclaims the superseded base attempt (delta-v1); only the
+    // surviving, referenced retry remains — the count-shrink trap
+    StreamingUpsert.vacuum(spark, snap)
+    assert(!Files.exists(java.nio.file.Path.of(snap, "delta-v1")))
+    // second replay of the same batch: must pick a FRESH name (r2),
+    // read prev from r1 untouched, and stay correct
+    replayBatch1()
+    val mR2 = StreamingUpsert.readLatestManifest(spark, snap).get
+    assert(mR2.buckets.values.exists(_.contains("delta-v1-r2")),
+      s"second replay reused a surviving retry dir: ${mR2.buckets}")
+    mR2.buckets.values.foreach(p => spark.read.parquet(p).count())
+    assert(live(snap) == Map(1L -> 10L, 2L -> 21L))
+  }
+
   test("vacuum drops superseded deltas and keeps the snapshot readable") {
     val root = Files.createTempDirectory("graft-upsert-vac")
     val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
