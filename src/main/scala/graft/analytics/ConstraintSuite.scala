@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
   *    one extra shuffle keyed on the checked tuple, the honest price
   *    of exactness; callers who can trade exactness for scale point
   *    the same predicate at `graft_hll` instead).
-  *  - [[ConstraintSuite.SubsetOf]] (referential integrity): one
-  *    left-anti count per reference. The ref side is deduplicated
-  *    first and broadcast when small (dimension tables — the common
-  *    case); a fact-sized ref falls back to a shuffled anti join.
+  *  - [[ConstraintSuite.SubsetOf]] (referential integrity): a
+  *    dimension-sized ref (`broadcastRef`, the common case) folds
+  *    into the SAME single scan — the deduplicated key set is
+  *    broadcast-left-joined onto the table and the match count rides
+  *    in the shared aggregate, so B dimension FKs cost B broadcast
+  *    probes on one pass, zero extra scans. A fact-sized ref falls
+  *    back to one shuffled anti join per constraint (its own shuffle
+  *    is inherent), with `n_rows` reused from the shared aggregate
+  *    rather than recounted.
   *
   * Output is the audit artifact itself: one row per constraint with
   * the measured metric in exact ppm (`ok·10⁶ div n` — integer
@@ -76,9 +81,24 @@ object ConstraintSuite {
     val rowCs = constraints.collect { case c: Satisfies => c }
     val uniqCs = constraints.collect { case c: Unique => c }
     val subCs = constraints.collect { case c: SubsetOf => c }
+    val bSubs = subCs.filter(_.broadcastRef).zipWithIndex
+    val sSubs = subCs.filterNot(_.broadcastRef)
+
+    // Broadcast-ref FK checks fold into the SAME single scan as the
+    // row predicates: left-join each deduplicated (hence
+    // multiplicity-1) broadcast key set onto the audited table and
+    // count matches in the shared aggregate — a suite of B dimension
+    // FKs costs B broadcast probes on one pass, not B extra
+    // table scans (round-11 advice: the per-constraint recount is
+    // gone entirely for the dimension case).
+    val widened = bSubs.foldLeft(df) { case (acc, (c, i)) =>
+      val refKeys = c.ref.select(col(c.refCol).as(s"__graft_ref_$i")).distinct()
+      acc.join(broadcast(refKeys), c.col === col(s"__graft_ref_$i"), "left")
+    }
 
     // One pass: n_rows + one conditional sum per row predicate + one
-    // exact distinct per uniqueness constraint. Aggregate aliases are
+    // exact distinct per uniqueness constraint + one matched-count per
+    // broadcast FK. Aggregate aliases are
     // POSITIONAL (__ok_0, __d_1, …), never name-derived: constraint
     // names are caller data and must stay out of every parsed surface
     // — a name with a quote, comma, or backtick would otherwise break
@@ -92,8 +112,13 @@ object ConstraintSuite {
           uniqCs.zipWithIndex.map { case (c, i) =>
             count_distinct(struct(c.cols: _*)).cast("long")
               .as(s"__d_$i")
+          } ++
+          bSubs.map { case (c, i) =>
+            // ok = null FK (not evidence either way) or matched
+            sum(when(c.col.isNull.or(col(s"__graft_ref_$i").isNotNull), 1L)
+              .otherwise(0L)).cast("long").as(s"__fk_$i")
           })
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = widened.agg(aggs.head, aggs.tail: _*)
 
     // Long format: explode an array of (name, n_ok) structs — typed
     // Column ops only, so constraint names ride as literal VALUES
@@ -102,7 +127,8 @@ object ConstraintSuite {
     // anchor later unions, so it contributes zero rows here.
     val pairs: Seq[(String, String)] =
       rowCs.zipWithIndex.map { case (c, i) => c.name -> s"__ok_$i" } ++
-        uniqCs.zipWithIndex.map { case (c, i) => c.name -> s"__d_$i" }
+        uniqCs.zipWithIndex.map { case (c, i) => c.name -> s"__d_$i" } ++
+        bSubs.map { case (c, i) => c.name -> s"__fk_$i" }
     val stacked =
       if (pairs.isEmpty)
         one.select(col("__n"), lit("").as("check_name"),
@@ -115,16 +141,18 @@ object ConstraintSuite {
         .select(col("__n"), col("__e.check_name").as("check_name"),
           col("__e.ok").as("__ok"))
 
-    // Referential constraints: one anti-join count each against the
-    // deduplicated (and usually broadcast) reference key set.
-    val subRows: Seq[DataFrame] = subCs.map { c =>
-      val refKeys0 = c.ref.select(col(c.refCol).as("__ref")).distinct()
-      val refKeys = if (c.broadcastRef) broadcast(refKeys0) else refKeys0
+    // Fact-sized (non-broadcast) referential constraints: one shuffled
+    // anti-join count each — those genuinely need their own shuffle.
+    // `__n` comes from the SAME aggregate as everything else
+    // (`one.select(__n)` — the identical subtree deduplicates at
+    // execution), not a per-constraint recount of the audited table.
+    val subRows: Seq[DataFrame] = sSubs.map { c =>
+      val refKeys = c.ref.select(col(c.refCol).as("__ref")).distinct()
       val viol = df.select(c.col.as("__v"))
         .filter(col("__v").isNotNull)
         .join(refKeys, col("__v") === col("__ref"), "left_anti")
         .agg(count(lit(1)).cast("long").as("__viol"))
-      df.agg(count(lit(1)).cast("long").as("__n"))
+      one.select(col("__n"))
         .crossJoin(viol)
         .select(col("__n"), lit(c.name).as("check_name"),
           (col("__n") - col("__viol")).as("__ok"))

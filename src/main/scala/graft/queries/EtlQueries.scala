@@ -246,6 +246,113 @@ object EtlQueries {
                            min(attribute)) AS c
            FROM resolved)
          SELECT r.attribute, r.inferred_type, (r.attribute = chosen.c) AS is_object_id
-         FROM resolved r CROSS JOIN chosen ORDER BY r.attribute""")
+         FROM resolved r CROSS JOIN chosen ORDER BY r.attribute"""),
+
+    // Q308 (S2/S3): the Mongo BSON→JSON normalization, oracle-gated
+    // without the connector jar (round-11 verdict item 1). The fixture
+    // is a deterministic Mongo EXTENDED-JSON corpus derived from
+    // `orders` — `$oid` wrappers (top-level and nested in a dict),
+    // `$date` wrappers (top-level with an optional fractional second,
+    // and nested inside a list), a scale-carrying decimal, plain
+    // ints/strings — and Spark runs the REAL recursive normalization
+    // path (MongoSource.normalizeExtendedJson: Jackson tree rewrite →
+    // reference `_serialize_value` semantics, ui/mongo_ingest.py:81-91)
+    // while the oracle constructs the expected serialized document
+    // directly from the base columns with the same arithmetic.
+    // Byte-exact on the full document string: field order, compact
+    // separators, decimal digits, Python isoformat fractional rules
+    // (6-digit micros, omitted when zero) all checked.
+    "q308_mongo_normalize" -> QuerySpec(
+      (s, dir) => {
+        val k = col("o_orderkey")
+        val d = to_date(col("o_orderdate"))
+        def pad(c: Column) = lpad(c.cast("string"), 2, "0")
+        val oid1 = lower(lpad(hex(k), 24, "0"))
+        val oid2 = lower(lpad(hex(k * 7), 24, "0"))
+        val t = concat(
+          date_format(d, "yyyy-MM-dd"), lit("T"),
+          pad(pmod(k, lit(24))), lit(":"), pad(pmod(k, lit(60))),
+          lit(":"), pad(pmod(k * 3, lit(60))))
+        val frac = when(pmod(k, lit(3)) === 0, lit(".500")).otherwise(lit(""))
+        val dec = col("o_totalprice").cast("decimal(12,2)").cast("string")
+        val docs = Tables.orders(s, dir).select(concat(
+          lit("{\"_id\":{\"$oid\":\""), oid1,
+          lit("\"},\"created\":{\"$date\":\""), t, frac, lit("Z\"},"),
+          lit("\"meta\":{\"ref\":{\"$oid\":\""), oid2,
+          lit("\"},\"n\":"), pmod(k, lit(97)),
+          lit("},\"tags\":[\"t"), pmod(k, lit(5)),
+          lit("\",{\"$date\":\""), t, lit("Z\"},123],"),
+          lit("\"total\":"), dec,
+          lit(",\"priority\":\""), col("o_orderpriority"),
+          lit("\"}")).as("raw"))
+        graft.sources.MongoSource.normalizeExtendedJson(docs)
+          .select(get_json_object(col("raw"), "$._id").as("doc_id"),
+            col("raw"))
+          .orderBy("doc_id")
+      },
+      """WITH src AS (
+           SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS amt,
+                  o_orderpriority AS pri
+           FROM orders),
+         doc AS (
+           SELECT lower(lpad(hex(k),24,'0')) AS oid1,
+                  lower(lpad(hex(k*7),24,'0')) AS oid2,
+                  strftime(d,'%Y-%m-%d')||'T'||
+                    lpad(CAST(k%24 AS VARCHAR),2,'0')||':'||
+                    lpad(CAST(k%60 AS VARCHAR),2,'0')||':'||
+                    lpad(CAST((k*3)%60 AS VARCHAR),2,'0') AS t,
+                  CASE WHEN k%3=0 THEN '.500000' ELSE '' END AS fracn,
+                  CAST(amt AS VARCHAR) AS decs, pri, k
+           FROM src)
+         SELECT oid1 AS doc_id,
+                '{"_id":"'||oid1||'","created":"'||t||fracn||
+                  '","meta":{"ref":"'||oid2||'","n":'||CAST(k%97 AS VARCHAR)||
+                  '},"tags":["t'||CAST(k%5 AS VARCHAR)||'","'||t||
+                  '",123],"total":'||decs||',"priority":"'||pri||'"}' AS raw
+         FROM doc ORDER BY doc_id"""),
+
+    // Q309: the reference's CORE PATH as a tracked throughput line
+    // (round-11 verdict item 5): S1 fixture docs → the full
+    // transformCollection plane (T1–T11: variant parse, typed casts,
+    // multi-format dates, error accumulation, audit columns) → BOTH
+    // output planes written through a Parquet sink double (the
+    // stand-in for the reference's Postgres appends — pipeline.py
+    // stage 5 + audit.py) → summary aggregated from the FILES WRITTEN,
+    // so the timed number includes parse + transform + sink I/O, and
+    // the oracle cross-checks the landed row counts from base columns.
+    // Bench runs this at sf0.1 every round — the reference's
+    // architectural bound is a single-process row loop; this is one
+    // narrow distributed pass per output plane.
+    "q309_etl_throughput" -> QuerySpec(
+      (s, dir) => {
+        val tc = Transform.transformCollection(
+          rawOrdersDocs(s, dir), "raw", "orders", ordersMapping,
+          EtlDefaults.runtime, EtlDefaults.audit,
+          clock = to_timestamp(lit("2024-01-01 00:00:00")))
+        val tmp = GateTmp.dir("graft-q309").toString
+        tc.target.write.mode("overwrite").parquet(s"$tmp/target")
+        tc.audit.write.mode("overwrite").parquet(s"$tmp/audit")
+        val a = s.read.parquet(s"$tmp/audit")
+        val t = s.read.parquet(s"$tmp/target")
+        a.agg(
+          count(lit(1)).cast("long").as("n_audit"),
+          sum(when(col("processing_status") === "error", 1L).otherwise(0L))
+            .cast("long").as("n_error"),
+          sum(when(size(col("missing_columns")) > 1, 1L).otherwise(0L))
+            .cast("long").as("n_missing_comment"))
+          .crossJoin(t.agg(
+            count(lit(1)).cast("long").as("n_target"),
+            sum(when(col("status") === "error", 1L).otherwise(0L))
+              .cast("long").as("n_target_error")))
+          .select("n_audit", "n_error", "n_missing_comment",
+            "n_target", "n_target_error")
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_audit,
+                CAST(sum(CASE WHEN o_orderkey%7=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                CAST(sum(CASE WHEN o_orderkey%5=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_comment,
+                CAST(count(*) AS BIGINT) AS n_target,
+                CAST(sum(CASE WHEN o_orderkey%7=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_error
+         FROM orders""")
   )
 }

@@ -48,7 +48,7 @@ object Sql4Queries {
               .orderBy("o_orderdate", "o_orderkey")).as("rn"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
           .createOrReplaceTempView("g_q299_ord")
-        s.sql("""
+        val out = s.sql("""
           WITH RECURSIVE walk(ck, rn, cum) AS (
             SELECT ck, rn, cents FROM g_q299_ord WHERE rn = 1
             UNION ALL
@@ -59,6 +59,24 @@ object Sql4Queries {
                  CAST(count(*) AS BIGINT) AS n_chains,
                  CAST(sum(cum) AS BIGINT) AS cum_cents
           FROM walk GROUP BY rn ORDER BY depth""")
+        // Materialize the ~depth-bounded rollup (≤ orders/customer
+        // rows) under a NARROW shuffle width, the way the streaming
+        // gates scope drains: the recursion runs ~25 rounds and every
+        // round pays per-partition scheduling on each exchange —
+        // 32-wide exchanges are pure overhead when the per-round
+        // frontier is customer-count-sized (round-11 verdict item 4;
+        // the same trick measured 6.5 → 2.6 s on q85). Shuffle width
+        // is read at EXECUTION, not plan construction, so the
+        // override must bracket an action: persist + count here, and
+        // later actions reuse the cached rollup. At cluster scale
+        // this constant disappears (the recursion depth, not the
+        // width, is the invariant) — drop the scope together with the
+        // BROADCAST hint per the sizing rule above.
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try { CacheScope.persist(out).count(); () }
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        out
       },
       """WITH RECURSIVE ord AS (
            SELECT o_custkey AS ck,

@@ -64,6 +64,33 @@ class OperatorGapSpec extends AnyFunSuite with SparkTestSession {
       MongoSource.read(spark, "mongodb://db.example.com:27017", "d", "c"))
   }
 
+  test("extended-JSON normalization: $oid/$date collapse recursively, everything else verbatim") {
+    import spark.implicits._
+    def norm(doc: String): String =
+      MongoSource.normalizeExtendedJson(Seq(doc).toDF("raw")).head().getString(0)
+    // deep nesting: wrapper inside dict inside list inside dict
+    assert(norm(
+      """{"_id":{"$oid":"64a10000000000000000beef"},"a":[{"b":{"$oid":"64a10000000000000000cafe"}},1]}""")
+      == """{"_id":"64a10000000000000000beef","a":[{"b":"64a10000000000000000cafe"},1]}""")
+    // $date: UTC instant -> pymongo-default naive isoformat; zero
+    // micros omitted, nonzero rendered 6-digit; offsets shift to UTC
+    assert(norm("""{"t":{"$date":"2023-06-01T08:30:00Z"}}""")
+      == """{"t":"2023-06-01T08:30:00"}""")
+    assert(norm("""{"t":{"$date":"2023-06-01T08:30:00.250Z"}}""")
+      == """{"t":"2023-06-01T08:30:00.250000"}""")
+    assert(norm("""{"t":{"$date":"2023-06-01T08:30:00+05:30"}}""")
+      == """{"t":"2023-06-01T03:00:00"}""")
+    // NOT the wrapper shape: a dict with $oid plus other keys, or a
+    // non-text $oid, passes through untouched (reference recursion
+    // only maps true BSON types)
+    assert(norm("""{"x":{"$oid":"abc","extra":1}}""")
+      == """{"x":{"$oid":"abc","extra":1}}""")
+    // unmodeled wrappers and numbers ride verbatim — decimal digits
+    // preserved (15.30 stays 15.30, never re-rendered as 15.3)
+    assert(norm("""{"n":{"$numberLong":"9"},"d":15.30,"s":"x"}""")
+      == """{"n":{"$numberLong":"9"},"d":15.30,"s":"x"}""")
+  }
+
   test("host guard parses the URI authority, not the first-colon prefix (F5)") {
     def reject(uri: String): Unit =
       assertThrows[graft.etl.ConfigError](MongoSource.read(spark, uri, "d", "c"))

@@ -69,6 +69,37 @@ class ConstraintSuiteSpec extends AnyFunSuite with SparkTestSession {
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}:\n$plan")
   }
 
+  test("a suite WITH broadcast FK checks still scans the audited table once") {
+    // Dimension FKs fold into the shared aggregate via broadcast left
+    // joins — the audited relation must appear EXACTLY once in the
+    // optimized plan even with row + unique + two FK constraints
+    // (round-11 advice: no per-FK recount of the audited table).
+    val dir = java.nio.file.Files.createTempDirectory("graft-cs-fk")
+    Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("k", "d")
+      .write.parquet(dir.resolve("fact").toString)
+    val fact = spark.read.parquet(dir.resolve("fact").toString)
+    val ref1 = Seq(1L, 2L, 3L).toDF("rk")
+    val ref2 = Seq(10L, 20L).toDF("rd")
+    val out = ConstraintSuite.evaluate(fact, Seq(
+      Satisfies("k_complete", col("k").isNotNull),
+      Unique("pk", Seq(col("k"))),
+      SubsetOf("fk1", col("k"), ref1, "rk"),
+      SubsetOf("fk2", col("d"), ref2, "rd")))
+    // the fact table is the only file-backed relation (refs are local),
+    // so "exactly one LogicalRelation" IS "audited table scanned once"
+    val factScans = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(factScans.size == 1,
+      s"expected 1 audited-table scan, got ${factScans.size}:\n" +
+        out.queryExecution.optimizedPlan)
+    val m = byName(out)
+    assert(m("fk1") == ((1000000L, 0L, "pass")))
+    assert(m("fk2") == ((666666L, 1L, "fail")))
+    assert(m("k_complete") == ((1000000L, 0L, "pass")))
+    assert(m("pk") == ((1000000L, 0L, "pass")))
+  }
+
   test("hostile check names (quotes, commas, backticks, dots) ride as data") {
     // names never enter a parsed surface — positional aggregate
     // aliases + typed explode — so SQL metacharacters in a
