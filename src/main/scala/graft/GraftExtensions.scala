@@ -188,6 +188,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.functions.CountMinQuery(children(0), children(1))))
     extensions.injectFunction((
+      FunctionIdentifier("graft_variant_tag"),
+      new ExpressionInfo(
+        classOf[graft.functions.VariantTypeTag].getName,
+        null,
+        "graft_variant_tag",
+        "graft_variant_tag(variant) - physical type tag of a variant " +
+          "value as a small int (0 json-null, 1 boolean, 2 long, " +
+          "3 decimal, 4 double, 5 string, 6 object, 7 array, 8 other); " +
+          "an O(1) header read where schema_of_variant renders a type " +
+          "string per row",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.VariantTypeTag(children.head)))
+    extensions.injectFunction((
       FunctionIdentifier("graft_frequent"),
       new ExpressionInfo(
         classOf[graft.functions.FrequentItemsAgg].getName,

@@ -91,6 +91,18 @@ object ConstraintSuite {
     // FKs costs B broadcast probes on one pass, not B extra
     // table scans (round-11 advice: the per-constraint recount is
     // gone entirely for the dimension case).
+    //
+    // The probe columns are synthetic `__graft_ref_<i>` names; an
+    // audited frame that already carries one would make the join
+    // condition ambiguous or silently mis-bind the matched-count
+    // (round-12 advice) — fail loudly up front instead.
+    if (bSubs.nonEmpty) {
+      val clash = df.columns.filter(_.startsWith("__graft_ref_"))
+      require(clash.isEmpty,
+        s"audited DataFrame carries reserved column(s) ${clash.mkString(", ")}" +
+          " — rename them before auditing (ConstraintSuite reserves the" +
+          " __graft_ref_ prefix for broadcast FK probes)")
+    }
     val widened = bSubs.foldLeft(df) { case (acc, (c, i)) =>
       val refKeys = c.ref.select(col(c.refCol).as(s"__graft_ref_$i")).distinct()
       acc.join(broadcast(refKeys), c.col === col(s"__graft_ref_$i"), "left")

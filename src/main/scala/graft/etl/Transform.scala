@@ -1,8 +1,10 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.functions.{MultiFormatTimestamp, VariantTypeTag}
 
 /** The ETL transform plane (reference T1–T10,
   * `etl_pipeline/transformer.py:7-125` + `pipeline.py:188-249`),
@@ -13,13 +15,17 @@ import org.apache.spark.sql.types._
   * `parse_json` into a VariantType column; every per-attribute semantic
   * (missing-vs-null, JSON-type-aware cast dispatch, first-match
   * multi-format dates, error capture) is a Column expression over that
-  * variant — the whole transform is a single `Project` that Catalyst
-  * pipelines into the scan, with nothing row-at-a-time and nothing on
-  * the driver. Variant access distinguishes exactly what the reference's
-  * Python dict sees:
+  * variant — the whole transform is a staged `Project` chain that
+  * Catalyst pipelines into the scan (one whole-stage-codegen pass), with
+  * nothing row-at-a-time and nothing on the driver: stage 1 parses and
+  * extracts each attribute's sub-variant ONCE ([[extractAttrs]]), stage
+  * 2 computes every typed value from those references. Variant access
+  * distinguishes exactly what the reference's Python dict sees:
   *   - attribute absent        → `variant_get` is SQL NULL        (T2)
   *   - attribute JSON null     → `is_variant_null`                (null passthrough)
-  *   - JSON value type         → `schema_of_variant`              (T3 dispatch)
+  *   - JSON value type         → [[graft.functions.VariantTypeTag]] (T3 dispatch —
+  *     an O(1) header read; `schema_of_variant` would render a type
+  *     string per attribute per row)
   *
   * Cast semantics matched to `transform_value` (`transformer.py:43-79`):
   * `int()` truncates numerics toward zero but rejects non-integral
@@ -52,6 +58,8 @@ object Transform {
       target: DataFrame, audit: DataFrame, shared: DataFrame)
 
   private val V = "__graft_variant"
+  private def vgCol(i: Int): String = s"__graft_vg_$i"
+  private val VgOid = "__graft_vg_oid"
 
   /** Variant path for a top-level attribute (bracket-quoted so dots or
     * spaces in attribute names stay literal).
@@ -60,15 +68,86 @@ object Transform {
     if (attr.matches("[A-Za-z_][A-Za-z0-9_]*")) s"$$.$attr"
     else "$['" + attr.replace("'", "\\'") + "']"
 
+  /** O(1) physical-type tag of a sub-variant (the header byte), wrapped
+    * directly so the transform works on sessions built without
+    * [[graft.GraftExtensions]]. Replaces the `schema_of_variant` string
+    * renders the dispatch used through round 12 — measured at ~3 variant
+    * traversals per attribute per row on the q309 throughput gate.
+    */
+  private def variantTag(vg: Column): Column =
+    GraftExpressionBridge.column(
+      VariantTypeTag(GraftExpressionBridge.expression(vg)))
+
+  /** Stage-1 projection: parse the document ONCE, then extract each
+    * mapped attribute's sub-variant ONCE into its own column (plus the
+    * object-id attribute's). Everything downstream dispatches on these
+    * attribute references, so per-row work is one parse + one
+    * object-field lookup per attribute — not one lookup per USE of the
+    * attribute. The multi-referenced non-cheap aliases (parse_json, each
+    * variant_get) keep CollapseProject from folding the stages back into
+    * duplicated work, while whole-stage codegen still fuses them into
+    * one pass.
+    */
+  private def extractAttrs(
+      raw: DataFrame, rawCol: String, cm: CollectionMapping): DataFrame = {
+    val withV = raw.withColumn(V, parse_json(col(rawCol)))
+    val v = col(V)
+    withV.select(
+      Seq(col(rawCol)) ++
+        cm.mappings.keys.toSeq.zipWithIndex.map { case (attr, i) =>
+          variant_get(v, path(attr), "variant").as(vgCol(i))
+        } ++
+        Seq(variant_get(v, path(cm.objectIdAttribute), "variant").as(VgOid)): _*)
+  }
+
+  private def mCol(i: Int): String = s"__graft_m_$i"
+  private def hCol(i: Int): String = s"__graft_h_$i"
+  private def pCol(i: Int): String = s"__graft_p_$i"
+  private val RawCol = "__raw"
+  private val OidCol = "__graft_oid"
+
+  private def needsParse(am: AttributeMapping): Boolean =
+    LogicalTypes.normalize(am.typeName) match {
+      case "date" | "datetime" => true
+      case _                   => false
+    }
+
+  /** Stage-1.5 projection: ONE first-match parse attempt per
+    * date/datetime attribute per row ([[graft.functions.MultiFormatTimestamp]]
+    * — exception-free, returns the matched-format index alongside the
+    * instant), staged so the value render, the `%z` offset decision and
+    * the error column all read the SAME parse result. The
+    * `coalesce(try_to_timestamp × N)` chain it replaces threw a caught
+    * DateTimeParseException per non-matching format per row and was
+    * re-evaluated by every consumer that needed the matched format.
+    */
+  private def parseStage(
+      ext: DataFrame, cm: CollectionMapping, runtime: RuntimeConfig): DataFrame = {
+    val patterns = runtime.dateFormats.map(StrptimeFormats.toParsePattern)
+    val parseCols = cm.mappings.values.toSeq.zipWithIndex.collect {
+      case (am, i) if needsParse(am) =>
+        val vg = col(vgCol(i))
+        when(variantTag(vg) === VariantTypeTag.TagString,
+          GraftExpressionBridge.column(MultiFormatTimestamp(
+            GraftExpressionBridge.expression(vg.try_cast("string")), patterns)))
+          .as(pCol(i))
+    }
+    if (parseCols.isEmpty) ext
+    else ext.select(ext.columns.map(col).toSeq ++ parseCols: _*)
+  }
+
   /** All per-attribute derived expressions for one mapping entry. */
   private final case class AttrExprs(
+      sourceAttr: String,
       targetColumn: String,
       value: Column,
       missing: Column,
-      error: Column)
+      hasValue: Column,
+      errorMessage: Option[String])
 
   private def attrExprs(
-      v: Column,
+      vg: Column,
+      parsed: Option[Column],
       sourceAttr: String,
       am: AttributeMapping,
       runtime: RuntimeConfig): AttrExprs = {
@@ -76,14 +155,17 @@ object Transform {
     if (!LogicalTypes.supported.contains(normalized))
       throw new ConfigError(s"Unsupported target type '${am.typeName}'")
 
-    val vg = variant_get(v, path(sourceAttr), "variant")
     val missing = vg.isNull
     val jsonNull = is_variant_null(vg)
     val hasValue = vg.isNotNull && !jsonNull
-    val vt = schema_of_variant(vg) // BIGINT | DECIMAL(p,s) | DOUBLE | STRING | BOOLEAN | VOID | ARRAY<..> | OBJECT<..>
-    val isBool = vt === "BOOLEAN"
-    val isString = vt === "STRING"
-    val isNumeric = vt === "BIGINT" || vt === "DOUBLE" || vt.startsWith("DECIMAL")
+    // Header-byte tag, not schema_of_variant: same dispatch domain
+    // (parse_json yields only null/bool/long/decimal/double/string/
+    // object/array), zero per-row string rendering.
+    val tag = variantTag(vg)
+    val isBool = tag === VariantTypeTag.TagBoolean
+    val isString = tag === VariantTypeTag.TagString
+    val isNumeric = tag.isin(
+      VariantTypeTag.TagLong, VariantTypeTag.TagDecimal, VariantTypeTag.TagDouble)
     val asString = vg.try_cast("string")
 
     def decimalType = s"decimal(${LogicalTypes.decimalPrecision},${LogicalTypes.decimalScale})"
@@ -121,17 +203,18 @@ object Transform {
             .otherwise(lit(null).cast("boolean")))
         .otherwise(lit(null).cast("boolean"))
 
-    // First-match multi-format parse chain (T4): one try_to_timestamp per
-    // configured format, coalesced in declared order.
-    lazy val parses: Seq[Column] = runtime.dateFormats.map { f =>
-      try_to_timestamp(asString, lit(StrptimeFormats.toParsePattern(f)))
-    }
-    lazy val parsedTs: Column = coalesce(parses: _*)
+    // First-match multi-format parse (T4): the staged
+    // MultiFormatTimestamp struct ([[parseStage]]) — `ts` is the first
+    // matching format's instant, `idx` which format matched (both NULL
+    // when nothing parsed, exactly like the old coalesced chain).
+    lazy val parsedTs: Column = parsed.get.getField("ts")
     lazy val matchedHasOffset: Column =
-      runtime.dateFormats.zip(parses)
-        .foldRight(lit(false)) { case ((f, p), acc) =>
-          when(p.isNotNull, lit(StrptimeFormats.hasOffsetDirective(f))).otherwise(acc)
-        }
+      coalesce(
+        element_at(
+          array(runtime.dateFormats.map(f =>
+            lit(StrptimeFormats.hasOffsetDirective(f))): _*),
+          parsed.get.getField("idx") + 1),
+        lit(false))
 
     /** Render `ts` through a strftime output format; `%z` renders as the
       * session-zone offset (`+0000` under UTC) when the matched input
@@ -171,33 +254,72 @@ object Transform {
       case "datetime"                               => datetimeValue
     }
 
-    // Cast failure → NULL + message (transformer.py:76-79); text never fails.
+    // Cast failure → NULL + message (transformer.py:76-79); text never
+    // fails. The error COLUMN is built downstream over the staged value
+    // ([[stagedValues]]) so the typed cast runs once per row, not once
+    // per referencing output column.
     val message = normalized match {
       case "text" | "string" | "varchar" => None
       case "date"                        => Some("invalid date format")
       case "datetime"                    => Some("invalid datetime format")
       case _                             => Some(s"invalid value for type '${am.typeName}'")
     }
-    val error: Column = message match {
-      case None      => lit(null).cast("string")
-      case Some(msg) =>
-        when(hasValue && value.isNull, lit(s"$sourceAttr: $msg"))
-          .otherwise(lit(null).cast("string"))
-    }
 
-    AttrExprs(am.column, when(hasValue, value), missing, error)
+    AttrExprs(sourceAttr, am.column, when(hasValue, value), missing, hasValue, message)
   }
+
+  /** Stage-2 projection: every typed value — including the multi-format
+    * date parse chains, the costliest expressions in the transform —
+    * computed ONCE per row and aliased, alongside the cheap missing /
+    * has-value bits. Downstream error/status/array columns reference
+    * these aliases instead of re-evaluating the cast trees (through
+    * round 12 the `__errors` array re-ran every typed cast once per
+    * output column that mentioned it — measured at 2–3× the whole
+    * transform's per-row work on the q309 gate). Multi-referenced
+    * non-cheap aliases keep CollapseProject from folding the stage back
+    * into duplicated work.
+    */
+  private def stagedValues(
+      ext: DataFrame, rawCol: String, attrs: Seq[AttrExprs]): DataFrame =
+    ext.select(
+      Seq(col(rawCol).as(RawCol), objectIdExpr(col(VgOid)).as(OidCol)) ++
+        attrs.zipWithIndex.flatMap { case (a, i) =>
+          Seq(
+            a.value.as(a.targetColumn),
+            a.missing.as(mCol(i)),
+            a.hasValue.as(hCol(i)))
+        }: _*)
+
+  /** `attr: message` error entries over the staged values: an attribute
+    * errored iff it HAD a value and the staged typed value is NULL
+    * (equivalent to the pre-staging `hasValue && typedValue.isNull`
+    * because the staged value is `when(hasValue, typedValue)`).
+    */
+  private def stagedErrors(attrs: Seq[AttrExprs]): Column =
+    array_compact(array(attrs.zipWithIndex.map { case (a, i) =>
+      a.errorMessage match {
+        case None      => lit(null).cast("string")
+        case Some(msg) =>
+          when(col(hCol(i)) && col(a.targetColumn).isNull,
+            lit(s"${a.sourceAttr}: $msg"))
+            .otherwise(lit(null).cast("string"))
+      }
+    }: _*))
+
+  private def stagedMissingColumns(attrs: Seq[AttrExprs]): Column =
+    array_compact(array(attrs.zipWithIndex.map { case (a, i) =>
+      when(col(mCol(i)), lit(a.targetColumn))
+    }: _*))
 
   /** Python `str(value)` for the audit object id (T10): string
-    * passthrough, capitalized booleans, numbers via cast.
+    * passthrough, capitalized booleans, numbers via cast. `vg` is the
+    * pre-extracted object-id sub-variant ([[extractAttrs]]).
     */
-  private def objectIdExpr(v: Column, attr: String): Column = {
-    val vg = variant_get(v, path(attr), "variant")
+  private def objectIdExpr(vg: Column): Column =
     when(vg.isNotNull && !is_variant_null(vg),
-      when(schema_of_variant(vg) === "BOOLEAN",
+      when(variantTag(vg) === VariantTypeTag.TagBoolean,
         when(vg.try_cast("boolean"), "True").otherwise("False"))
         .otherwise(vg.try_cast("string")))
-  }
 
   /** Full single-collection transform: returns the target-row DataFrame
     * and the audit-row DataFrame (K4 shape, `audit.py:13-31`), both
@@ -223,26 +345,23 @@ object Transform {
       objectStatus: String = "ALREADY_EXISTS",
       clock: Column = current_timestamp()): TransformedCollection = {
 
-    val withV = raw.withColumn(V, parse_json(col(rawCol)))
-    val v = col(V)
-    val attrs = cm.mappings.toSeq.map { case (attr, am) => attrExprs(v, attr, am, runtime) }
+    val ext = parseStage(extractAttrs(raw, rawCol, cm), cm, runtime)
+    val attrs = cm.mappings.toSeq.zipWithIndex.map { case ((attr, am), i) =>
+      attrExprs(col(vgCol(i)),
+        if (needsParse(am)) Some(col(pCol(i))) else None, attr, am, runtime)
+    }
+    val staged = stagedValues(ext, rawCol, attrs)
 
-    val missingColumns: Column =
-      array_compact(array(attrs.map(a => when(a.missing, lit(a.targetColumn))): _*))
-    val errors: Column =
-      array_compact(array(attrs.map(_.error): _*))
-    val statusCol: Column =
-      when(size(errors) > 0, audit.statusValues("error"))
-        .otherwise(audit.statusValues("success"))
-
-    val base = withV.select(
-      Seq(col(rawCol).as("__raw")) ++
-        attrs.map(a => a.value.as(a.targetColumn)) ++
+    val base = staged.select(
+      Seq(col(RawCol)) ++
+        attrs.map(a => col(a.targetColumn)) ++
         Seq(
-          missingColumns.as("__missing_columns"),
-          errors.as("__errors"),
-          statusCol.as("__status"),
-          objectIdExpr(v, cm.objectIdAttribute).as("__object_id")): _*)
+          stagedMissingColumns(attrs).as("__missing_columns"),
+          stagedErrors(attrs).as("__errors"),
+          col(OidCol).as("__object_id")): _*)
+      .withColumn("__status",
+        when(size(col("__errors")) > 0, audit.statusValues("error"))
+          .otherwise(audit.statusValues("success")))
 
     val bc = audit.businessColumns
     val target = base.select(
@@ -276,20 +395,27 @@ object Transform {
       cm: CollectionMapping,
       runtime: RuntimeConfig,
       audit: AuditSettings): DataFrame = {
-    val withV = raw.withColumn(V, parse_json(col(rawCol)))
-    val v = col(V)
-    val attrs = cm.mappings.toSeq.map { case (attr, am) => attrExprs(v, attr, am, runtime) }
-    val missingColumns =
-      array_compact(array(attrs.map(a => when(a.missing, lit(a.targetColumn))): _*))
-    val errors = array_compact(array(attrs.map(_.error): _*))
-    withV.select(
-      attrs.map(a => a.value.as(a.targetColumn)) ++
+    val ext = parseStage(extractAttrs(raw, rawCol, cm), cm, runtime)
+    val attrs = cm.mappings.toSeq.zipWithIndex.map { case ((attr, am), i) =>
+      attrExprs(col(vgCol(i)),
+        if (needsParse(am)) Some(col(pCol(i))) else None, attr, am, runtime)
+    }
+    val staged = stagedValues(ext, rawCol, attrs)
+    staged.select(
+      attrs.map(a => col(a.targetColumn)) ++
         Seq(
-          col(rawCol).as(cm.rawJsonColumn),
-          to_json(missingColumns).as("missing_columns"),
-          size(errors).as("n_errors"),
-          when(size(errors) > 0, audit.statusValues("error"))
-            .otherwise(audit.statusValues("success")).as("status"),
-          objectIdExpr(v, cm.objectIdAttribute).as("object_id")): _*)
+          col(RawCol).as(cm.rawJsonColumn),
+          to_json(stagedMissingColumns(attrs)).as("missing_columns"),
+          stagedErrors(attrs).as("__errors"),
+          col(OidCol).as("object_id")): _*)
+      .select(
+        attrs.map(a => col(a.targetColumn)) ++
+          Seq(
+            col(cm.rawJsonColumn),
+            col("missing_columns"),
+            size(col("__errors")).as("n_errors"),
+            when(size(col("__errors")) > 0, audit.statusValues("error"))
+              .otherwise(audit.statusValues("success")).as("status"),
+            col("object_id")): _*)
   }
 }

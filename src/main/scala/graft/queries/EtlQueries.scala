@@ -331,8 +331,18 @@ object EtlQueries {
           EtlDefaults.runtime, EtlDefaults.audit,
           clock = to_timestamp(lit("2024-01-01 00:00:00")))
         val tmp = GateTmp.dir("graft-q309").toString
-        tc.target.write.mode("overwrite").parquet(s"$tmp/target")
-        tc.audit.write.mode("overwrite").parquet(s"$tmp/audit")
+        // The TransformedCollection contract: persist `shared` around
+        // the two plane writes or the scan+parse+cast cost runs once
+        // per consumer (Pipeline.run does the same; the gate paid 2×
+        // through round 12). Scoped to THIS invocation — not
+        // CacheScope — so the bench's warmup cache can't feed the
+        // timed passes: every pass must pay the full parse + transform
+        // once, or this stops being a throughput gate.
+        tc.shared.persist()
+        try {
+          tc.target.write.mode("overwrite").parquet(s"$tmp/target")
+          tc.audit.write.mode("overwrite").parquet(s"$tmp/audit")
+        } finally tc.shared.unpersist(blocking = false)
         val a = s.read.parquet(s"$tmp/audit")
         val t = s.read.parquet(s"$tmp/target")
         a.agg(

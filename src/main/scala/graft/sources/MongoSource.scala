@@ -114,8 +114,9 @@ object MongoSource {
           && o.get("$oid").isTextual =>
         TextNode.valueOf(o.get("$oid").asText)
       case o: ObjectNode if o.size == 1 && o.has("$date")
-          && o.get("$date").isTextual =>
-        TextNode.valueOf(isoNaive(o.get("$date").asText))
+          && o.get("$date").isTextual
+          && isoNaive(o.get("$date").asText).isDefined =>
+        TextNode.valueOf(isoNaive(o.get("$date").asText).get)
       case o: ObjectNode =>
         val out = mapper.createObjectNode()
         val fields = o.fields()
@@ -135,21 +136,28 @@ object MongoSource {
   /** `$date` ISO instant → pymongo-default naive `isoformat()`: shift
     * to UTC, drop the offset, microseconds 6-digit or omitted-if-zero
     * (Python's exact rendering). An offset-less `$date` is already
-    * naive and passes through re-rendered the same way.
+    * naive and passes through re-rendered the same way. A textual
+    * `$date` NEITHER parser accepts (date-only, epoch-millis text, …)
+    * returns None and the wrapper passes through VERBATIM — the same
+    * policy every other unmodeled extended-JSON shape gets (round-12
+    * advice: an executor throw here failed the whole ingest job).
     */
-  private[sources] def isoNaive(s: String): String = {
+  private[sources] def isoNaive(s: String): Option[String] = {
     val ldt =
-      try java.time.OffsetDateTime.parse(s)
-        .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+      try Some(java.time.OffsetDateTime.parse(s)
+        .withOffsetSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime)
       catch {
         case _: java.time.format.DateTimeParseException =>
-          java.time.LocalDateTime.parse(s)
+          try Some(java.time.LocalDateTime.parse(s))
+          catch { case _: java.time.format.DateTimeParseException => None }
       }
-    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
-      f"${ldt.getDayOfMonth}%02dT${ldt.getHour}%02d:" +
-      f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
-    val micros = ldt.getNano / 1000
-    if (micros == 0) base else f"$base.$micros%06d"
+    ldt.map { l =>
+      val base = f"${l.getYear}%04d-${l.getMonthValue}%02d-" +
+        f"${l.getDayOfMonth}%02dT${l.getHour}%02d:" +
+        f"${l.getMinute}%02d:${l.getSecond}%02d"
+      val micros = l.getNano / 1000
+      if (micros == 0) base else f"$base.$micros%06d"
+    }
   }
 
   /** S3 — 1-document preview per collection for mapping inference. */

@@ -133,15 +133,25 @@ object StreamingUpsert {
     @volatile var state: Manifest = readLatestManifest(spark, dir)
       .getOrElse(Manifest(SortedMap.empty, Long.MinValue, -1L))
 
-    val q: StreamingQuery = stream.writeStream
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        state = mergeBatch(
-          spark, state, batch, id, dir, keyCol, buckets, tombstoneHorizon)
-      }
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .start()
-    q.awaitTermination()
+    // Drain lease: held for the whole drain so a concurrent [[vacuum]]
+    // fails loudly instead of racing a reclaim against the merge loop's
+    // reads (round-12 advice: make the "run vacuum between drains"
+    // contract mechanical). Overwrite-acquire — a lease left by a
+    // CRASHED drain is superseded by the next drain, which legitimately
+    // owns the store again.
+    val fs = fileSystem(spark, new HPath(dir))
+    fs.create(leasePath(dir), true).close()
+    try {
+      val q: StreamingQuery = stream.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          state = mergeBatch(
+            spark, state, batch, id, dir, keyCol, buckets, tombstoneHorizon)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .start()
+      q.awaitTermination()
+    } finally fs.delete(leasePath(dir), false)
     if (state.version < 0)
       throw new IllegalStateException("stream produced no microbatch")
     dir
@@ -179,12 +189,18 @@ object StreamingUpsert {
         .persist()
     try {
       val bucketOf = pmod(hash(col(keyCol)), lit(buckets))
-      val touched = admitted.select(bucketOf.as("__bucket"))
-        .distinct().collect().map(_.getInt(0)).toSet // ≤ `buckets` rows
-      val batchMax = admitted.agg(max(col("__seq"))).head()
+      // ONE aggregate computes both the touched-bucket set (collect_set
+      // is bounded by `buckets`, map-side combined) and the batch max —
+      // this was two separate jobs before the delta write through
+      // round 12, the bench-visible half of the q137/q204 write-path
+      // drift.
+      val pre = admitted.agg(
+        collect_set(bucketOf).as("__touched"),
+        max(col("__seq")).as("__max")).head()
+      val touched = pre.getSeq[Int](0).toSet
       val newHigh =
-        if (batchMax.isNullAt(0)) st.highWater
-        else math.max(st.highWater, batchMax.getLong(0))
+        if (pre.isNullAt(1)) st.highWater
+        else math.max(st.highWater, pre.getLong(1))
 
       val newBuckets: SortedMap[Int, String] =
         if (touched.isEmpty) st.buckets
@@ -206,8 +222,14 @@ object StreamingUpsert {
           // overwrite re-points the buckets and vacuum reclaims
           // the superseded attempt.
           val deltaBase = s"$dir/delta-v$id"
+          // "Was manifest v<id> already published?" is answerable from
+          // the carried state — no filesystem probe per microbatch:
+          // versions are the engine's monotonic batch ids and `st` IS
+          // the latest manifest at entry (recovered at stream start,
+          // then carried), so st.version < id ⟺ batch <id> never
+          // published ⟺ nothing can reference delta-v<id>.
           val delta =
-            if (readManifestVersion(spark, dir, id).isEmpty) deltaBase
+            if (st.version < id) deltaBase
             else {
               // Retry suffix = 1 + MAX surviving -rN, never a COUNT
               // of surviving attempts: vacuum can reclaim superseded
@@ -290,11 +312,28 @@ object StreamingUpsert {
     * retained snapshots; a reader pinned to an OLDER manifest must
     * finish first — run vacuum between drains, not concurrently with
     * reads.
+    *
+    * The between-drains half of that contract is MECHANICAL: a drain
+    * ([[mergeStream]]) holds a lease file for its whole run, and vacuum
+    * REFUSES (IllegalStateException) while the lease exists. A lease
+    * left behind by a drain that died before releasing can be
+    * overridden with `breakLease = true` once the operator has
+    * confirmed the drain is gone (the next drain would supersede it
+    * anyway).
     */
-  def vacuum(spark: SparkSession, dir: String, retainLast: Int = 1): Unit = {
+  def vacuum(
+      spark: SparkSession,
+      dir: String,
+      retainLast: Int = 1,
+      breakLease: Boolean = false): Unit = {
     require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
     val root = new HPath(dir)
     val fs = fileSystem(spark, root)
+    if (!breakLease && fs.exists(leasePath(dir)))
+      throw new IllegalStateException(
+        s"vacuum($dir) refused: a drain holds ${leasePath(dir)} — " +
+          "run vacuum between drains, or pass breakLease=true after " +
+          "confirming the drain is dead")
     val mdir = new HPath(root, ManifestDir)
     if (!fs.exists(mdir)) return
     val versions = fs.listStatus(mdir).toSeq.flatMap(s =>
@@ -330,6 +369,13 @@ object StreamingUpsert {
 
   private val ManifestDir = "_graft_manifest"
   private val ManifestName = raw"v(\d+)\.json".r
+
+  /** Drain-lease marker at the store root (NOT inside the manifest dir,
+    * whose cleanup loop deletes unrecognized names; the root loop only
+    * touches `delta-v*`).
+    */
+  private[streaming] def leasePath(dir: String): HPath =
+    new HPath(s"$dir/_graft_drain.lease")
 
   private def fileSystem(spark: SparkSession, p: HPath): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

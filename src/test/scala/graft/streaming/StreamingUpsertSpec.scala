@@ -379,4 +379,37 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
       .filterNot(_.startsWith(".")).toSet
     assert(manifests == Set("v1.json"))
   }
+
+  test("vacuum-during-drain is rejected by the lease; breakLease overrides; a finished drain leaves no lease") {
+    val root = Files.createTempDirectory("graft-upsert-lease")
+    val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
+    drain(root, Seq((1L, 11L, 2L, "upsert")), buckets = 1)
+
+    // a completed drain releases its lease: vacuum runs freely
+    val leaseFile = java.nio.file.Path.of(
+      StreamingUpsert.leasePath(snap).toUri.getPath)
+    assert(!Files.exists(leaseFile),
+      "drain must release the lease on completion")
+    StreamingUpsert.vacuum(spark, snap)
+
+    // simulate an in-flight drain (exactly what mergeStream plants)
+    drain(root, Seq((2L, 20L, 3L, "upsert")), buckets = 1)
+    Files.createFile(leaseFile)
+    val e = intercept[IllegalStateException] {
+      StreamingUpsert.vacuum(spark, snap)
+    }
+    assert(e.getMessage.contains("lease"))
+    // refusal must not have reclaimed anything: both manifests readable
+    assert(live(snap) == Map(1L -> 11L, 2L -> 20L))
+
+    // crashed-drain recovery path: operator confirms and breaks the lease
+    StreamingUpsert.vacuum(spark, snap, retainLast = 1, breakLease = true)
+    assert(live(snap) == Map(1L -> 11L, 2L -> 20L))
+    import scala.jdk.CollectionConverters._
+    val manifests = Files.list(java.nio.file.Path.of(snap, "_graft_manifest"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).toSet
+    assert(manifests == Set("v2.json"))
+    Files.deleteIfExists(leaseFile)
+  }
 }
