@@ -275,6 +275,111 @@ object Sql4Queries {
                      AS BIGINT) AS cents
          FROM orders
          WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 15000000
-         GROUP BY 1 ORDER BY status""")
+         GROUP BY 1 ORDER BY status"""),
+
+    // Q310: SQL SCRIPTING (Spark 4 BEGIN…END compound statements) —
+    // the last unexplored Spark-4 SQL plane (round-12 item 5):
+    // DECLARE'd session-local variables, a WHILE loop issuing one
+    // distributed query per iteration, IF/ELSE routing, and an ERROR
+    // CONDITION: a nested compound whose EXIT HANDLER catches the
+    // ANSI cast failure and records it instead of aborting the
+    // script. (The raising statement is driver-evaluable by design:
+    // in Spark 4.1.2 an error thrown inside a TASK reaches the
+    // handler matcher wrapped without its error condition and the
+    // matcher NPEs — handlers are reliable for analysis/driver-side
+    // conditions, which is what this leg pins.) The scripting result
+    // is the final SELECT.
+    // The oracle computes the same totals set-based — the loop is
+    // driver-side CONTROL FLOW only; each iteration's aggregate is a
+    // full distributed scan, so the pattern scales exactly like the
+    // underlying queries (iteration count is fixed by the priority
+    // domain, not the data volume).
+    "q310_sql_scripting" -> QuerySpec(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q310_orders")
+        s.conf.set("spark.sql.scripting.enabled", "true") // shipped default; pinned
+        s.sql(
+          """BEGIN
+            |  DECLARE i INT DEFAULT 1;
+            |  DECLARE n_hi BIGINT DEFAULT 0;
+            |  DECLARE n_lo BIGINT DEFAULT 0;
+            |  DECLARE cents BIGINT DEFAULT 0;
+            |  DECLARE cast_errors INT DEFAULT 0;
+            |  WHILE i <= 5 DO
+            |    IF i <= 2 THEN
+            |      SET n_hi = n_hi + (SELECT count(*) FROM g_q310_orders
+            |        WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) = i);
+            |    ELSE
+            |      SET n_lo = n_lo + (SELECT count(*) FROM g_q310_orders
+            |        WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) = i);
+            |    END IF;
+            |    SET cents = cents + (SELECT coalesce(
+            |        CAST(sum(round(o_totalprice * 100)) AS BIGINT), 0L)
+            |      FROM g_q310_orders
+            |      WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) = i
+            |        AND o_orderkey % 2 = i % 2);
+            |    SET i = i + 1;
+            |  END WHILE;
+            |  BEGIN
+            |    DECLARE EXIT HANDLER FOR SQLEXCEPTION
+            |    BEGIN
+            |      SET cast_errors = cast_errors + 1;
+            |    END;
+            |    SET i = (SELECT CAST('5-LOW is not an int' AS INT));
+            |  END;
+            |  SELECT n_hi, n_lo, cents, cast_errors;
+            |END""".stripMargin)
+      },
+      """SELECT
+           CAST(sum(CASE WHEN CAST(substring(o_orderpriority,1,1) AS INT) <= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           CAST(sum(CASE WHEN CAST(substring(o_orderpriority,1,1) AS INT) > 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN o_orderkey % 2 =
+                              CAST(substring(o_orderpriority,1,1) AS INT) % 2
+                         THEN round(o_totalprice * 100) ELSE 0 END)
+                AS BIGINT) AS cents,
+           CAST(1 AS INT) AS cast_errors
+         FROM orders"""),
+
+    // Q311: METADATA PLANE — DESCRIBE over the engine's table loaders,
+    // cross-checked against DuckDB's information_schema on the SAME
+    // parquet files: both engines independently resolve the physical
+    // schemas, and the oracle maps DuckDB's type names onto Spark's
+    // (TIMESTAMP→timestamp_ntz, VARCHAR→string, FLOAT[]→array<float>).
+    // Proves the catalog surface (DESCRIBE result shape + resolved
+    // types) rather than any hardcoded expectation; covers integral,
+    // floating, string, ntz-timestamp and nested-array columns.
+    "q311_describe_metadata" -> QuerySpec(
+      (s, dir) => {
+        val tables = Seq(
+          "customer" -> Tables.customer(s, dir),
+          "documents" -> Tables.documents(s, dir),
+          "embeddings" -> Tables.embeddings(s, dir),
+          "lineitem" -> Tables.lineitem(s, dir),
+          "orders" -> Tables.orders(s, dir))
+        tables.map { case (name, df) =>
+          df.createOrReplaceTempView(s"g_q311_$name")
+          s.sql(s"DESCRIBE TABLE g_q311_$name")
+            .where(!col("col_name").startsWith("#") && col("col_name") =!= "")
+            .select(
+              lit(name).as("table_name"),
+              col("col_name"),
+              col("data_type"))
+        }.reduce(_.unionByName(_)).orderBy("table_name", "col_name")
+      },
+      """SELECT table_name, column_name AS col_name,
+                CASE data_type
+                  WHEN 'BIGINT'    THEN 'bigint'
+                  WHEN 'INTEGER'   THEN 'int'
+                  WHEN 'DOUBLE'    THEN 'double'
+                  WHEN 'VARCHAR'   THEN 'string'
+                  WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                  WHEN 'FLOAT[]'   THEN 'array<float>'
+                  ELSE lower(data_type) END AS data_type
+         FROM information_schema.columns
+         WHERE table_name IN
+           ('customer','documents','embeddings','lineitem','orders')
+         ORDER BY table_name, col_name""")
   )
 }
