@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{CacheScope, Tables}
 import graft.llm.{RandomProjection, Similarity, TokenGraph}
 
 /** Round-10 session-3 signal operators: JL random-projection search
@@ -180,8 +180,24 @@ object SignalQueries {
         val backbone = weighted.crossJoin(broadcast(tot))
           .filter(col("c") * col("n_pairs") >= col("total"))
           .select(col("w1"), col("w2"))
-        TokenGraph.hitsE6(s, backbone, iters = 6)
-          .orderBy(desc("auth_e6"), col("token"))
+        // Iterative-BSP width scoping (the q299/q85 pattern, with the
+        // same single-threaded-runner contract documented there): 6
+        // HITS rounds × (2 joins + 2 aggs + 2 EAGER lineage cuts)
+        // schedule every exchange on a vocabulary-sized relation —
+        // 32-wide exchanges are pure per-round scheduling overhead.
+        // The lineage cuts execute inside the hitsE6 call, so the
+        // override brackets the call itself plus a persist+count of
+        // the result; later actions reuse the cache. At cluster scale
+        // drop the scope — width is the lever only when the per-round
+        // relation is driver-small.
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val out = TokenGraph.hitsE6(s, backbone, iters = 6)
+            .orderBy(desc("auth_e6"), col("token"))
+          CacheScope.persist(out).count()
+          out
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       },
       hitsOracle(6)))
 }

@@ -114,9 +114,12 @@ object MongoSource {
           && o.get("$oid").isTextual =>
         TextNode.valueOf(o.get("$oid").asText)
       case o: ObjectNode if o.size == 1 && o.has("$date")
-          && o.get("$date").isTextual
-          && isoNaive(o.get("$date").asText).isDefined =>
-        TextNode.valueOf(isoNaive(o.get("$date").asText).get)
+          && o.get("$date").isTextual =>
+        // one parse per node: Some → rendered naive isoformat; None
+        // (unparseable text) → the wrapper passes through verbatim
+        isoNaive(o.get("$date").asText)
+          .map(TextNode.valueOf)
+          .getOrElse(o)
       case o: ObjectNode =>
         val out = mapper.createObjectNode()
         val fields = o.fields()
