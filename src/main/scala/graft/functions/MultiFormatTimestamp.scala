@@ -42,7 +42,9 @@ case class MultiFormatTimestamp(
     StructField("idx", IntegerType, nullable = true)))
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && patterns.nonEmpty)
+    // isInstanceOf, not ==: Spark 4 string types carry a collation and
+    // any of them evaluates to the UTF8String this expression reads
+    if (child.dataType.isInstanceOf[StringType] && patterns.nonEmpty)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a string argument and at least one pattern")
