@@ -283,9 +283,10 @@ object StreamingUpsert {
     * points at exactly the files that were live when it was
     * published, byte-untouched, so reading "the snapshot after batch
     * N" costs the same as reading the latest. Valid until [[vacuum]]
-    * reclaims superseded deltas — run vacuum only after no reader
-    * needs the history (the same contract Delta/Iceberg retention
-    * windows encode).
+    * reclaims superseded deltas; a reader that must outlive routine
+    * vacuuming holds a [[pinVersion]] pin — vacuum then retains the
+    * pinned version's closure mechanically (the same contract
+    * Delta/Iceberg retention windows encode).
     */
   def snapshotAt(spark: SparkSession, dir: String, version: Long): DataFrame =
     snapshotOf(spark, dir, readManifestVersion(spark, dir, version).getOrElse(
@@ -300,6 +301,48 @@ object StreamingUpsert {
       .filter(col("__op") === "upsert")
   }
 
+  /** PIN a manifest version against [[vacuum]]: while the returned
+    * handle is held, the version (and the full file closure it
+    * references) survives any vacuum regardless of `retainLast` — the
+    * reader-side half of the concurrency contract, mirroring the
+    * drain lease. Pins are files at the store root
+    * (`_graft_pin_v<version>.<nonce>`), so they are crash-evident:
+    * an abandoned pin is visible by name and removable with its
+    * handle's [[PinHandle.release]] or a manual delete. Pinning a
+    * version that does not exist (never committed, or already
+    * vacuumed) fails loudly rather than pinning nothing.
+    */
+  def pinVersion(spark: SparkSession, dir: String, version: Long): PinHandle = {
+    val fs = fileSystem(spark, new HPath(dir))
+    if (readManifestVersion(spark, dir, version).isEmpty)
+      throw new IllegalStateException(
+        s"cannot pin v$version under $dir: no such manifest " +
+          "(never committed, or already vacuumed)")
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val p = new HPath(s"$dir/${PinPrefix}v$version.$nonce")
+    fs.create(p, false).close()
+    PinHandle(p.toString, version)
+  }
+
+  /** Handle for a [[pinVersion]] pin; [[release]] is idempotent. */
+  final case class PinHandle(path: String, version: Long) {
+    def release(spark: SparkSession): Unit = {
+      val p = new HPath(path)
+      fileSystem(spark, p).delete(p, false)
+      ()
+    }
+  }
+
+  /** Versions currently pinned under `dir` (crash-evident: the set is
+    * just the pin files present at the root).
+    */
+  private def pinnedVersions(fs: FileSystem, root: HPath): Set[Long] =
+    fs.listStatus(root).toSeq.flatMap(s =>
+      s.getPath.getName match {
+        case PinName(v) => Some(v.toLong)
+        case _ => None
+      }).toSet
+
   /** Drop delta directories and manifests outside the RETENTION
     * WINDOW: the newest `retainLast` manifests stay readable (their
     * versions keep time-traveling via [[snapshotAt]] — the full file
@@ -308,18 +351,19 @@ object StreamingUpsert {
     * earlier), everything older is reclaimed and fails loudly on
     * read. `retainLast = 1` is the classic "latest only" vacuum; a
     * larger window is the Delta/Iceberg retention contract — routine
-    * vacuuming and snapshot history compose. Safe for readers of
-    * retained snapshots; a reader pinned to an OLDER manifest must
-    * finish first — run vacuum between drains, not concurrently with
-    * reads.
+    * vacuuming and snapshot history compose.
     *
-    * The between-drains half of that contract is MECHANICAL: a drain
-    * ([[mergeStream]]) holds a lease file for its whole run, and vacuum
-    * REFUSES (IllegalStateException) while the lease exists. A lease
-    * left behind by a drain that died before releasing can be
-    * overridden with `breakLease = true` once the operator has
-    * confirmed the drain is gone (the next drain would supersede it
-    * anyway).
+    * BOTH halves of the concurrency contract are MECHANICAL:
+    *  - a drain ([[mergeStream]]) holds a lease file for its whole
+    *    run, and vacuum REFUSES (IllegalStateException) while the
+    *    lease exists. A lease left behind by a drain that died before
+    *    releasing can be overridden with `breakLease = true` once the
+    *    operator has confirmed the drain is gone (the next drain
+    *    would supersede it anyway);
+    *  - a reader of an older snapshot holds a [[pinVersion]] pin, and
+    *    vacuum RETAINS every pinned version's closure in addition to
+    *    the newest `retainLast` — a long [[snapshotAt]] read can
+    *    never have its files reclaimed out from under it.
     */
   def vacuum(
       spark: SparkSession,
@@ -342,7 +386,9 @@ object StreamingUpsert {
         case _ => None
       }).sorted(Ordering[Long].reverse)
     if (versions.isEmpty) return
-    val retained = versions.take(retainLast).toSet
+    val retained =
+      versions.take(retainLast).toSet ++
+        (pinnedVersions(fs, root) & versions.toSet)
     // Live set = union of bucket-dir parents across EVERY retained
     // manifest — by-reference carry-forward means version N's buckets
     // may live in delta-v(N-k) for any k, so retention is closure-
@@ -376,6 +422,10 @@ object StreamingUpsert {
     */
   private[streaming] def leasePath(dir: String): HPath =
     new HPath(s"$dir/_graft_drain.lease")
+
+  // reader pins live at the root for the same reason as the lease
+  private val PinPrefix = "_graft_pin_"
+  private val PinName = raw"_graft_pin_v(\d+)\.[0-9a-f-]+".r
 
   private def fileSystem(spark: SparkSession, p: HPath): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

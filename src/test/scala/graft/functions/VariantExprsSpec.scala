@@ -97,4 +97,51 @@ class VariantExprsSpec extends AnyFunSuite with SparkTestSession {
     val got = ndf.collect()
     assert(got.exists(_.isNullAt(0)) && got.exists(!_.isNullAt(0)))
   }
+
+  test("generated matrix: native == chain on Spark-rendered timestamps of every format, plus corruptions") {
+    import spark.implicits._
+    val patterns = Seq(
+      "y-M-d", "M/d/y", "d-M-y", "y/M/d", "y.M.d",
+      "y-M-d'T'H:m:s", "y-M-d'T'H:m:sXX", "y-M-d'T'H:m:s.SSSSSS'Z'",
+      "y-M-d H:m:s", "y-M-d'T'H:m:s.SSSSSS")
+    // 150 deterministic pseudo-random instants (seconds + micros),
+    // rendered BY SPARK through each pattern so every string is, by
+    // construction, in some format's image — then corrupted copies
+    // (suffix junk, head truncation) that mostly parse under none.
+    val rnd = new scala.util.Random(13)
+    val instants = (0 until 150).map { _ =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        rnd.between(0L, 2000000000L), rnd.between(0, 1000000) * 1000L))
+    }
+    val base = instants.toDF("t")
+    val rendered = patterns
+      .map(p => base.select(date_format(col("t"), p).as("s")))
+      .reduce(_.unionAll(_))
+    val corrupted = rendered.select(concat(col("s"), lit("x")).as("s"))
+      .unionAll(rendered.select(substring(col("s"), 2, 100).as("s")))
+      .unionAll(rendered.select(concat(lit(" "), col("s")).as("s")))
+    val all = rendered.unionAll(corrupted)
+
+    val mft = GraftExpressionBridge.column(MultiFormatTimestamp(
+      GraftExpressionBridge.expression(col("s")), patterns))
+    val chain = coalesce(patterns.map(p => try_to_timestamp(col("s"), lit(p))): _*)
+    val firstIdx = patterns.zipWithIndex.foldRight(lit(null).cast("int")) {
+      case ((p, i), acc) =>
+        when(try_to_timestamp(col("s"), lit(p)).isNotNull, lit(i)).otherwise(acc)
+    }
+    val checked = all.select(
+      col("s"),
+      mft.getField("ts").as("nts"), chain.as("cts"),
+      mft.getField("idx").as("nidx"), firstIdx.as("cidx"))
+    val mismatches = checked
+      .filter(!(col("nts") <=> col("cts")) || !(col("nidx") <=> col("cidx")))
+    assert(mismatches.count() == 0, {
+      val ex = mismatches.take(5).map(_.toString).mkString("; ")
+      s"native parse diverged from the try_to_timestamp chain: $ex"
+    })
+    // sanity: the rendered half really parses (non-null ts throughout)
+    val renderedParsed = rendered.select(mft.getField("ts").as("ts"))
+      .filter(col("ts").isNull).count()
+    assert(renderedParsed == 0, "a Spark-rendered string failed to re-parse")
+  }
 }

@@ -412,4 +412,37 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     assert(manifests == Set("v2.json"))
     Files.deleteIfExists(leaseFile)
   }
+
+  test("a pinned version survives vacuum; release makes it reclaimable; pinning a missing version fails") {
+    val root = Files.createTempDirectory("graft-upsert-pin")
+    val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
+    drain(root, Seq((1L, 11L, 2L, "upsert")), buckets = 1)
+    drain(root, Seq((1L, 12L, 3L, "upsert")), buckets = 1)
+
+    def liveAt(v: Long) =
+      StreamingUpsert.snapshotAt(spark, snap, v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // pin the OLDEST version, vacuum to latest-only: the pin must hold
+    val pin = StreamingUpsert.pinVersion(spark, snap, 0L)
+    StreamingUpsert.vacuum(spark, snap, retainLast = 1)
+    assert(liveAt(0L) == Map(1L -> 10L), "pinned v0 must stay readable")
+    assert(liveAt(2L) == Map(1L -> 12L))
+    // the unpinned middle version was reclaimed
+    assertThrows[IllegalStateException](liveAt(1L))
+
+    // release, vacuum again: v0 is now reclaimable
+    pin.release(spark)
+    StreamingUpsert.vacuum(spark, snap, retainLast = 1)
+    assertThrows[IllegalStateException](liveAt(0L))
+    assert(liveAt(2L) == Map(1L -> 12L))
+
+    // pinning a vacuumed (or never-committed) version fails loudly
+    assertThrows[IllegalStateException](
+      StreamingUpsert.pinVersion(spark, snap, 0L))
+    assertThrows[IllegalStateException](
+      StreamingUpsert.pinVersion(spark, snap, 99L))
+    // release is idempotent
+    pin.release(spark)
+  }
 }
