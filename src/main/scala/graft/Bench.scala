@@ -94,7 +94,8 @@ object Bench {
     // recorded time — or >2.5 s absolute when it has no prior — gets one
     // more isolated measurement after the sweep's allocation pressure
     // has drained, under the SAME protocol as every other query (fresh
-    // CacheScope, warmup + min-of-2), and the re-measurement REPLACES
+    // CacheScope, warmup + [[measure]]: median-of-3 under 3 s,
+    // min-of-2 above), and the re-measurement REPLACES
     // the in-sweep number (round-7 advice: min-of-all-passes gave the
     // slowest rows extra bites at the minimum — an asymmetric downward
     // bias; replacement keeps the protocol uniform, and a genuinely slow

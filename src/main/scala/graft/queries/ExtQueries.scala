@@ -41,11 +41,8 @@ object ExtQueries {
     * store, independently of the batch shuffle setting.
     */
   private def withStatePartitions[A](
-      s: org.apache.spark.sql.SparkSession, n: Int)(start: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try start finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+      s: org.apache.spark.sql.SparkSession, n: Int)(start: => A): A =
+    SqlConfScope.withShufflePartitions(s, n)(start)
 
   val specs: Map[String, QuerySpec] = Map(
 

@@ -190,14 +190,12 @@ object SignalQueries {
         // the result; later actions reuse the cache. At cluster scale
         // drop the scope — width is the lever only when the per-round
         // relation is driver-small.
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        SqlConfScope.withShufflePartitions(s, 8) {
           val out = TokenGraph.hitsE6(s, backbone, iters = 6)
             .orderBy(desc("auth_e6"), col("token"))
           CacheScope.persist(out).count()
           out
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
       },
       hitsOracle(6)))
 }

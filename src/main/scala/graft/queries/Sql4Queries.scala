@@ -72,19 +72,11 @@ object Sql4Queries {
         // this constant disappears (the recursion depth, not the
         // width, is the invariant) — drop the scope together with the
         // BROADCAST hint per the sizing rule above.
-        //
-        // CONCURRENCY CONTRACT (round-12 advice): the override is
-        // session-global for the bracketed action — a query planned
-        // concurrently on the SAME session during this window would
-        // shuffle 8-wide. The gate/bench/verify runners are
-        // single-threaded by design (one query at a time per session),
-        // which is what makes this scoping sound; a concurrent runner
-        // must clone the session (`spark.newSession()`) before calling
-        // this gate.
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try { CacheScope.persist(out).count(); () }
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        // (Concurrency contract lives on SqlConfScope: single-threaded
+        // runner, or clone the session first.)
+        SqlConfScope.withShufflePartitions(s, 8) {
+          CacheScope.persist(out).count(); ()
+        }
         out
       },
       """WITH RECURSIVE ord AS (

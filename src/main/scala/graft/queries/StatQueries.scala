@@ -1260,16 +1260,14 @@ object StatQueries {
         // node) graph — 32-wide exchanges are pure scheduling
         // overhead there. Bracket the eager rounds + a persist+count
         // of the result; drop the scope at cluster scale.
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
+        SqlConfScope.withShufflePartitions(s, 8) {
           val fwd = graft.analytics.ShortestPath.reachable(edges, 0L)
           val bwd = graft.analytics.ShortestPath.reachable(
             edges.select(col("dst").as("src"), col("src").as("dst")), 0L)
           val out = fwd.intersect(bwd).orderBy("node")
           graft.CacheScope.persist(out).count()
           out
-        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+        }
       },
       """WITH RECURSIVE
          e0 AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,

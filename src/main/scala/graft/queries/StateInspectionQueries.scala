@@ -27,12 +27,8 @@ object StateInspectionQueries {
     */
   private def drainWithStatePartitions(
       s: org.apache.spark.sql.SparkSession, n: Int)(
-      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try start.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    SqlConfScope.withShufflePartitions(s, n)(start.awaitTermination())
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

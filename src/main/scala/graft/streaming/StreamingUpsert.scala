@@ -141,11 +141,21 @@ object StreamingUpsert {
     // owns the store again.
     val fs = fileSystem(spark, new HPath(dir))
     fs.create(leasePath(dir), true).close()
+    // Versions already published at stream START. The in-run state's
+    // version alone cannot answer "was v<id> ever published?" when the
+    // engine's batch ids restart BELOW existing history (a fresh
+    // checkpoint pointed at an existing store): after replaying batch
+    // 0 the carried version is 0 while v1..vN still exist on disk and
+    // may reference the delta dirs those ids would overwrite. Carrying
+    // the recovery-time maximum keeps the replay answer an in-memory
+    // max() instead of a per-batch filesystem probe.
+    val publishedAtStart = state.version
     try {
       val q: StreamingQuery = stream.writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
           state = mergeBatch(
-            spark, state, batch, id, dir, keyCol, buckets, tombstoneHorizon)
+            spark, state, batch, id, dir, keyCol, buckets, tombstoneHorizon,
+            knownPublishedThrough = publishedAtStart)
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpoint)
@@ -180,7 +190,8 @@ object StreamingUpsert {
       keyCol: String,
       buckets: Int,
       tombstoneHorizon: Long,
-      crashHook: String => Unit = _ => ()): Manifest = {
+      crashHook: String => Unit = _ => (),
+      knownPublishedThrough: Long = Long.MinValue): Manifest = {
     crashHook("start")
     // Late-record rejection against the PRE-batch high water (see
     // the pairing argument in the scaladoc).
@@ -224,12 +235,17 @@ object StreamingUpsert {
           val deltaBase = s"$dir/delta-v$id"
           // "Was manifest v<id> already published?" is answerable from
           // the carried state — no filesystem probe per microbatch:
-          // versions are the engine's monotonic batch ids and `st` IS
-          // the latest manifest at entry (recovered at stream start,
-          // then carried), so st.version < id ⟺ batch <id> never
-          // published ⟺ nothing can reference delta-v<id>.
+          // within one run st.version tracks our own monotonic writes,
+          // and `knownPublishedThrough` carries the store's version
+          // ceiling at stream start (which st.version alone loses when
+          // a fresh checkpoint restarts batch ids below existing
+          // history — replaying batch 0 drops the carried version to 0
+          // while v1..vN still reference the dirs those ids would
+          // overwrite). max(st.version, knownPublishedThrough) < id
+          // ⟺ batch <id> never published ⟺ nothing references
+          // delta-v<id>.
           val delta =
-            if (st.version < id) deltaBase
+            if (math.max(st.version, knownPublishedThrough) < id) deltaBase
             else {
               // Retry suffix = 1 + MAX surviving -rN, never a COUNT
               // of surviving attempts: vacuum can reclaim superseded
@@ -314,13 +330,21 @@ object StreamingUpsert {
     */
   def pinVersion(spark: SparkSession, dir: String, version: Long): PinHandle = {
     val fs = fileSystem(spark, new HPath(dir))
-    if (readManifestVersion(spark, dir, version).isEmpty)
-      throw new IllegalStateException(
-        s"cannot pin v$version under $dir: no such manifest " +
-          "(never committed, or already vacuumed)")
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val p = new HPath(s"$dir/${PinPrefix}v$version.$nonce")
     fs.create(p, false).close()
+    // Verify AFTER planting the pin, so a vacuum racing this call is
+    // caught: either the vacuum listed pins after our create (the
+    // version is retained — pin holds), or it reclaimed the manifest
+    // first (the post-create read misses it — fail loudly and clean
+    // up, never report a pin on a vanished version). A pin acquired
+    // BEFORE a vacuum starts is unconditionally safe.
+    if (readManifestVersion(spark, dir, version).isEmpty) {
+      fs.delete(p, false)
+      throw new IllegalStateException(
+        s"cannot pin v$version under $dir: no such manifest " +
+          "(never committed, or already vacuumed)")
+    }
     PinHandle(p.toString, version)
   }
 
@@ -353,17 +377,25 @@ object StreamingUpsert {
     * larger window is the Delta/Iceberg retention contract — routine
     * vacuuming and snapshot history compose.
     *
-    * BOTH halves of the concurrency contract are MECHANICAL:
+    * BOTH halves of the concurrency contract are mechanical, with the
+    * honest fine print of a lock-free filesystem protocol:
     *  - a drain ([[mergeStream]]) holds a lease file for its whole
     *    run, and vacuum REFUSES (IllegalStateException) while the
-    *    lease exists. A lease left behind by a drain that died before
-    *    releasing can be overridden with `breakLease = true` once the
-    *    operator has confirmed the drain is gone (the next drain
-    *    would supersede it anyway);
+    *    lease exists — checked at entry AND re-checked immediately
+    *    before destructive work. A drain that starts between the
+    *    re-check and the deletes is still safe for NEW work: vacuum
+    *    never touches deltas or manifests whose version exceeds the
+    *    manifest ceiling it listed, and ids at/below the ceiling are
+    *    only rewritten by a drain, which holds the lease. A lease
+    *    left behind by a drain that died before releasing is removed
+    *    with `breakLease = true` once the operator has confirmed the
+    *    drain is gone (the next drain would supersede it anyway);
     *  - a reader of an older snapshot holds a [[pinVersion]] pin, and
     *    vacuum RETAINS every pinned version's closure in addition to
-    *    the newest `retainLast` — a long [[snapshotAt]] read can
-    *    never have its files reclaimed out from under it.
+    *    the newest `retainLast`. A pin acquired BEFORE a vacuum
+    *    starts is unconditionally safe; one racing a running vacuum
+    *    either holds (vacuum listed it) or FAILS LOUDLY at
+    *    acquisition (pin-then-verify) — never a silent loss.
     */
   def vacuum(
       spark: SparkSession,
@@ -373,11 +405,16 @@ object StreamingUpsert {
     require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
     val root = new HPath(dir)
     val fs = fileSystem(spark, root)
-    if (!breakLease && fs.exists(leasePath(dir)))
-      throw new IllegalStateException(
-        s"vacuum($dir) refused: a drain holds ${leasePath(dir)} — " +
-          "run vacuum between drains, or pass breakLease=true after " +
-          "confirming the drain is dead")
+    def checkLease(): Unit =
+      if (!breakLease && fs.exists(leasePath(dir)))
+        throw new IllegalStateException(
+          s"vacuum($dir) refused: a drain holds ${leasePath(dir)} — " +
+            "run vacuum between drains, or pass breakLease=true after " +
+            "confirming the drain is dead")
+    checkLease()
+    // breakLease ALSO removes the stale lease, or every subsequent
+    // routine vacuum would keep refusing against a dead drain's file.
+    if (breakLease) fs.delete(leasePath(dir), false)
     val mdir = new HPath(root, ManifestDir)
     if (!fs.exists(mdir)) return
     val versions = fs.listStatus(mdir).toSeq.flatMap(s =>
@@ -386,6 +423,7 @@ object StreamingUpsert {
         case _ => None
       }).sorted(Ordering[Long].reverse)
     if (versions.isEmpty) return
+    val maxListed = versions.head
     val retained =
       versions.take(retainLast).toSet ++
         (pinnedVersions(fs, root) & versions.toSet)
@@ -396,15 +434,32 @@ object StreamingUpsert {
     val live: Set[String] = retained.flatMap(v =>
       readManifestVersion(spark, dir, v).toSeq.flatMap(
         _.buckets.values.map(p => new HPath(p).getParent.toUri.getPath)))
+    // Deletion guards against a drain that starts AFTER the entry
+    // check: (a) re-check the lease immediately before destructive
+    // work (narrows the race to the listing just taken); (b) never
+    // touch a delta whose batch id exceeds the manifest ceiling this
+    // vacuum listed — a concurrent drain's NEW batches write ids above
+    // it, so they are structurally out of reach even if the lease
+    // re-check was won by a nose. (A concurrent retry-delta for an
+    // already-listed id remains the lease's job — ids ≤ ceiling are
+    // only rewritten by a drain, which holds the lease.)
+    val DeltaId = raw"delta-v(\d+)(?:-r\d+)?".r
+    checkLease()
     fs.listStatus(root).foreach { s =>
       val name = s.getPath.getName
-      if (name.startsWith("delta-v")
+      val withinCeiling = name match {
+        case DeltaId(v) => v.toLong <= maxListed
+        case _ => false
+      }
+      if (name.startsWith("delta-v") && withinCeiling
           && !live.contains(s.getPath.toUri.getPath))
         fs.delete(s.getPath, true)
     }
     fs.listStatus(mdir).foreach { s =>
       val keep = s.getPath.getName match {
-        case ManifestName(v) => retained.contains(v.toLong)
+        // same ceiling guard: a manifest published by a concurrent
+        // drain after our listing (v > maxListed) is never touched
+        case ManifestName(v) => retained.contains(v.toLong) || v.toLong > maxListed
         case _ => false
       }
       if (!keep) fs.delete(s.getPath, false)

@@ -413,6 +413,57 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     Files.deleteIfExists(leaseFile)
   }
 
+  test("batch ids restarting BELOW existing history never overwrite referenced delta dirs") {
+    // A fresh checkpoint pointed at an existing store makes the engine
+    // deliver batch ids 0,1,… again while manifests v0..vN and their
+    // delta dirs already exist. The in-run carried version drops back
+    // to the replayed ids, so the replay question ("was v<id> ever
+    // published?") must ride the recovery-time ceiling
+    // (knownPublishedThrough) — the round-13 review caught that
+    // carried-state-only answered it wrongly and batch 1 of the new
+    // run would mode-overwrite delta-v1 while old manifests (and the
+    // carry-forward closure of v2) still reference its files.
+    val root = Files.createTempDirectory("graft-upsert-restart")
+    import org.apache.spark.sql.functions.{hash => fhash, lit, pmod}
+    def bucketOf(k: Long): Int =
+      spark.range(1).select(pmod(fhash(lit(k)), lit(2))).head().getInt(0)
+    val kA = (1L to 50L).find(bucketOf(_) == 0).get
+    val kB = (1L to 50L).find(bucketOf(_) == 1).get
+
+    val snap = drain(root, Seq((kA, 10L, 1L, "upsert")), buckets = 2) // v0: bucket A
+    drain(root, Seq((kB, 20L, 2L, "upsert")), buckets = 2)            // v1: bucket B
+    drain(root, Seq((kA, 30L, 3L, "upsert")), buckets = 2)            // v2: bucket A
+    def liveAt(v: Long) =
+      StreamingUpsert.snapshotAt(spark, snap, v)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v2Before = liveAt(2L)
+    assert(v2Before == Map(kA -> 30L, kB -> 20L))
+
+    // new engine, ids restart at 0; recovery = latest manifest, and the
+    // recovery-time ceiling rides every mergeBatch of the run
+    var st = StreamingUpsert.readLatestManifest(spark, snap).get
+    val ceiling = st.version
+    st = StreamingUpsert.mergeBatch(spark, st,
+      rows((kB, 40L, 4L, "upsert")), 0L, snap, "k",
+      buckets = 2, tombstoneHorizon = Long.MaxValue,
+      knownPublishedThrough = ceiling)
+    st = StreamingUpsert.mergeBatch(spark, st,
+      rows((kB, 50L, 5L, "upsert")), 1L, snap, "k",
+      buckets = 2, tombstoneHorizon = Long.MaxValue,
+      knownPublishedThrough = ceiling)
+
+    // pre-restart history files are byte-reachable: v2's closure
+    // includes delta-v1 (bucket B by carry-forward) — it must have
+    // survived the new run's batch id 1
+    assert(liveAt(2L) == v2Before,
+      "restarted batch ids clobbered files old manifests reference")
+    // and the new run's own state is the correct LWW fold
+    val newLive = spark.read.parquet(st.buckets.values.toSeq: _*)
+      .filter(org.apache.spark.sql.functions.col("__op") === "upsert")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newLive == Map(kA -> 30L, kB -> 50L))
+  }
+
   test("a pinned version survives vacuum; release makes it reclaimable; pinning a missing version fails") {
     val root = Files.createTempDirectory("graft-upsert-pin")
     val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
