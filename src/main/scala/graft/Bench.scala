@@ -43,6 +43,19 @@ object Bench {
       }
     }
 
+    // Timing ACTION (round-13 verdict #1): every pass — warmup, timed,
+    // re-pass — evaluates the full result through Spark's built-in
+    // `noop` DSv2 sink, NOT `.count()`. Under count() Catalyst prunes
+    // every column the final aggregate does not need, so a map-only
+    // gate ending in a projection (normalize/quantize/pii shapes) timed
+    // the SCAN, not the transform it exists to measure. The noop write
+    // keeps the whole plan (all columns evaluated, sorts executed,
+    // rows serialized to InternalRow and discarded) with zero sink
+    // I/O — the honest cost of producing the result, minus only the
+    // bytes-to-disk that Verify (which writes real parquet) covers.
+    def runToCompletion(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
     // Per query: one CacheScope holding a warmup pass (absorbs JVM/
     // codegen/scan-cache warmup AND materializes any operator-internal
     // persists) and the timed protocol of [[measure]]. Afterwards
@@ -62,7 +75,7 @@ object Bench {
         name: String): Double = {
       def onePass(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); () }
+        try { runToCompletion(fn(spark, sfDir)); () }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         }
@@ -78,7 +91,7 @@ object Bench {
     }
     val results = queries.map { case (name, fn) =>
       CacheScope.scoped {
-        try { fn(spark, sfDir).count(); () }
+        try { runToCompletion(fn(spark, sfDir)); () }
         catch { case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
         }
@@ -121,7 +134,7 @@ object Bench {
         val re: Option[Double] = CacheScope.scoped {
           try {
             val fn = fnByName(name)
-            fn(spark, sfDir).count() // warmup, same protocol as in-sweep
+            runToCompletion(fn(spark, sfDir)) // warmup, same protocol as in-sweep
             val m = measure(fn, name)
             if (m < 0 || errors.contains(name)) {
               errors.remove(name)

@@ -289,7 +289,11 @@ object Sql4Queries {
     "q310_sql_scripting" -> QuerySpec(
       (s, dir) => {
         Tables.orders(s, dir).createOrReplaceTempView("g_q310_orders")
-        s.conf.set("spark.sql.scripting.enabled", "true") // shipped default; pinned
+        // Shipped default, pinned for the gate — SCOPED (round-13 advice:
+        // a bare conf.set leaked session-global state into every later
+        // query of the sweep). The script executes eagerly inside sql();
+        // the returned final-SELECT result does not need the flag again.
+        SqlConfScope.withConf(s, "spark.sql.scripting.enabled", "true") {
         s.sql(
           """BEGIN
             |  DECLARE i INT DEFAULT 1;
@@ -321,6 +325,7 @@ object Sql4Queries {
             |  END;
             |  SELECT n_hi, n_lo, cents, cast_errors;
             |END""".stripMargin)
+        }
       },
       """SELECT
            CAST(sum(CASE WHEN CAST(substring(o_orderpriority,1,1) AS INT) <= 2

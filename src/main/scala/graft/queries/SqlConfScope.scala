@@ -20,9 +20,22 @@ import org.apache.spark.sql.SparkSession
   */
 object SqlConfScope {
 
-  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    withConf(s, "spark.sql.shuffle.partitions", n.toString)(body)
+
+  /** Generic save/set/try/finally bracket for ANY session conf (round-13
+    * advice: q310 set `spark.sql.scripting.enabled` on the shared session
+    * and never restored it, leaking a session-global change into every
+    * later query of the sweep). A key with no prior value is `unset` on
+    * exit rather than re-set to its resolved default, so the session
+    * leaves the bracket in its exact entry state.
+    */
+  def withConf[A](s: SparkSession, key: String, value: String)(body: => A): A = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 }

@@ -52,7 +52,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * against nothing (the committed source offsets mean earlier files
   * are never re-read). Delta dirs and manifests are named by batch id,
   * so a batch replayed after a crash between data write and checkpoint
-  * commit overwrites its own output — idempotent.
+  * commit overwrites its own output — idempotent. The checkpoint and
+  * the store are PAIRED: pointing a fresh (or foreign) checkpoint at
+  * an existing store restarts batch ids below the published ceiling
+  * and is REFUSED loudly at the first such batch, because letting it
+  * through would rewrite committed manifests in place (shadowing the
+  * history that time travel and pins promise stays byte-untouched)
+  * while the latest view still resolved the old maximum version.
   *
   * Scale shape: each merge is ONE hash shuffle on the key with
   * WindowGroupLimit keeping one row of state per key, over the touched
@@ -138,9 +144,23 @@ object StreamingUpsert {
     // reads (round-12 advice: make the "run vacuum between drains"
     // contract mechanical). Overwrite-acquire — a lease left by a
     // CRASHED drain is superseded by the next drain, which legitimately
-    // owns the store again.
+    // owns the store again. PLANT-THEN-CHECK against the vacuum marker
+    // (round-13 advice: the lease alone was one-sided — a drain starting
+    // between vacuum's final lease re-check and its delete loops could
+    // publish a retry delta for an already-listed id that the vacuum's
+    // stale live set then reclaimed): vacuum plants its marker before
+    // checking the lease and we plant the lease before checking the
+    // marker, so whatever the interleaving at least one side backs off.
     val fs = fileSystem(spark, new HPath(dir))
     fs.create(leasePath(dir), true).close()
+    if (fs.exists(vacuumMarkerPath(dir))) {
+      fs.delete(leasePath(dir), false)
+      throw new IllegalStateException(
+        s"mergeStream($dir) refused: a vacuum holds " +
+          s"${vacuumMarkerPath(dir)} — drain after it completes (a marker " +
+          "left by a killed vacuum is superseded by the next vacuum run, " +
+          "or delete the file after confirming no vacuum is running)")
+    }
     // Versions already published at stream START. The in-run state's
     // version alone cannot answer "was v<id> ever published?" when the
     // engine's batch ids restart BELOW existing history (a fresh
@@ -192,6 +212,31 @@ object StreamingUpsert {
       tombstoneHorizon: Long,
       crashHook: String => Unit = _ => (),
       knownPublishedThrough: Long = Long.MinValue): Manifest = {
+    // Fresh/foreign-checkpoint refusal (round-13 advice): an id strictly
+    // BELOW the store's published ceiling can never come from this
+    // store's own checkpoint — a legitimate crash replay re-delivers
+    // exactly the ONE uncommitted batch, id == ceiling (the manifest is
+    // written before the checkpoint commit, so the checkpoint is at most
+    // one batch behind), and all new work arrives above it. An id below
+    // the ceiling means a fresh checkpoint was pointed at an existing
+    // store: batch ids restart at 0, and letting them through would
+    // overwrite manifest v0..vN in place — replacing committed history
+    // that time travel and pins promise stays byte-untouched, while
+    // readLatestManifest still resolves the OLD vN, so the new run's
+    // writes would also vanish from the latest view. Refuse loudly; the
+    // operator resumes with the store's own checkpoint or a fresh dir.
+    // (Residual ambiguity: a fresh checkpoint whose FIRST id equals the
+    // ceiling is indistinguishable from a crash replay and is merged as
+    // one — LWW makes the latest content right; only that single ceiling
+    // version's manifest is rewritten.)
+    if (id < math.max(st.version, knownPublishedThrough))
+      throw new IllegalStateException(
+        s"mergeBatch(id=$id) refused: $dir already has published history " +
+          s"through v${math.max(st.version, knownPublishedThrough)}; a batch " +
+          "id below that ceiling means the streaming checkpoint does not " +
+          "belong to this store (a fresh checkpoint restarts ids at 0 and " +
+          "would shadow committed snapshots). Resume with the store's own " +
+          "checkpoint, or target a fresh snapshot dir.")
     crashHook("start")
     // Late-record rejection against the PRE-batch high water (see
     // the pairing argument in the scaladoc).
@@ -327,18 +372,35 @@ object StreamingUpsert {
     * handle's [[PinHandle.release]] or a manual delete. Pinning a
     * version that does not exist (never committed, or already
     * vacuumed) fails loudly rather than pinning nothing.
+    *
+    * ACQUISITION GUARANTEE (plant-then-check handshake, round-13
+    * advice — the bare pin-then-verify left a window where a pin
+    * planted after a running vacuum's pin listing verified against a
+    * not-yet-deleted manifest and reported success on a version that
+    * vacuum then reclaimed): the pin file is planted FIRST, then the
+    * vacuum-in-progress marker is checked, then the manifest is
+    * verified. If the marker check sees no marker, every vacuum
+    * either finished entirely before it (the manifest verify reads
+    * post-vacuum truth) or planted its marker after our pin existed —
+    * and vacuum lists pins after planting its marker, so it retains
+    * us. A successful return therefore means the pin HOLDS; a vacuum
+    * racing acquisition makes this throw, never silently lose the
+    * version. (Assumes list-after-write consistency from the
+    * filesystem — true of local FS, HDFS, and current S3.)
     */
   def pinVersion(spark: SparkSession, dir: String, version: Long): PinHandle = {
     val fs = fileSystem(spark, new HPath(dir))
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val p = new HPath(s"$dir/${PinPrefix}v$version.$nonce")
     fs.create(p, false).close()
-    // Verify AFTER planting the pin, so a vacuum racing this call is
-    // caught: either the vacuum listed pins after our create (the
-    // version is retained — pin holds), or it reclaimed the manifest
-    // first (the post-create read misses it — fail loudly and clean
-    // up, never report a pin on a vanished version). A pin acquired
-    // BEFORE a vacuum starts is unconditionally safe.
+    if (fs.exists(vacuumMarkerPath(dir))) {
+      fs.delete(p, false)
+      throw new IllegalStateException(
+        s"cannot pin v$version under $dir: a vacuum holds " +
+          s"${vacuumMarkerPath(dir)} — retry after it completes (a marker " +
+          "left by a killed vacuum is superseded by the next vacuum run, " +
+          "or delete the file after confirming no vacuum is running)")
+    }
     if (readManifestVersion(spark, dir, version).isEmpty) {
       fs.delete(p, false)
       throw new IllegalStateException(
@@ -377,25 +439,35 @@ object StreamingUpsert {
     * larger window is the Delta/Iceberg retention contract — routine
     * vacuuming and snapshot history compose.
     *
-    * BOTH halves of the concurrency contract are mechanical, with the
-    * honest fine print of a lock-free filesystem protocol:
+    * BOTH halves of the concurrency contract are mechanical, built on
+    * a plant-then-check handshake (vacuum plants its in-progress
+    * marker before checking the drain lease; drains and pins plant
+    * their own file before checking the marker — whatever the
+    * interleaving, at least one side sees the other and backs off
+    * loudly):
     *  - a drain ([[mergeStream]]) holds a lease file for its whole
-    *    run, and vacuum REFUSES (IllegalStateException) while the
-    *    lease exists — checked at entry AND re-checked immediately
-    *    before destructive work. A drain that starts between the
-    *    re-check and the deletes is still safe for NEW work: vacuum
-    *    never touches deltas or manifests whose version exceeds the
-    *    manifest ceiling it listed, and ids at/below the ceiling are
-    *    only rewritten by a drain, which holds the lease. A lease
-    *    left behind by a drain that died before releasing is removed
-    *    with `breakLease = true` once the operator has confirmed the
-    *    drain is gone (the next drain would supersede it anyway);
+    *    run; vacuum REFUSES (IllegalStateException) while the lease
+    *    exists — checked after planting the marker AND re-checked
+    *    immediately before destructive work — and a drain that starts
+    *    after the marker is planted refuses at ITS entry, so a retry
+    *    delta for an already-listed id can no longer slip past the
+    *    stale live set. NEW ids stay structurally safe regardless:
+    *    vacuum never touches deltas or manifests above the manifest
+    *    ceiling it listed. A lease left behind by a drain that died
+    *    before releasing is removed with `breakLease = true` once the
+    *    operator has confirmed the drain is gone;
     *  - a reader of an older snapshot holds a [[pinVersion]] pin, and
     *    vacuum RETAINS every pinned version's closure in addition to
-    *    the newest `retainLast`. A pin acquired BEFORE a vacuum
-    *    starts is unconditionally safe; one racing a running vacuum
-    *    either holds (vacuum listed it) or FAILS LOUDLY at
-    *    acquisition (pin-then-verify) — never a silent loss.
+    *    the newest `retainLast`. A pin acquired before the marker is
+    *    planted is listed and retained; one racing a running vacuum
+    *    FAILS LOUDLY at acquisition (its marker check sees us) —
+    *    never a silent loss (see [[pinVersion]]'s guarantee).
+    *
+    * A marker left by a vacuum killed mid-run blocks drains/pins until
+    * the next vacuum completes (it overwrite-plants and then removes
+    * it) or the operator deletes the file. Concurrent vacuums are NOT
+    * self-excluding — run one at a time (routine maintenance, not a
+    * hot path).
     */
   def vacuum(
       spark: SparkSession,
@@ -405,65 +477,74 @@ object StreamingUpsert {
     require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
     val root = new HPath(dir)
     val fs = fileSystem(spark, root)
-    def checkLease(): Unit =
-      if (!breakLease && fs.exists(leasePath(dir)))
-        throw new IllegalStateException(
-          s"vacuum($dir) refused: a drain holds ${leasePath(dir)} — " +
-            "run vacuum between drains, or pass breakLease=true after " +
-            "confirming the drain is dead")
-    checkLease()
-    // breakLease ALSO removes the stale lease, or every subsequent
-    // routine vacuum would keep refusing against a dead drain's file.
-    if (breakLease) fs.delete(leasePath(dir), false)
-    val mdir = new HPath(root, ManifestDir)
-    if (!fs.exists(mdir)) return
-    val versions = fs.listStatus(mdir).toSeq.flatMap(s =>
-      s.getPath.getName match {
-        case ManifestName(v) => Some(v.toLong)
-        case _ => None
-      }).sorted(Ordering[Long].reverse)
-    if (versions.isEmpty) return
-    val maxListed = versions.head
-    val retained =
-      versions.take(retainLast).toSet ++
-        (pinnedVersions(fs, root) & versions.toSet)
-    // Live set = union of bucket-dir parents across EVERY retained
-    // manifest — by-reference carry-forward means version N's buckets
-    // may live in delta-v(N-k) for any k, so retention is closure-
-    // based, never "the last N delta dirs".
-    val live: Set[String] = retained.flatMap(v =>
-      readManifestVersion(spark, dir, v).toSeq.flatMap(
-        _.buckets.values.map(p => new HPath(p).getParent.toUri.getPath)))
-    // Deletion guards against a drain that starts AFTER the entry
-    // check: (a) re-check the lease immediately before destructive
-    // work (narrows the race to the listing just taken); (b) never
-    // touch a delta whose batch id exceeds the manifest ceiling this
-    // vacuum listed — a concurrent drain's NEW batches write ids above
-    // it, so they are structurally out of reach even if the lease
-    // re-check was won by a nose. (A concurrent retry-delta for an
-    // already-listed id remains the lease's job — ids ≤ ceiling are
-    // only rewritten by a drain, which holds the lease.)
-    val DeltaId = raw"delta-v(\d+)(?:-r\d+)?".r
-    checkLease()
-    fs.listStatus(root).foreach { s =>
-      val name = s.getPath.getName
-      val withinCeiling = name match {
-        case DeltaId(v) => v.toLong <= maxListed
-        case _ => false
+    // Plant the marker BEFORE the lease check (the handshake order that
+    // closes the both-proceed window) — and remove it on every exit,
+    // including a lease refusal.
+    fs.create(vacuumMarkerPath(dir), true).close()
+    try {
+      def checkLease(): Unit =
+        if (!breakLease && fs.exists(leasePath(dir)))
+          throw new IllegalStateException(
+            s"vacuum($dir) refused: a drain holds ${leasePath(dir)} — " +
+              "run vacuum between drains, or pass breakLease=true after " +
+              "confirming the drain is dead")
+      checkLease()
+      // breakLease ALSO removes the stale lease, or every subsequent
+      // routine vacuum would keep refusing against a dead drain's file.
+      if (breakLease) fs.delete(leasePath(dir), false)
+      val mdir = new HPath(root, ManifestDir)
+      if (!fs.exists(mdir)) return
+      val versions = fs.listStatus(mdir).toSeq.flatMap(s =>
+        s.getPath.getName match {
+          case ManifestName(v) => Some(v.toLong)
+          case _ => None
+        }).sorted(Ordering[Long].reverse)
+      if (versions.isEmpty) return
+      val maxListed = versions.head
+      // Pins are listed AFTER the marker plant: any pin our listing can
+      // miss was planted after the marker existed, and such a pin's
+      // acquisition fails loudly at its own marker check — so "listed
+      // pins" and "successfully acquired pins" coincide.
+      val retained =
+        versions.take(retainLast).toSet ++
+          (pinnedVersions(fs, root) & versions.toSet)
+      // Live set = union of bucket-dir parents across EVERY retained
+      // manifest — by-reference carry-forward means version N's buckets
+      // may live in delta-v(N-k) for any k, so retention is closure-
+      // based, never "the last N delta dirs".
+      val live: Set[String] = retained.flatMap(v =>
+        readManifestVersion(spark, dir, v).toSeq.flatMap(
+          _.buckets.values.map(p => new HPath(p).getParent.toUri.getPath)))
+      // Deletion guards, layered: (a) the marker handshake keeps any
+      // drain from STARTING while we run; (b) the lease re-check
+      // immediately before destructive work catches a drain that
+      // started before our marker landed; (c) never touch a delta
+      // whose batch id exceeds the manifest ceiling this vacuum
+      // listed — a pre-existing drain's NEW batches write ids above
+      // it, so they are structurally out of reach even if (b) was won
+      // by a nose.
+      val DeltaId = raw"delta-v(\d+)(?:-r\d+)?".r
+      checkLease()
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        val withinCeiling = name match {
+          case DeltaId(v) => v.toLong <= maxListed
+          case _ => false
+        }
+        if (name.startsWith("delta-v") && withinCeiling
+            && !live.contains(s.getPath.toUri.getPath))
+          fs.delete(s.getPath, true)
       }
-      if (name.startsWith("delta-v") && withinCeiling
-          && !live.contains(s.getPath.toUri.getPath))
-        fs.delete(s.getPath, true)
-    }
-    fs.listStatus(mdir).foreach { s =>
-      val keep = s.getPath.getName match {
-        // same ceiling guard: a manifest published by a concurrent
-        // drain after our listing (v > maxListed) is never touched
-        case ManifestName(v) => retained.contains(v.toLong) || v.toLong > maxListed
-        case _ => false
+      fs.listStatus(mdir).foreach { s =>
+        val keep = s.getPath.getName match {
+          // same ceiling guard: a manifest published by a concurrent
+          // drain after our listing (v > maxListed) is never touched
+          case ManifestName(v) => retained.contains(v.toLong) || v.toLong > maxListed
+          case _ => false
+        }
+        if (!keep) fs.delete(s.getPath, false)
       }
-      if (!keep) fs.delete(s.getPath, false)
-    }
+    } finally fs.delete(vacuumMarkerPath(dir), false)
   }
 
   // ---- manifest persistence (tiny hand-rolled JSON — no new deps) ----
@@ -477,6 +558,25 @@ object StreamingUpsert {
     */
   private[streaming] def leasePath(dir: String): HPath =
     new HPath(s"$dir/_graft_drain.lease")
+
+  /** Vacuum-in-progress marker at the store root — the vacuum-side half
+    * of the mutual-exclusion handshake (round-13 advice: the lease was
+    * one-sided — vacuum refused while a drain ran, but nothing made a
+    * starting drain or a racing [[pinVersion]] wait for a running
+    * vacuum). Both sides PLANT-THEN-CHECK: vacuum plants this marker
+    * before checking the lease; a drain plants the lease (and a pin its
+    * pin file) before checking this marker. Whatever the interleaving,
+    * at least one side sees the other and backs off loudly — the
+    * both-proceed window is closed without a lock server.
+    *
+    * A marker left by a vacuum killed mid-run blocks drains and pins
+    * until it is cleared: the next vacuum run overwrite-plants and
+    * removes it on completion, or the operator deletes the file after
+    * confirming no vacuum is running (same recovery story as a crashed
+    * drain's lease).
+    */
+  private[streaming] def vacuumMarkerPath(dir: String): HPath =
+    new HPath(s"$dir/_graft_vacuum.inprogress")
 
   // reader pins live at the root for the same reason as the lease
   private val PinPrefix = "_graft_pin_"

@@ -413,16 +413,18 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     Files.deleteIfExists(leaseFile)
   }
 
-  test("batch ids restarting BELOW existing history never overwrite referenced delta dirs") {
+  test("batch ids restarting BELOW existing history are REFUSED; every committed version stays byte-untouched") {
     // A fresh checkpoint pointed at an existing store makes the engine
     // deliver batch ids 0,1,… again while manifests v0..vN and their
-    // delta dirs already exist. The in-run carried version drops back
-    // to the replayed ids, so the replay question ("was v<id> ever
-    // published?") must ride the recovery-time ceiling
-    // (knownPublishedThrough) — the round-13 review caught that
-    // carried-state-only answered it wrongly and batch 1 of the new
-    // run would mode-overwrite delta-v1 while old manifests (and the
-    // carry-forward closure of v2) still reference its files.
+    // delta dirs already exist. Round 13 only half-fixed this
+    // (knownPublishedThrough protected delta DIRS, but writeManifest
+    // still rewrote v0.json in place — shadowing history pins promise
+    // stays byte-untouched — and readLatestManifest kept resolving the
+    // OLD vN, hiding the new run's writes from the latest view). The
+    // round-14 contract: an id strictly below the published ceiling is
+    // an operator error and mergeBatch refuses LOUDLY, leaving the
+    // store exactly as it was; id == ceiling remains the legitimate
+    // crash replay of the one uncommitted batch.
     val root = Files.createTempDirectory("graft-upsert-restart")
     import org.apache.spark.sql.functions.{hash => fhash, lit, pmod}
     def bucketOf(k: Long): Int =
@@ -436,32 +438,60 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
     def liveAt(v: Long) =
       StreamingUpsert.snapshotAt(spark, snap, v)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val v2Before = liveAt(2L)
-    assert(v2Before == Map(kA -> 30L, kB -> 20L))
+    val before = (0L to 2L).map(v => v -> liveAt(v)).toMap
+    assert(before(2L) == Map(kA -> 30L, kB -> 20L))
+    val m0Bytes = Files.readAllBytes(
+      java.nio.file.Path.of(snap, "_graft_manifest", "v0.json")).toSeq
 
     // new engine, ids restart at 0; recovery = latest manifest, and the
     // recovery-time ceiling rides every mergeBatch of the run
-    var st = StreamingUpsert.readLatestManifest(spark, snap).get
+    val st = StreamingUpsert.readLatestManifest(spark, snap).get
     val ceiling = st.version
-    st = StreamingUpsert.mergeBatch(spark, st,
-      rows((kB, 40L, 4L, "upsert")), 0L, snap, "k",
-      buckets = 2, tombstoneHorizon = Long.MaxValue,
-      knownPublishedThrough = ceiling)
-    st = StreamingUpsert.mergeBatch(spark, st,
-      rows((kB, 50L, 5L, "upsert")), 1L, snap, "k",
-      buckets = 2, tombstoneHorizon = Long.MaxValue,
-      knownPublishedThrough = ceiling)
+    val e = intercept[IllegalStateException] {
+      StreamingUpsert.mergeBatch(spark, st,
+        rows((kB, 40L, 4L, "upsert")), 0L, snap, "k",
+        buckets = 2, tombstoneHorizon = Long.MaxValue,
+        knownPublishedThrough = ceiling)
+    }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
 
-    // pre-restart history files are byte-reachable: v2's closure
-    // includes delta-v1 (bucket B by carry-forward) — it must have
-    // survived the new run's batch id 1
-    assert(liveAt(2L) == v2Before,
-      "restarted batch ids clobbered files old manifests reference")
-    // and the new run's own state is the correct LWW fold
-    val newLive = spark.read.parquet(st.buckets.values.toSeq: _*)
-      .filter(org.apache.spark.sql.functions.col("__op") === "upsert")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(newLive == Map(kA -> 30L, kB -> 50L))
+    // refusal left the store EXACTLY as it was: latest still resolves
+    // v2, every historical version reads identically, and manifest v0
+    // is byte-identical (not rewritten in place)
+    assert(StreamingUpsert.readLatestManifest(spark, snap).get.version == 2L)
+    (0L to 2L).foreach(v => assert(liveAt(v) == before(v), s"v$v changed"))
+    assert(Files.readAllBytes(
+      java.nio.file.Path.of(snap, "_graft_manifest", "v0.json")).toSeq == m0Bytes,
+      "refused batch rewrote a committed manifest in place")
+    assert(StreamingUpsert.finalSnapshot(spark, snap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == before(2L))
+
+    // ...and the SAME refusal holds end-to-end through mergeStream with
+    // a genuinely fresh checkpoint dir (engine delivers batch 0)
+    val staging2 = root.resolve("staging2").toString
+    rows((kB, 99L, 9L, "upsert")).coalesce(1).write.mode("append").parquet(staging2)
+    val stream = spark.readStream.schema(rows().schema).parquet(staging2)
+    val se = intercept[Exception] {
+      StreamingUpsert.mergeStream(spark, stream, snap, "k",
+        root.resolve("checkpoint-fresh").toString, buckets = 2)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(se).exists(c => c.isInstanceOf[IllegalStateException]
+      && c.getMessage.contains("checkpoint")), se.toString)
+    // the failed drain released its lease and changed nothing
+    assert(!Files.exists(java.nio.file.Path.of(
+      StreamingUpsert.leasePath(snap).toUri.getPath)))
+    (0L to 2L).foreach(v => assert(liveAt(v) == before(v), s"v$v changed"))
+
+    // the legitimate crash replay (id == ceiling) still proceeds and
+    // stays idempotent: replaying v2's content publishes v2 again
+    val st2 = StreamingUpsert.mergeBatch(spark, st,
+      rows((kA, 30L, 3L, "upsert")), 2L, snap, "k",
+      buckets = 2, tombstoneHorizon = Long.MaxValue,
+      knownPublishedThrough = ceiling)
+    assert(st2.version == 2L)
+    assert(liveAt(2L) == before(2L))
   }
 
   test("a pinned version survives vacuum; release makes it reclaimable; pinning a missing version fails") {
@@ -495,5 +525,63 @@ class StreamingUpsertSpec extends AnyFunSuite with SparkTestSession {
       StreamingUpsert.pinVersion(spark, snap, 99L))
     // release is idempotent
     pin.release(spark)
+  }
+
+  test("pin and drain racing a running vacuum fail loudly at acquisition (marker handshake) and clean up after themselves") {
+    // The round-13 residual: a pin planted after a running vacuum's pin
+    // listing but verified before its manifest delete reported success
+    // on a version the vacuum then reclaimed — a SILENT loss. The
+    // plant-then-check handshake closes it: vacuum plants an
+    // in-progress marker before listing anything, and pinVersion /
+    // mergeStream check the marker after planting their own file, so a
+    // pin that a running vacuum could miss always fails at acquisition.
+    val root = Files.createTempDirectory("graft-upsert-marker")
+    val snap = drain(root, Seq((1L, 10L, 1L, "upsert")), buckets = 1)
+    drain(root, Seq((1L, 11L, 2L, "upsert")), buckets = 1)
+    val marker = java.nio.file.Path.of(
+      StreamingUpsert.vacuumMarkerPath(snap).toUri.getPath)
+
+    // a completed vacuum leaves no marker behind...
+    StreamingUpsert.vacuum(spark, snap, retainLast = 2)
+    assert(!Files.exists(marker), "vacuum leaked its in-progress marker")
+    // ...and neither does one that REFUSES on the drain lease
+    val leaseFile = java.nio.file.Path.of(
+      StreamingUpsert.leasePath(snap).toUri.getPath)
+    Files.createFile(leaseFile)
+    intercept[IllegalStateException] { StreamingUpsert.vacuum(spark, snap) }
+    assert(!Files.exists(marker),
+      "a lease-refused vacuum leaked its in-progress marker")
+    Files.delete(leaseFile)
+
+    // simulate mid-vacuum (exactly what vacuum plants, first thing)
+    Files.createFile(marker)
+
+    // pin racing the vacuum: loud failure, version named, pin file gone
+    val pinErr = intercept[IllegalStateException] {
+      StreamingUpsert.pinVersion(spark, snap, 1L)
+    }
+    assert(pinErr.getMessage.contains("vacuum"), pinErr.getMessage)
+    import scala.jdk.CollectionConverters._
+    def rootNames = Files.list(java.nio.file.Path.of(snap)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(!rootNames.exists(_.startsWith("_graft_pin_")),
+      "a refused pin left its pin file planted")
+
+    // drain racing the vacuum (store's own checkpoint — the marker
+    // check fires before the stream even starts): loud failure, lease
+    // released, staged-but-undrained data intact for the next run
+    val drainErr = intercept[IllegalStateException] {
+      drain(root, Seq((2L, 20L, 3L, "upsert")), buckets = 1)
+    }
+    assert(drainErr.getMessage.contains("vacuum"), drainErr.getMessage)
+    assert(!Files.exists(leaseFile), "a refused drain left its lease planted")
+
+    // marker cleared (operator recovery / vacuum completion): both
+    // succeed, and the refused run's staged batch drains too
+    Files.delete(marker)
+    val pin = StreamingUpsert.pinVersion(spark, snap, 1L)
+    pin.release(spark)
+    drain(root, Seq((3L, 30L, 4L, "upsert")), buckets = 1)
+    assert(live(snap) == Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
   }
 }
