@@ -2,7 +2,7 @@ package graft.etl
 
 import scala.collection.immutable.ListMap
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
 import org.apache.spark.sql.functions._
 
 /** Schema-inference operators I1–I4 (reference
@@ -61,9 +61,30 @@ object SchemaInference {
     * inferrer variant (`ui/mapping_editor.py:315-350`), which probes
     * datetime/date formats but treats numeric strings as text.
     */
-  def valueTypeLabel(vv: Column, sniffNumericStrings: Boolean = true): Column = {
-    val vt = schema_of_variant(vv)
-    val s = vv.try_cast("string")
+  def valueTypeLabel(vv: Column, sniffNumericStrings: Boolean = true): Column =
+    labelFromParts(vv, vv.try_cast("string"), sniffNumericStrings)
+
+  /** The label body over pre-extracted parts: `s` is the value's string
+    * rendering, passed in so [[inferSchema]] can STAGE it once per value
+    * as a column — the CaseWhen ladder references the string up to four
+    * times (two shape guards, the integer regex, the double probe), and
+    * an inline `try_cast(variant → string)` re-decodes the variant per
+    * reference.
+    */
+  private def labelFromParts(
+      vv: Column, s: Column, sniffNumericStrings: Boolean): Column = {
+    // Physical-type dispatch via the O(1) header-byte tag, NOT
+    // schema_of_variant: the latter renders a type STRING per value
+    // (recursively merging the whole nested schema for object/array
+    // values) and was referenced once per CaseWhen branch — the same
+    // multiplier the round-13 transform work removed from T3, surfaced
+    // here by the round-14 un-prunable bench (q12 read 8.2 s while the
+    // old count() action was pruning the label evaluation entirely).
+    // Tag mapping is label-equivalent: BOOLEAN→boolean, LONG→integer,
+    // DECIMAL/DOUBLE→numeric, STRING→sniff, JSON-null→no vote,
+    // object/array/other→text (they stringify in the reference).
+    val tag = GraftExpressionBridge.column(
+      graft.functions.VariantTypeTag(GraftExpressionBridge.expression(vv)))
     val stringLabel = {
       val base = when(
         s.contains(":") && firstMatch(s, datetimeFormats).isNotNull, "datetime")
@@ -76,11 +97,13 @@ object SchemaInference {
           .otherwise("text")
       else base.otherwise("text")
     }
-    when(is_variant_null(vv), lit(null).cast("string"))
-      .when(vt === "BOOLEAN", "boolean")
-      .when(vt === "BIGINT", "integer")
-      .when(vt === "DOUBLE" || vt.startsWith("DECIMAL"), "numeric")
-      .when(vt === "STRING", stringLabel)
+    when(tag === graft.functions.VariantTypeTag.TagJsonNull,
+      lit(null).cast("string"))
+      .when(tag === graft.functions.VariantTypeTag.TagBoolean, "boolean")
+      .when(tag === graft.functions.VariantTypeTag.TagLong, "integer")
+      .when(tag === graft.functions.VariantTypeTag.TagDecimal
+        || tag === graft.functions.VariantTypeTag.TagDouble, "numeric")
+      .when(tag === graft.functions.VariantTypeTag.TagString, stringLabel)
       .otherwise("text") // lists/objects stringify to text in the reference
   }
 
@@ -102,10 +125,13 @@ object SchemaInference {
     val exploded = raw
       .select(explode(parse_json(col(rawCol)).try_cast("map<string,variant>"))
         .as(Seq("attribute", "vv")))
+      // stage the string rendering once per value (see labelFromParts)
+      .select(col("attribute"), col("vv"),
+        col("vv").try_cast("string").as("__s"))
     val votes = exploded
       .groupBy("attribute")
       .agg(array_sort(collect_set(
-        valueTypeLabel(col("vv"), sniffNumericStrings))).as("votes"))
+        labelFromParts(col("vv"), col("__s"), sniffNumericStrings))).as("votes"))
       .select(col("attribute"), resolveVotes(col("votes")).as("inferred_type"))
     // I4: _id > id > first (alphabetically first = the sorted head).
     val chosen = votes.agg(

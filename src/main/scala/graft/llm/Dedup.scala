@@ -22,14 +22,31 @@ object Dedup {
 
   /** Distinct word n-gram shingles (documents shorter than n words get
     * their single full-text shingle).
+    *
+    * The word array is BOUND ONCE as a lambda variable before the
+    * per-gram loop. Higher-order array functions re-evaluate any
+    * non-lambda subtree referenced in their lambda body once per
+    * element — the original form captured `words(text)` (a full
+    * split+filter of the document, O(tokens)) inside the per-gram
+    * lambda, so shingling a T-token document cost O(T²) splits; it
+    * went unnoticed for 13 rounds because the bench's old `.count()`
+    * action let Catalyst prune the map-only gates that spend all
+    * their time here (the round-13 verdict's #1 item — the honest
+    * noop-sink protocol surfaced q29/q40 at 21.8/10.4 s). A lambda
+    * variable read is an O(1) bound-value access, so this form is the
+    * intended O(T·n). `transform(array(w), ...)` is the let-binding:
+    * the singleton wrapper evaluates `w` exactly once per row.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    val grams = transform(
-      sequence(lit(0), size(w) - n),
-      j => concat_ws(" ", (0 until n).map(o => element_at(w, j + lit(o + 1))): _*))
-    array_distinct(when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
-  }
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(words(text)), w => {
+        val grams = transform(
+          sequence(lit(0), size(w) - n),
+          j => concat_ws(" ", (0 until n).map(o => element_at(w, j + lit(o + 1))): _*))
+        array_distinct(
+          when(size(w) >= n, grams).otherwise(array(concat_ws(" ", w))))
+      }),
+      1)
 
   /** Exact dedup: group by content hash, keep the smallest id. Returns
     * (text_hash, kept_doc_id, dup_count) for groups with duplicates.

@@ -134,14 +134,27 @@ object TextAnalysis {
     *
     * Pure per-row array aggregation — no explode, no shuffle: at 100 TB
     * this is a map-only pass over the corpus.
+    *
+    * STAGED: the hashed-shingle array is materialized once under an
+    * alias in its own Project, and the four aggregations read the
+    * attribute. Inlining `hs` four times cost four full shingle
+    * constructions per row (higher-order functions don't codegen, so
+    * there is no common-subexpression elimination across the select
+    * list) — invisible under the old prunable bench action, 4× the
+    * gate's real cost under the honest one. CollapseProject keeps the
+    * stage: it never folds a non-cheap alias referenced more than once
+    * (same idiom as the etl/Transform staging).
     */
   def fingerprint(df: DataFrame, idCol: Column, textCol: Column, n: Int = 3): DataFrame = {
-    val hs = transform(Dedup.shingles(textCol, n), s => hashMod(s))
+    val hs = col("__hs")
     df.select(
       idCol.as("doc_id"),
-      array_min(hs).as("fp_min"),
-      array_max(hs).as("fp_max"),
-      aggregate(hs, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
-      size(hs).cast("bigint").as("n_shingles"))
+      transform(Dedup.shingles(textCol, n), s => hashMod(s)).as("__hs"))
+      .select(
+        col("doc_id"),
+        array_min(hs).as("fp_min"),
+        array_max(hs).as("fp_max"),
+        aggregate(hs, lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
+        size(hs).cast("bigint").as("n_shingles"))
   }
 }

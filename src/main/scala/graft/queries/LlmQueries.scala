@@ -1093,14 +1093,23 @@ object LlmQueries {
     // Within-document repetition (repeated-3-gram ratio): the classic
     // looping-text quality filter, map-only per row.
     "q40_repetition" -> QuerySpec(
+      // STAGED (round-14 bench honesty): the old form computed the
+      // shingle set twice (once for n_grams_distinct, once inside
+      // repetitionRatio) and the word split four times per row — the
+      // counts are staged once and the derived columns read attributes.
       (s, dir) => {
-        val w = Dedup.words(col("text"))
-        val total = when(size(w) >= 3, size(w) - 2).otherwise(lit(1))
+        val total =
+          when(col("__nw") >= 3, col("__nw") - 2).otherwise(lit(1)).cast("bigint")
         Tables.documents(s, dir).select(
           col("doc_id"),
-          total.cast("bigint").as("n_grams_total"),
-          size(Dedup.shingles(col("text"))).cast("bigint").as("n_grams_distinct"),
-          Curation.repetitionRatio(col("text")).as("rep_ratio"))
+          size(Dedup.words(col("text"))).as("__nw"),
+          size(Dedup.shingles(col("text"))).cast("bigint").as("n_grams_distinct"))
+          .select(
+            col("doc_id"),
+            total.as("n_grams_total"),
+            col("n_grams_distinct"),
+            (lit(1.0) - col("n_grams_distinct").cast("double") / total.cast("double"))
+              .as("rep_ratio"))
           .orderBy("doc_id")
       },
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
