@@ -10,11 +10,15 @@ import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.SparkTestSession
 
-/** Retention-interleaving fuzz of the manifest store's NEW round-13
+/** Retention-interleaving fuzz of the manifest store's retention
   * machinery — random sequences of {merge a batch, vacuum(retainLast),
-  * pin a version, release a pin} with time-travel reads asserted after
-  * EVERY step, the retention-side companion to
-  * [[UpsertCrashPropertySpec]]'s crash fuzz:
+  * pin a version, release a pin, kill a vacuum mid-run (stale
+  * in-progress marker), operator-clear the marker} with time-travel
+  * reads asserted after EVERY step, the retention-side companion to
+  * [[UpsertCrashPropertySpec]]'s crash fuzz. The round-14 marker ops
+  * pin the recovery contract: while a stale marker exists pin
+  * acquisition refuses loudly (never a silent pin), and either a
+  * completing vacuum or a manual delete restores service:
   *
   *  - a version the model says is retained (inside the newest-N
   *    window at its last vacuum, or pinned through it) stays readable
@@ -45,6 +49,14 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
   private final case class Vacuum(retainLast: Int) extends Op
   private final case class Pin(versionPick: Int) extends Op
   private final case class Release(pinPick: Int) extends Op
+  /** A vacuum killed mid-run: its in-progress marker survives on disk.
+    * Until cleared, pin acquisition must REFUSE loudly (the round-14
+    * plant-then-check handshake); a completing vacuum overwrite-plants
+    * and removes it, which is one of the two documented recovery paths.
+    */
+  private case object KillVacuum extends Op
+  /** The other recovery path: the operator deletes the stale marker. */
+  private case object ClearMarker extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> (for {
@@ -58,7 +70,9 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
     } yield Merge(rows.map { case (k, v, s, o) => R(k, v, s, o) })),
     3 -> Gen.choose(1, 3).map(Vacuum(_)),
     2 -> Gen.choose(0, 100).map(Pin(_)),
-    2 -> Gen.choose(0, 100).map(Release(_)))
+    2 -> Gen.choose(0, 100).map(Release(_)),
+    1 -> Gen.const(KillVacuum),
+    1 -> Gen.const(ClearMarker))
 
   private val caseGen: Gen[List[Op]] = for {
     n <- Gen.choose(5, 10)
@@ -127,9 +141,16 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
           }
         }
 
+        val markerFile = java.nio.file.Path.of(
+          StreamingUpsert.vacuumMarkerPath(dir).toUri.getPath)
+        var staleMarker = false
+
         ops.foreach {
           case _ if !ok => ()
           case Merge(rows) =>
+            // (mergeBatch is below the drain-level marker check by
+            // design: the fuzz merge models a drain that acquired its
+            // lease BEFORE the vacuum was killed)
             val id = nextId
             nextId += 1
             state = StreamingUpsert.mergeBatch(
@@ -143,6 +164,12 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
           case Vacuum(retainLast) =>
             if (present.nonEmpty) {
               StreamingUpsert.vacuum(spark, dir, retainLast)
+              // a completing vacuum supersedes and clears a stale marker
+              if (staleMarker && java.nio.file.Files.exists(markerFile)) {
+                ok = false
+                failure = "vacuum completed but left the stale marker behind"
+              }
+              staleMarker = false
               val newest = present.toSeq.sorted.takeRight(retainLast).toSet
               val pinned = pins.map(_._2).toSet
               present = newest ++ (pinned & present)
@@ -151,8 +178,22 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
           case Pin(pick) =>
             if (present.nonEmpty) {
               val v = present.toSeq.sorted.apply(pick % present.size)
-              pins ::= (StreamingUpsert.pinVersion(spark, dir, v), v)
-              check(s"after pin v$v")
+              if (staleMarker) {
+                // acquisition must refuse while a (stale) marker exists,
+                // name the recovery, and leave no pin file behind
+                val thrown =
+                  try { StreamingUpsert.pinVersion(spark, dir, v); None }
+                  catch { case e: IllegalStateException => Some(e) }
+                if (!thrown.exists(_.getMessage.contains("vacuum"))) {
+                  ok = false
+                  failure = s"pin v$v under stale marker: expected loud " +
+                    s"vacuum refusal, got $thrown"
+                }
+                check(s"after refused pin v$v (stale marker)")
+              } else {
+                pins ::= (StreamingUpsert.pinVersion(spark, dir, v), v)
+                check(s"after pin v$v")
+              }
             }
           case Release(pick) =>
             if (pins.nonEmpty) {
@@ -162,7 +203,20 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
               pins = pins.patch(idx, Nil, 1)
               check(s"after release v$v")
             }
+          case KillVacuum =>
+            // the store dir may not exist yet (kill before first merge)
+            java.nio.file.Files.createDirectories(markerFile.getParent)
+            if (!java.nio.file.Files.exists(markerFile))
+              java.nio.file.Files.createFile(markerFile)
+            staleMarker = true
+            check("after killed vacuum (stale marker planted)")
+          case ClearMarker =>
+            java.nio.file.Files.deleteIfExists(markerFile)
+            staleMarker = false
+            check("after operator cleared the stale marker")
         }
+        // don't let a stale marker block the terminal sweep's pins
+        java.nio.file.Files.deleteIfExists(markerFile)
         // terminal sweep: a latest-only vacuum with all pins released
         // must leave exactly the newest version (+ still-held pins)
         if (ok && present.nonEmpty) {
