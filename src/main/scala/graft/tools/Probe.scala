@@ -1,6 +1,10 @@
 package graft.tools
 
-/** Scratch probe: time one named query at SPARK_GRAFT_SF_DIR. */
+/** Scratch probe: time one named query at SPARK_GRAFT_SF_DIR.
+  * Times through the noop sink like Bench — `.count()` lets Catalyst
+  * prune the very transforms a profiling run wants to see (the
+  * round-14 lesson); the row count is taken separately, untimed.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = graft.GraftSession.get("probe")
@@ -8,8 +12,10 @@ object Probe {
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      val dt = (System.nanoTime() - t0) / 1e9
       val n = fn(spark, dir).count()
-      println(f"[probe] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[probe] $name: $n rows in $dt%.2f s (noop-sink timed)")
     }
     spark.stop()
   }
