@@ -51,10 +51,20 @@ object TextAnalysis {
   /** Marker-token language scoring: count token occurrences from each
     * marker list; the guess is the first list with the maximal score
     * (ties resolve in list order). Lists default to [[markerLists]].
+    *
+    * Callers selecting several scores (plus [[languageGuess]], which
+    * references every score again) should stage the word array once and
+    * use [[languageScoresFromWords]] — inlining `words(text)` here
+    * re-splits the document once per reference (q26 ran 9 splits per
+    * row before the round-14 staging).
     */
   def languageScores(text: Column, lists: Seq[(String, Seq[String])]): Seq[Column] =
+    languageScoresFromWords(words(text), lists)
+
+  /** [[languageScores]] over a pre-staged word-array column. */
+  def languageScoresFromWords(w: Column, lists: Seq[(String, Seq[String])]): Seq[Column] =
     lists.map { case (_, markers) =>
-      size(filter(words(text), w => w.isin(markers: _*)))
+      size(filter(w, x => x.isin(markers: _*)))
     }
 
   def languageGuess(scores: Seq[Column], names: Seq[String]): Column =
@@ -68,9 +78,21 @@ object TextAnalysis {
   /** Quality features: token counts, long-token count, digit/punct
     * counts, and two derived ratios (double expressions over exact
     * integers — deterministic across engines).
+    *
+    * Selecting all six inline re-splits the document ~5× per row (the
+    * word array is embedded in n_tokens, n_long_tokens and both
+    * ratios); stage the word array and use [[qualityFeaturesFromWords]]
+    * when emitting more than one feature.
     */
-  def qualityFeatures(text: Column, nChars: Column): Seq[(String, Column)] = {
-    val w = words(text)
+  def qualityFeatures(text: Column, nChars: Column): Seq[(String, Column)] =
+    qualityFeaturesFromWords(words(text), text, nChars)
+
+  /** [[qualityFeatures]] over a pre-staged word-array column: every
+    * reference to `w` is then an attribute read (size() on an array
+    * attribute is O(1)), so the split runs once per row.
+    */
+  def qualityFeaturesFromWords(
+      w: Column, text: Column, nChars: Column): Seq[(String, Column)] = {
     val nTokens = size(w)
     val nLong = size(filter(w, x => length(x) > 4))
     val nDigits = length(text) - length(regexp_replace(text, "[0-9]", ""))

@@ -411,15 +411,25 @@ object LlmQueries {
 
     // Marker-token language scoring with deterministic tie order.
     "q26_lang_id" -> QuerySpec(
+      // STAGED (round-14 plan audit): words once, then the three scores
+      // once each, then the guess over the staged score ATTRIBUTES —
+      // the inline form re-split the document 9× per row (3 lists ×
+      // {score output + the guess's pairwise comparisons}).
       (s, dir) => {
         val lists = TextAnalysis.markerLists
-        val scores = TextAnalysis.languageScores(col("text"), lists)
-        Tables.documents(s, dir).select(
-          col("doc_id") +:
-            TextAnalysis.languageGuess(scores, lists.map(_._1)).as("lang_guess") +:
-            scores.zip(lists).map { case (sc, (n, _)) =>
-              sc.cast("bigint").as(s"s_$n")
-            }: _*)
+        val scoreCols = lists.map { case (n, _) => col(s"s_$n") }
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.words(col("text")).as("__w"))
+          .select(col("doc_id") +:
+            TextAnalysis.languageScoresFromWords(col("__w"), lists)
+              .zip(lists).map { case (sc, (n, _)) =>
+                sc.cast("bigint").as(s"s_$n")
+              }: _*)
+          .select(
+            col("doc_id") +:
+              TextAnalysis.languageGuess(scoreCols, lists.map(_._1))
+                .as("lang_guess") +:
+              lists.map { case (n, _) => col(s"s_$n") }: _*)
           .orderBy("doc_id")
       },
       """WITH w AS (SELECT doc_id,
@@ -438,12 +448,18 @@ object LlmQueries {
 
     // Quality features: exact integer counts + ratio doubles over them.
     "q27_quality_score" -> QuerySpec(
+      // STAGED (round-14 plan audit): the word array once; the inline
+      // form embedded it in four of the six features (~5 splits/row).
       (s, dir) => {
-        val feats = TextAnalysis.qualityFeatures(col("text"), col("n_chars"))
-        Tables.documents(s, dir).select(
-          col("doc_id") +: feats.map { case (name, c) =>
-            (if (name.startsWith("n_")) c.cast("bigint") else c).as(name)
-          }: _*)
+        val feats = TextAnalysis.qualityFeaturesFromWords(
+          col("__w"), col("text"), col("n_chars"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            TextAnalysis.words(col("text")).as("__w"))
+          .select(
+            col("doc_id") +: feats.map { case (name, c) =>
+              (if (name.startsWith("n_")) c.cast("bigint") else c).as(name)
+            }: _*)
           .orderBy("doc_id")
       },
       """WITH w AS (SELECT doc_id, n_chars, text,
@@ -500,11 +516,21 @@ object LlmQueries {
               concat(col("text"), lit(" or call 555-"),
                 lpad(pmod(col("doc_id"), lit(10000)), 4, "0")))
             .otherwise(col("text")).as("text"))
-        val feats = TextAnalysis.piiFeatures(col("text"))
+        // STAGED (round-14 plan audit): each PII regex extraction runs
+        // once — the inline form re-ran both extractions inside has_pii.
         injected.select(
-          col("doc_id") +: feats.map { case (name, c) =>
-            (if (name.startsWith("n_")) c.cast("bigint") else c).as(name)
-          }: _*)
+          col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.emailPattern), lit(0))).cast("bigint").as("n_emails"),
+          size(regexp_extract_all(col("text"),
+            lit(TextAnalysis.phonePattern), lit(0))).cast("bigint").as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("text"), TextAnalysis.emailPattern, "<EMAIL>"),
+            TextAnalysis.phonePattern, "<PHONE>").as("redacted"))
+          .select(
+            col("doc_id"), col("n_emails"), col("n_phones"),
+            (col("n_emails") + col("n_phones") > 0).as("has_pii"),
+            col("redacted"))
           .orderBy("doc_id")
       },
       """WITH injected AS (

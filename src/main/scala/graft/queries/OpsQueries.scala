@@ -457,11 +457,15 @@ object OpsQueries {
     // dedup window (one hash shuffle) and the packer's bucket tier.
     "q61_prep_pipeline" -> QuerySpec(
       (s, dir) => {
-        val norm = TextAnalysis.normalize(col("text"))
-        val keyed = Tables.documents(s, dir).select(
-          col("doc_id"), col("lang"),
-          TextHash.hash60(norm).as("ck"),
-          size(split(norm, " ")).cast("long").as("n_tok"))
+        // STAGED (round-14 plan audit): the triple-regex normalize chain
+        // once — inline it ran twice per row (hash key + token count).
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.normalize(col("text")).as("__nt"))
+          .select(
+            col("doc_id"), col("lang"),
+            TextHash.hash60(col("__nt")).as("ck"),
+            size(split(col("__nt"), " ")).cast("long").as("n_tok"))
         val deduped = graft.llm.Dedup.dropExactDuplicates(
           keyed, col("doc_id"), col("ck").cast("string"))
         val filtered = deduped.filter(col("n_tok").between(10, 200))
@@ -578,12 +582,15 @@ object OpsQueries {
     "q64_bigram_topk" -> QuerySpec(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val toks = split(col("text"), " ")
+        // STAGED (round-14 plan audit): the token array once — inline it
+        // was re-split 4× per row (two slices + two sizes).
+        val toks = col("__toks")
         val bigrams = zip_with(
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
           (a, b) => concat(a, lit(" "), b))
         val counted = Tables.documents(s, dir)
+          .select(split(col("text"), " ").as("__toks"))
           .select(explode(bigrams).as("bigram"))
           .groupBy("bigram").agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), asc("bigram"))
