@@ -92,12 +92,24 @@ object Transform {
       raw: DataFrame, rawCol: String, cm: CollectionMapping): DataFrame = {
     val withV = raw.withColumn(V, parse_json(col(rawCol)))
     val v = col(V)
-    withV.select(
+    val keys = cm.mappings.keys.toSeq
+    // When the object-id attribute is itself mapped (the common config —
+    // `_id` both lands in the target row and names the audit object),
+    // REUSE its extraction instead of running the variant path walk a
+    // second time per row (round-14 plan audit: q11 showed the `$._id`
+    // variant_get twice). The stacked Project survives optimization:
+    // CollapseProject won't fold it because folding would duplicate the
+    // non-cheap variant_get alias it references.
+    val oidIdx = keys.indexOf(cm.objectIdAttribute)
+    val base = withV.select(
       Seq(col(rawCol)) ++
-        cm.mappings.keys.toSeq.zipWithIndex.map { case (attr, i) =>
+        keys.zipWithIndex.map { case (attr, i) =>
           variant_get(v, path(attr), "variant").as(vgCol(i))
         } ++
-        Seq(variant_get(v, path(cm.objectIdAttribute), "variant").as(VgOid)): _*)
+        (if (oidIdx >= 0) Nil
+         else Seq(
+           variant_get(v, path(cm.objectIdAttribute), "variant").as(VgOid))): _*)
+    if (oidIdx >= 0) base.withColumn(VgOid, col(vgCol(oidIdx))) else base
   }
 
   private def mCol(i: Int): String = s"__graft_m_$i"

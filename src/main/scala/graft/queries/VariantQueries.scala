@@ -101,14 +101,21 @@ object VariantQueries {
                                  c_mktsegment, '"}}')
               WHEN 3 THEN concat('{"id": ', c_custkey, ', "x": null}')
               ELSE concat('{"id": ', c_custkey, '}') END""").as("js"))
+        // the `$.x` sub-variant is STAGED once (round-14 plan audit: the
+        // inline CASE walked the variant path three times per row);
+        // schema_of_variant stays — rendering the shape string is this
+        // gate's point, one render per row on the staged attribute
         js.select(col("id"), expr("parse_json(js)").as("v"))
           .select(col("id"),
-            expr("""CASE
-                WHEN variant_get(v, '$.x') IS NULL THEN 'absent'
-                WHEN is_variant_null(variant_get(v, '$.x')) THEN 'json_null'
-                ELSE schema_of_variant(variant_get(v, '$.x')) END""")
-              .as("shape"),
+            expr("variant_get(v, '$.x')").as("__vx"),
             expr("try_variant_get(v, '$.x', 'long')").as("as_long"))
+          .select(col("id"),
+            expr("""CASE
+                WHEN __vx IS NULL THEN 'absent'
+                WHEN is_variant_null(__vx) THEN 'json_null'
+                ELSE schema_of_variant(__vx) END""")
+              .as("shape"),
+            col("as_long"))
           .groupBy("shape")
           .agg(count(lit(1)).cast("long").as("n_docs"),
             sum("id").cast("long").as("id_sum"),
