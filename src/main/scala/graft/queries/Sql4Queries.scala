@@ -167,11 +167,28 @@ object Sql4Queries {
     // columns (the oracle computes from the columns directly — no XML
     // on the oracle side, same lossless-round-trip trick as q297).
     // n_xpath_agree == n pins from_xml ≡ xpath row-by-row.
+    //
+    // The REPARTITION between envelope and parse is the gate's scale
+    // story, measured in round 15: xpath_* builds a DOM per row
+    // (~50 µs — 75× the cost of from_xml's StAX pass over the same
+    // envelope), and the fixture parquet is one file = ONE input
+    // split, so without the exchange the whole parse stage ran on a
+    // single core (9.6 s; 1.4 s fanned out). At 100 TB the splits fan
+    // out naturally, but a parse-bound stage must never be bound to
+    // the file-split count when that count is below the cluster's
+    // cores. The exchange is also the staging barrier that keeps the
+    // envelope concat rendered once (CTE inlining would otherwise
+    // duplicate it into both parse legs — PlanAudit dups). The count
+    // is pinned to defaultParallelism because a bare REPARTITION is
+    // advisory: AQE coalesces the 6 MB shuffle to one partition by
+    // byte size — right for I/O-bound stages, wrong when the cost is
+    // per-ROW cpu (measured: bare hint 3.7 s, pinned 1.4 s).
     "q304_xml_ingest" -> QuerySpec(
       (s, dir) => {
         Tables.orders(s, dir).createOrReplaceTempView("g_q304_orders")
-        s.sql("""
-          WITH env AS (SELECT concat('<o><k>', o_orderkey, '</k><st>',
+        s.sql(s"""
+          WITH env AS (SELECT /*+ REPARTITION(${s.sparkContext.defaultParallelism}) */ concat('<o><k>',
+                         o_orderkey, '</k><st>',
                          o_orderstatus, '</st><p>',
                          CAST(round(o_totalprice * 100) AS BIGINT),
                          '</p></o>') AS xml

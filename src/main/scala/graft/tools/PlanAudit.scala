@@ -22,13 +22,19 @@ import graft.{GraftSession, SparkEntry}
 object PlanAudit {
 
   /** Names whose repeated identical rendering is worth a human look. */
-  private val Expensive = Seq(
+  private[graft] val Expensive = Seq(
     "parse_json(", "from_json(", "from_xml(", "to_json(", "to_xml(",
     "schema_of_variant(", "variant_get(", "try_variant_get(",
     "regexp_extract_all(", "regexp_replace(", "regexp_extract(",
     "transform(", "aggregate(", "zip_with(", "map_zip_with(",
-    "split(", "sentences(", "xpath", "try_to_timestamp(", "md5(",
-    "sha2(", "crc32(", "graft_multiformat_ts(")
+    "split(", "sentences(", "try_to_timestamp(", "md5(",
+    "sha2(", "crc32(", "graft_multiformat_ts(",
+    // the xpath family, spelled out: callsOf requires '(' immediately
+    // after the name, so a bare "xpath" prefix silently matched
+    // nothing (round-15 advice) — each concrete function is listed.
+    "xpath(", "xpath_string(", "xpath_boolean(", "xpath_short(",
+    "xpath_int(", "xpath_long(", "xpath_float(", "xpath_double(",
+    "xpath_number(")
 
   /** Drop every line inside an InMemoryRelation subtree: a cached
     * relation PRINTS its build plan at every reference, so a
@@ -37,7 +43,7 @@ object PlanAudit {
     * N columnar reads. Indentation depth = offset of the node name
     * after the `:  +- `-style prefix.
     */
-  private def withoutCachedSubtrees(plan: String): String = {
+  private[graft] def withoutCachedSubtrees(plan: String): String = {
     def depth(line: String): Int = line.indexWhere(c =>
       c != ' ' && c != ':' && c != '+' && c != '-') match {
       case -1 => line.length
@@ -57,7 +63,7 @@ object PlanAudit {
   }
 
   /** Every balanced-paren call snippet for `fname` in `plan`. */
-  private def callsOf(plan: String, fname: String): Seq[String] = {
+  private[graft] def callsOf(plan: String, fname: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var from = plan.indexOf(fname)
     while (from >= 0) {
@@ -81,6 +87,18 @@ object PlanAudit {
     out.result()
   }
 
+  /** The dups sweep's core, callable from the regression spec: every
+    * expensive call whose exact rendering appears more than once in the
+    * (cache-subtree-stripped) optimized logical plan string.
+    */
+  def repeatedExpensiveCalls(optimizedPlan: String): Seq[(String, Int)] = {
+    val plan = withoutCachedSubtrees(optimizedPlan)
+    Expensive.flatMap(f =>
+      callsOf(plan, f).groupBy(identity).collect {
+        case (call, hits) if hits.size > 1 => (call, hits.size)
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.get("graft-plan-audit")
@@ -93,11 +111,7 @@ object PlanAudit {
         try {
           val qe = fn(spark, sfDir).queryExecution
           if (dupsMode) {
-            val plan = withoutCachedSubtrees(qe.optimizedPlan.toString)
-            val dups = Expensive.flatMap(f =>
-              callsOf(plan, f).groupBy(identity).collect {
-                case (call, hits) if hits.size > 1 => (call, hits.size)
-              })
+            val dups = repeatedExpensiveCalls(qe.optimizedPlan.toString)
             if (dups.nonEmpty) {
               flagged += 1
               println(s"\n===== $name: ${dups.size} repeated expensive call(s) =====")
