@@ -8,12 +8,14 @@ import graft.GraftSession
   *
   * Usage:
   *   runMain graft.etl.Cli --input in.json --app-config app.yaml \
-  *     --mapping-config mapping.yaml [--parquet-sink DIR]
+  *     --mapping-config mapping.yaml [--parquet-sink DIR | --sink pgwire]
   *
   * With `--parquet-sink` the run writes parquet tables under DIR
-  * (local/test mode); otherwise it targets Postgres per the app
-  * config's database section (requires the JDBC driver on the
-  * classpath).
+  * (local/test mode). `--sink pgwire` targets Postgres per the app
+  * config's database section over the built-in wire-protocol client
+  * (partition-parallel COPY — no JDBC driver jar needed; q312's live
+  * path). Default targets Postgres via Spark JDBC (requires the
+  * driver on the classpath).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -31,6 +33,9 @@ object Cli {
     val spark = GraftSession.get("graft-etl")
     val sink: TableSink = opts.get("parquet-sink") match {
       case Some(dir) => new ParquetSink(dir)
+      case None if opts.get("sink").contains("pgwire") =>
+        new PgWireSink(PgConn(app.database.host, app.database.port,
+          app.database.user, app.database.name, app.database.password))
       case None =>
         val s = new JdbcPostgresSink(app.database)
         s.ensureDatabase() // K3: fresh deployment → CREATE DATABASE first

@@ -417,6 +417,116 @@ object ConnectorQueries {
                 CAST(count(*) AS BIGINT) AS n,
                 CAST(bit_xor(CAST(round(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) AS xor_cents
-         FROM orders GROUP BY 1 ORDER BY bucket""")
+         FROM orders GROUP BY 1 ORDER BY bucket"""),
+
+    // Q312 (round-15: the carried live-connector item, Postgres half):
+    // a REAL database round-trip. The container ships PostgreSQL 15
+    // server binaries (still no JDBC driver jar, and no Mongo server/
+    // connector — that half stays environment-blocked on q308's
+    // byte-exact normalization proxy), so the gate boots a scratch
+    // cluster (LivePostgres), then runs the reference's core path
+    // against it end to end:
+    //   fixture docs → transformCollection (T1–T11) →
+    //   K2 DDL through the real Postgres grammar →
+    //   BOTH output planes COPY'd in partition-parallel over the
+    //   wire-protocol client (PgWireSink, no JDBC driver) →
+    //   read back via a PG-side JOIN of target × audit plane over
+    //   4 disjoint COPY TO STDOUT partitions →
+    //   row-level typed compare against the DuckDB oracle computed
+    //   from the base columns.
+    // What the landed-then-reread values prove that q309's parquet
+    // double cannot: DATE/TIMESTAMPTZ/NUMERIC/BOOLEAN/JSONB all pass
+    // through Postgres' input+output functions (raw_id comes out of
+    // the landed JSONB document, n_missing out of the landed JSONB
+    // audit array) — the full `postgres_loader.py` contract against a
+    // live server. amount/amount2 ride as float8 per the q11 decimal-
+    // representation convention.
+    "q312_pg_live_roundtrip" -> QuerySpec(
+      (s, dir) => {
+        import graft.etl._
+        import graft.sources.LivePostgres
+        val h = LivePostgres.get()
+        val conn = PgConn(h.host, h.port, h.user, h.database)
+        val sink = new PgWireSink(conn)
+        val cm = EtlQueries.ordersMapping
+        val audit = EtlDefaults.audit
+
+        // K2/K3 DDL against the real grammar; idempotent per bench pass.
+        sink.execute("DROP TABLE IF EXISTS \"public\".\"orders_t\"")
+        sink.execute(s"DROP TABLE IF EXISTS ${lit2(audit.auditTable)}")
+        sink.createSchema(audit.auditSchema)
+        sink.createTable(cm.targetTable, SchemaManager.buildTableColumns(
+          cm, EtlDefaults.runtime.typeMappings,
+          audit.businessColumns.toSeq, audit.businessColumnTypes))
+        sink.createTable(audit.auditTable,
+          SchemaManager.buildAuditTableColumns(audit))
+
+        val tc = Transform.transformCollection(
+          EtlQueries.rawOrdersDocs(s, dir), "raw", "orders", cm,
+          EtlDefaults.runtime, audit,
+          clock = to_timestamp(lit("2024-01-01 00:00:00")))
+        // Same persist contract as Pipeline.run/q309: one parse+cast
+        // pass feeds both plane writes.
+        tc.shared.persist()
+        try {
+          sink.append(tc.target, cm.targetTable)
+          sink.append(tc.audit, audit.auditTable)
+        } finally tc.shared.unpersist(blocking = false)
+
+        // Read back through a live PG join of the two landed planes,
+        // partitioned over 4 disjoint key slices (the wire analog of
+        // predicate-partitioned spark.read.jdbc).
+        val parts = (0 until 4).map(i =>
+          s"""SELECT t.order_id::text,
+                     to_char(t.order_date, 'YYYY-MM-DD'),
+                     to_char(t.event_ts AT TIME ZONE 'UTC',
+                             'YYYY-MM-DD"T"HH24:MI:SS'),
+                     t.amount::float8::text,
+                     t.amount2::float8::text,
+                     t.is_priority::text,
+                     t.priority_label,
+                     t.comment,
+                     (t.raw_json->>'_id')::int::text,
+                     t.status,
+                     jsonb_array_length(a.missing_columns)::text
+              FROM public.orders_t t
+              JOIN doc_audit.ingestion_audit a
+                ON a.object_id = t.order_id::text
+              WHERE t.order_id % 4 = $i""")
+        PgWireSink.readPartitioned(s, conn, parts,
+          Seq("order_id", "order_date", "event_ts", "amount", "amount2",
+            "is_priority", "priority_label", "comment", "raw_id",
+            "status", "n_missing"))
+          .select(
+            col("order_id").cast("int").as("order_id"),
+            col("order_date"), col("event_ts"),
+            col("amount").cast("double").as("amount"),
+            col("amount2").cast("double").as("amount2"),
+            (col("is_priority") === "true").as("is_priority"),
+            col("priority_label"), col("comment"),
+            col("raw_id").cast("int").as("raw_id"),
+            col("status"),
+            col("n_missing").cast("long").as("n_missing"))
+          .orderBy("order_id")
+      },
+      EtlQueries.docSql + """
+         SELECT CAST(k AS INTEGER) AS order_id,
+                strftime(d,'%Y-%m-%d') AS order_date,
+                et AS event_ts,
+                CAST(amt_dec AS DOUBLE) AS amount,
+                CASE WHEN k%7=0 THEN NULL ELSE CAST(amt_dec AS DOUBLE) END AS amount2,
+                (k%2=0) AS is_priority,
+                pri AS priority_label,
+                CASE WHEN k%5=0 THEN NULL ELSE 'note '||CAST(k AS VARCHAR) END AS comment,
+                CAST(k AS INTEGER) AS raw_id,
+                CASE WHEN k%7=0 THEN 'error' ELSE 'success' END AS status,
+                CAST(CASE WHEN k%5=0 THEN 2 ELSE 1 END AS BIGINT) AS n_missing
+         FROM doc ORDER BY order_id""")
   )
+
+  /** `schema.table` → `"schema"."table"` for gate-side DROPs. */
+  private def lit2(tableName: String): String = {
+    val (sch, tbl) = graft.etl.SchemaScript.splitTableName(tableName)
+    "\"" + sch.replace("\"", "\"\"") + "\".\"" + tbl.replace("\"", "\"\"") + "\""
+  }
 }

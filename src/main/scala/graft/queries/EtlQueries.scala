@@ -78,7 +78,7 @@ object EtlQueries {
       "comment" -> AttributeMapping("comment", "text"),
       "extra_attr" -> AttributeMapping("extra_col", "text")))
 
-  private val docSql =
+  private[queries] val docSql =
     """WITH src AS (
          SELECT o_orderkey AS k,
                 CAST(o_orderdate AS DATE) AS d,

@@ -26,9 +26,18 @@ object SqlConfScope {
   /** Generic save/set/try/finally bracket for ANY session conf (round-13
     * advice: q310 set `spark.sql.scripting.enabled` on the shared session
     * and never restored it, leaking a session-global change into every
-    * later query of the sweep). A key with no prior value is `unset` on
-    * exit rather than re-set to its resolved default, so the session
-    * leaves the bracket in its exact entry state.
+    * later query of the sweep).
+    *
+    * Exit-state precision (round-15 advice): for a REGISTERED SQL conf
+    * (`spark.sql.scripting.enabled`, `spark.sql.shuffle.partitions`, …)
+    * `getOption` returns the compiled-in default even when the key was
+    * never set, so the finally re-SETS that resolved default rather
+    * than restoring a pristine "never set" state. Observable reads are
+    * identical either way; only a key that is UNREGISTERED and unset on
+    * entry (arbitrary string keys) takes the `unset` branch. If a
+    * future caller needs default-tracking semantics (a default that
+    * changes with a dependent conf), it must snapshot via SQLConf
+    * internals instead.
     */
   def withConf[A](s: SparkSession, key: String, value: String)(body: => A): A = {
     val prev = s.conf.getOption(key)

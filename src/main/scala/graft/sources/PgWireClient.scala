@@ -1,0 +1,424 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Minimal PostgreSQL Frontend/Backend Protocol 3.0 client — simple
+  * query + COPY in/out, enough to drive a live Postgres without any
+  * JDBC driver on the classpath (the container ships a Postgres 15
+  * server but no pgjdbc jar; Spark's `write.jdbc` needs
+  * `org.postgresql.Driver`, so the live half of K1 rides this).
+  *
+  * Protocol per the public spec (PostgreSQL docs, "Frontend/Backend
+  * Protocol", protocol-message-formats): every backend message is a
+  * 1-byte tag + Int32 length (self-inclusive) + body; the startup
+  * message alone has no tag. Only what the sink/source need is
+  * implemented — trust / cleartext / md5 auth (SCRAM is rejected with
+  * a clear error), simple Query, CopyInResponse/CopyData/CopyDone,
+  * CopyOutResponse. One thread per connection; connections are cheap
+  * against a local server, and each Spark partition opens its own —
+  * the same connection-per-partition shape `write.jdbc` uses.
+  *
+  * This replaces the reference's psycopg2 plane
+  * (`etl_pipeline/postgres_loader.py:48-77`) at the wire level: where
+  * the reference executes one INSERT per document on one connection,
+  * the sink built on this client streams COPY text rows
+  * partition-parallel (see [[graft.etl.PgWireSink]]).
+  */
+final class PgWireClient private (socket: Socket, in: DataInputStream,
+    out: DataOutputStream) extends AutoCloseable {
+
+  import PgWireClient._
+
+  /** Result of one simple query: column names plus rows in text format
+    * (null = SQL NULL), and the command tag(s).
+    */
+  final case class QueryResult(
+      columns: Seq[String], rows: Seq[Seq[String]], tags: Seq[String])
+
+  /** Send a simple Query ('Q') and collect every result row until
+    * ReadyForQuery. Multi-statement strings are allowed; rows from the
+    * last result set win, tags accumulate.
+    */
+  def query(sql: String): QueryResult = {
+    sendQuery(sql)
+    var cols: Seq[String] = Nil
+    val rows = Seq.newBuilder[Seq[String]]
+    val tags = Seq.newBuilder[String]
+    var err: String = null
+    var done = false
+    while (!done) {
+      val (tag, body) = readMessage()
+      tag match {
+        case 'T' => cols = parseRowDescription(body)
+        case 'D' => rows += parseDataRow(body)
+        case 'C' => tags += cString(body, 0)._1
+        case 'E' => err = errorMessage(body)
+        case 'Z' => done = true
+        case 'N' | 'S' | 'I' | 'A' => () // notice/param/empty/notify
+        case other => throw new PgProtocolException(
+          s"unexpected message '$other' during simple query")
+      }
+    }
+    if (err != null) throw new PgServerException(err)
+    QueryResult(cols, rows.result(), tags.result())
+  }
+
+  /** Execute a `COPY ... FROM STDIN` (text format): stream the
+    * already-encoded text lines (no trailing newline per line — added
+    * here), batched into ~64 KiB CopyData messages. Returns the number
+    * of lines sent after the server confirms CommandComplete.
+    */
+  def copyIn(copySql: String, lines: Iterator[String]): Long = {
+    sendQuery(copySql)
+    // Expect CopyInResponse (skipping notices); an ErrorResponse here
+    // (bad table, bad SQL) surfaces before any data is sent.
+    var started = false
+    while (!started) {
+      val (tag, body) = readMessage()
+      tag match {
+        case 'G' => started = true
+        case 'E' =>
+          val msg = errorMessage(body)
+          drainUntilReady()
+          throw new PgServerException(msg)
+        case 'N' | 'S' => ()
+        case other => throw new PgProtocolException(
+          s"expected CopyInResponse, got '$other'")
+      }
+    }
+    var n = 0L
+    val buf = new java.io.ByteArrayOutputStream(CopyChunk + 8192)
+    def flushChunk(): Unit = if (buf.size > 0) {
+      out.writeByte('d')
+      out.writeInt(4 + buf.size)
+      buf.writeTo(out)
+      buf.reset()
+    }
+    lines.foreach { line =>
+      val b = line.getBytes(UTF_8)
+      buf.write(b, 0, b.length)
+      buf.write('\n')
+      n += 1
+      if (buf.size >= CopyChunk) flushChunk()
+    }
+    flushChunk()
+    out.writeByte('c') // CopyDone
+    out.writeInt(4)
+    out.flush()
+    var err: String = null
+    var done = false
+    while (!done) {
+      val (tag, body) = readMessage()
+      tag match {
+        case 'C' => ()
+        case 'E' => err = errorMessage(body)
+        case 'Z' => done = true
+        case 'N' | 'S' => ()
+        case other => throw new PgProtocolException(
+          s"unexpected message '$other' after CopyDone")
+      }
+    }
+    if (err != null) throw new PgServerException(err)
+    n
+  }
+
+  /** Execute a `COPY ... TO STDOUT` (text format) and return the rows
+    * as raw text lines (COPY escaping intact — decode with
+    * [[PgWireClient.decodeCopyRow]]). CopyData chunk boundaries are NOT
+    * assumed to align with rows: bytes are accumulated and split on
+    * newline.
+    */
+  def copyOutLines(copySql: String): Seq[String] = {
+    sendQuery(copySql)
+    val bytes = new java.io.ByteArrayOutputStream(1 << 16)
+    var err: String = null
+    var done = false
+    while (!done) {
+      val (tag, body) = readMessage()
+      tag match {
+        case 'H' | 'c' | 'C' => ()
+        case 'd' => bytes.write(body)
+        case 'E' => err = errorMessage(body)
+        case 'Z' => done = true
+        case 'N' | 'S' => ()
+        case other => throw new PgProtocolException(
+          s"unexpected message '$other' during COPY OUT")
+      }
+    }
+    if (err != null) throw new PgServerException(err)
+    val all = new String(bytes.toByteArray, UTF_8)
+    if (all.isEmpty) Nil
+    else all.split("\n", -1).toSeq.dropRight(1) // trailing newline
+  }
+
+  override def close(): Unit = {
+    try {
+      out.writeByte('X') // Terminate
+      out.writeInt(4)
+      out.flush()
+    } catch { case _: Throwable => () }
+    socket.close()
+  }
+
+  private def sendQuery(sql: String): Unit = {
+    val b = sql.getBytes(UTF_8)
+    out.writeByte('Q')
+    out.writeInt(4 + b.length + 1)
+    out.write(b)
+    out.writeByte(0)
+    out.flush()
+  }
+
+  private def drainUntilReady(): Unit = {
+    var done = false
+    while (!done) {
+      val (tag, _) = readMessage()
+      if (tag == 'Z') done = true
+    }
+  }
+
+  private def readMessage(): (Char, Array[Byte]) = {
+    val tag = in.read()
+    if (tag < 0) throw new EOFException("server closed connection")
+    val len = in.readInt()
+    if (len < 4 || len > MaxMessage) throw new PgProtocolException(
+      s"implausible message length $len for tag '${tag.toChar}'")
+    val body = new Array[Byte](len - 4)
+    in.readFully(body)
+    (tag.toChar, body)
+  }
+}
+
+object PgWireClient {
+
+  private val CopyChunk = 64 * 1024
+  /** Upper bound on one backend message; COPY rows stream in small
+    * chunks, so anything beyond this is a protocol desync, not data.
+    */
+  private val MaxMessage = 1 << 30
+
+  final class PgProtocolException(msg: String) extends RuntimeException(msg)
+  final class PgServerException(msg: String) extends RuntimeException(msg)
+
+  /** Connect + authenticate (trust, cleartext, or md5) + wait for
+    * ReadyForQuery. `params` are extra startup parameters — the sink
+    * pins `TimeZone -> UTC` so timestamptz text is deterministic.
+    */
+  def connect(host: String, port: Int, user: String, database: String,
+      password: String = "", params: Map[String, String] = Map.empty,
+      connectTimeoutMs: Int = 15000): PgWireClient = {
+    val socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setTcpNoDelay(true)
+    val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
+    val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+    try {
+      // StartupMessage: Int32 len, Int32 196608 (protocol 3.0), then
+      // null-terminated key/value pairs, then a terminating zero byte.
+      val kvs = (Map("user" -> user, "database" -> database) ++ params).toSeq
+      val body = new java.io.ByteArrayOutputStream()
+      kvs.foreach { case (k, v) =>
+        body.write(k.getBytes(UTF_8)); body.write(0)
+        body.write(v.getBytes(UTF_8)); body.write(0)
+      }
+      body.write(0)
+      out.writeInt(4 + 4 + body.size)
+      out.writeInt(196608)
+      body.writeTo(out)
+      out.flush()
+
+      val client = new PgWireClient(socket, in, out)
+      var ready = false
+      while (!ready) {
+        val tag = in.read()
+        if (tag < 0) throw new EOFException("server closed during startup")
+        val len = in.readInt()
+        val msg = new Array[Byte](len - 4)
+        in.readFully(msg)
+        tag.toChar match {
+          case 'R' =>
+            val code = readInt(msg, 0)
+            code match {
+              case 0 => () // AuthenticationOk
+              case 3 => // cleartext password
+                sendPassword(out, password)
+              case 5 => // md5: md5hex(md5hex(password + user) + 4-byte salt)
+                val salt = msg.slice(4, 8)
+                val inner = md5Hex((password + user).getBytes(UTF_8))
+                val outer = md5Hex(inner.getBytes(UTF_8) ++ salt)
+                sendPassword(out, "md5" + outer)
+              case 10 => throw new PgProtocolException(
+                "server requires SCRAM auth; this client supports trust/cleartext/md5 " +
+                  "(configure pg_hba with trust/md5 for the graft role)")
+              case other => throw new PgProtocolException(
+                s"unsupported authentication code $other")
+            }
+          case 'S' | 'K' | 'N' => () // ParameterStatus / BackendKeyData / Notice
+          case 'E' => throw new PgServerException(errorMessage(msg))
+          case 'Z' => ready = true
+          case other => throw new PgProtocolException(
+            s"unexpected startup message '$other'")
+        }
+      }
+      client
+    } catch {
+      case e: Throwable =>
+        try socket.close() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  private def sendPassword(out: DataOutputStream, pw: String): Unit = {
+    val b = pw.getBytes(UTF_8)
+    out.writeByte('p')
+    out.writeInt(4 + b.length + 1)
+    out.write(b)
+    out.writeByte(0)
+    out.flush()
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def readShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def cString(b: Array[Byte], off: Int): (String, Int) = {
+    var end = off
+    while (b(end) != 0) end += 1
+    (new String(b, off, end - off, UTF_8), end + 1)
+  }
+
+  private def parseRowDescription(body: Array[Byte]): Seq[String] = {
+    val n = readShort(body, 0)
+    var off = 2
+    (0 until n).map { _ =>
+      val (name, next) = cString(body, off)
+      off = next + 18 // tableOid(4) colno(2) typOid(4) typlen(2) typmod(4) fmt(2)
+      name
+    }
+  }
+
+  private def parseDataRow(body: Array[Byte]): Seq[String] = {
+    val n = readShort(body, 0)
+    var off = 2
+    (0 until n).map { _ =>
+      val len = readInt(body, off)
+      off += 4
+      if (len < 0) null
+      else {
+        val s = new String(body, off, len, UTF_8)
+        off += len
+        s
+      }
+    }
+  }
+
+  private def errorMessage(body: Array[Byte]): String = {
+    // ErrorResponse: (fieldType byte, cstring)* terminated by a 0 byte.
+    val fields = scala.collection.mutable.Map[Char, String]()
+    var off = 0
+    while (off < body.length && body(off) != 0) {
+      val code = body(off).toChar
+      val (value, next) = cString(body, off + 1)
+      fields(code) = value
+      off = next
+    }
+    val sev = fields.getOrElse('S', "ERROR")
+    val sqlState = fields.get('C').map(c => s" [$c]").getOrElse("")
+    val msg = fields.getOrElse('M', "(no message)")
+    val detail = fields.get('D').map(d => s"; $d").getOrElse("")
+    s"$sev$sqlState: $msg$detail"
+  }
+
+  // ---- COPY text-format row codec ------------------------------------
+
+  /** Encode one row for COPY text format: tab-delimited, `\N` for NULL,
+    * backslash/tab/newline/CR escaped (the exact set COPY TO emits).
+    */
+  def encodeCopyRow(values: Seq[String]): String =
+    values.iterator.map { v =>
+      if (v == null) "\\N"
+      else {
+        val sb = new StringBuilder(v.length + 8)
+        var i = 0
+        while (i < v.length) {
+          v.charAt(i) match {
+            case '\\' => sb.append("\\\\")
+            case '\t' => sb.append("\\t")
+            case '\n' => sb.append("\\n")
+            case '\r' => sb.append("\\r")
+            case c => sb.append(c)
+          }
+          i += 1
+        }
+        sb.result()
+      }
+    }.mkString("\t")
+
+  /** Decode one COPY TO text line into column values (null for `\N`).
+    * Handles the full escape set COPY TO can emit: the C-style
+    * single-char escapes plus octal `\nnn` and hex `\xNN`.
+    */
+  def decodeCopyRow(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var isNull = false
+    var fieldStart = true
+    var i = 0
+    def endField(): Unit = {
+      out += (if (isNull && sb.isEmpty) null else sb.result())
+      sb.clear(); isNull = false; fieldStart = true
+    }
+    while (i < line.length) {
+      line.charAt(i) match {
+        case '\t' => endField(); i += 1
+        case '\\' if i + 1 < line.length =>
+          val c = line.charAt(i + 1)
+          c match {
+            case 'N' if fieldStart && sb.isEmpty &&
+              (i + 2 >= line.length || line.charAt(i + 2) == '\t') =>
+              isNull = true; i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'v' => sb.append('\u000b'); i += 2
+            case 'x' =>
+              var j = i + 2
+              var value = 0
+              while (j < line.length && j < i + 4 &&
+                Character.digit(line.charAt(j), 16) >= 0) {
+                value = value * 16 + Character.digit(line.charAt(j), 16)
+                j += 1
+              }
+              if (j > i + 2) { sb.append(value.toChar); i = j }
+              else { sb.append('x'); i += 2 }
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1
+              var value = 0
+              while (j < line.length && j < i + 4 &&
+                line.charAt(j) >= '0' && line.charAt(j) <= '7') {
+                value = value * 8 + (line.charAt(j) - '0')
+                j += 1
+              }
+              sb.append(value.toChar); i = j
+            case other => sb.append(other); i += 2
+          }
+          fieldStart = false
+        case c => sb.append(c); fieldStart = false; i += 1
+      }
+    }
+    endField()
+    out.toArray
+  }
+}

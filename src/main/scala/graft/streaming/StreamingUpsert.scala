@@ -152,14 +152,16 @@ object StreamingUpsert {
     // checking the lease and we plant the lease before checking the
     // marker, so whatever the interleaving at least one side backs off.
     val fs = fileSystem(spark, new HPath(dir))
-    fs.create(leasePath(dir), true).close()
+    val leaseNonce = plantLease(fs, dir)
     if (fs.exists(vacuumMarkerPath(dir))) {
-      fs.delete(leasePath(dir), false)
+      releaseLeaseIfOurs(fs, dir, leaseNonce)
       throw new IllegalStateException(
         s"mergeStream($dir) refused: a vacuum holds " +
-          s"${vacuumMarkerPath(dir)} — drain after it completes (a marker " +
-          "left by a killed vacuum is superseded by the next vacuum run, " +
-          "or delete the file after confirming no vacuum is running)")
+          s"${vacuumMarkerPath(dir)} — drain after it completes (the " +
+          "marker records its owner host/pid and start time; read it and " +
+          "check its mtime to tell a live vacuum from a killed one — a " +
+          "stale marker is superseded by the next vacuum run, or delete " +
+          "the file after confirming no vacuum is running)")
     }
     // Versions already published at stream START. The in-run state's
     // version alone cannot answer "was v<id> ever published?" when the
@@ -181,7 +183,7 @@ object StreamingUpsert {
         .option("checkpointLocation", checkpoint)
         .start()
       q.awaitTermination()
-    } finally fs.delete(leasePath(dir), false)
+    } finally releaseLeaseIfOurs(fs, dir, leaseNonce)
     if (state.version < 0)
       throw new IllegalStateException("stream produced no microbatch")
     dir
@@ -397,9 +399,11 @@ object StreamingUpsert {
       fs.delete(p, false)
       throw new IllegalStateException(
         s"cannot pin v$version under $dir: a vacuum holds " +
-          s"${vacuumMarkerPath(dir)} — retry after it completes (a marker " +
-          "left by a killed vacuum is superseded by the next vacuum run, " +
-          "or delete the file after confirming no vacuum is running)")
+          s"${vacuumMarkerPath(dir)} — retry after it completes (the " +
+          "marker records its owner host/pid and start time; read it and " +
+          "check its mtime to tell a live vacuum from a killed one — a " +
+          "stale marker is superseded by the next vacuum run, or delete " +
+          "the file after confirming no vacuum is running)")
     }
     if (readManifestVersion(spark, dir, version).isEmpty) {
       fs.delete(p, false)
@@ -479,8 +483,20 @@ object StreamingUpsert {
     val fs = fileSystem(spark, root)
     // Plant the marker BEFORE the lease check (the handshake order that
     // closes the both-proceed window) — and remove it on every exit,
-    // including a lease refusal.
-    fs.create(vacuumMarkerPath(dir), true).close()
+    // including a lease refusal. The payload (owner host/pid + start
+    // time, round-15 advice) gives the operator a staleness signal: the
+    // recovery instruction "delete after confirming no vacuum is
+    // running" is actionable by reading the marker and checking its
+    // mtime instead of guessing.
+    locally {
+      val out = fs.create(vacuumMarkerPath(dir), true)
+      try out.write(
+        (s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+          s"pid=${ProcessHandle.current().pid()} " +
+          s"started=${java.time.Instant.now()}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     try {
       def checkLease(): Unit =
         if (!breakLease && fs.exists(leasePath(dir)))
@@ -558,6 +574,39 @@ object StreamingUpsert {
     */
   private[streaming] def leasePath(dir: String): HPath =
     new HPath(s"$dir/_graft_drain.lease")
+
+  /** Plant the drain lease carrying a fresh per-drain nonce.
+    * Overwrite-acquire stays the crash-recovery semantics (a lease left
+    * by a dead drain is superseded), but the nonce closes the round-15
+    * advice hole: single-drain is a documented assumption, and without
+    * it an ACCIDENTAL second concurrent drain that refused on a vacuum
+    * marker deleted the shared lease file — destroying the protection
+    * of the still-running first drain for the rest of its run. Release
+    * now only deletes the file while it still carries this drain's
+    * nonce, so a contract-violating drain's exit is benign.
+    */
+  private def plantLease(fs: FileSystem, dir: String): String = {
+    val nonce = java.util.UUID.randomUUID.toString
+    val out = fs.create(leasePath(dir), true)
+    try out.write(nonce.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    nonce
+  }
+
+  /** Delete the lease only if it still carries `nonce` — i.e. no later
+    * drain has overwrite-acquired it in the meantime. Best-effort (the
+    * read-then-delete is not atomic); the property it restores is
+    * "my exit never removes someone else's live lease".
+    */
+  private def releaseLeaseIfOurs(fs: FileSystem, dir: String, nonce: String): Unit =
+    try {
+      val in = fs.open(leasePath(dir))
+      val content =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      if (content == nonce) { val _ = fs.delete(leasePath(dir), false) }
+    } catch { case _: java.io.FileNotFoundException => () }
 
   /** Vacuum-in-progress marker at the store root — the vacuum-side half
     * of the mutual-exclusion handshake (round-13 advice: the lease was
