@@ -88,10 +88,42 @@ object LivePostgres {
     }
   })
 
+  /** Reap clusters leaked by SIGKILL'd JVMs (shutdown hooks never ran):
+    * any `/tmp/graft_pg_live_*` whose postmaster pid is dead is stopped
+    * (best-effort, in case orphaned backends linger) and deleted; one
+    * with a LIVE postmaster belongs to a running JVM and is left alone.
+    * Runs once per boot, so leaks are bounded by one crashed run.
+    */
+  private def reapStaleClusters(): Unit =
+    try {
+      val tmp = Paths.get("/tmp")
+      val s = Files.list(tmp)
+      val stale = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft_pg_live_"))
+          .filter { base =>
+            val pidFile = base.resolve("data/postmaster.pid")
+            val alive =
+              try {
+                val pid = Files.readAllLines(pidFile).get(0).trim.toLong
+                ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+              } catch { case _: Throwable => false } // unreadable = not running
+            !alive
+          }.toSeq
+      } finally s.close()
+      stale.foreach { base =>
+        findBinary("pg_ctl").foreach(pgCtl =>
+          run(s"$pgCtl -D ${base.resolve("data")} -m immediate stop", tmp))
+        run(s"rm -rf $base", tmp)
+      }
+    } catch { case _: Throwable => () } // reaping is never load-bearing
+
   private def start(): Handle = {
     val initdb = findBinary("initdb").getOrElse(
       sys.error("initdb not found (checked " + BinDirs.mkString(", ") + ")"))
     val pgCtl = findBinary("pg_ctl").getOrElse(sys.error("pg_ctl not found"))
+    reapStaleClusters()
     val nonce = java.lang.Long.toHexString(
       ProcessHandle.current().pid() ^ System.nanoTime())
     val base = Paths.get(s"/tmp/graft_pg_live_$nonce")
