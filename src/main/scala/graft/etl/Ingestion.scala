@@ -73,6 +73,26 @@ object Ingestion {
   def fromJsonLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path).withColumnRenamed("value", "raw")
 
+  /** Fan a per-row-CPU-bound plane out to the session's full parallelism
+    * when the input's split count would otherwise serialize it. A
+    * single-file scan (or a one-file JSONL drop) plans ONE split, so the
+    * downstream parse/cast plane runs on one core no matter how many the
+    * cluster has — Spark sizes splits by BYTES
+    * (`spark.sql.files.maxPartitionBytes`), which under-partitions any
+    * input whose cost is per-row CPU rather than I/O (round-15,
+    * measured: the full transform at sf0.1 ran 8.1 s on the fixture's
+    * single split vs 1.6 s fanned out to 32). No-op whenever the input
+    * already carries at least the session's parallelism — at production
+    * scale inputs arrive in many splits and nothing is inserted; the
+    * exchange, when it does fire, is round-robin over the raw rows and
+    * always below the first wide stage. `Pipeline.run` applies this to
+    * every collection before the transform plane.
+    */
+  def fanOutForCpu(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** K6 — filtered-input re-write (reference `ui/run_pipeline.py:56-61`,
     * `386-392`): subset an envelope to selected collections and persist
     * it (2-space indented, like the reference's `json.dumps(indent=2)`).

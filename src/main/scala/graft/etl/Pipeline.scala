@@ -162,9 +162,14 @@ object Pipeline {
           if (tableInSchema && !tableExists)
             missingTablesDb += cc.targetTable
 
+          // Fan the transform plane out when the input arrives in fewer
+          // splits than the session has cores (a whole-file envelope or
+          // a one-file JSONL drop plans ONE split; Spark sizes splits by
+          // bytes, and this plane's cost is per-row CPU). No-op on
+          // well-split inputs — see Ingestion.fanOutForCpu.
           val tc = Transform.transformCollection(
-            rawDf, "raw", collectionName, cc, app.runtime, audit,
-            objectStatus = objectStatus, clock = runClock)
+            Ingestion.fanOutForCpu(rawDf), "raw", collectionName, cc,
+            app.runtime, audit, objectStatus = objectStatus, clock = runClock)
 
           val auditRows =
             if (tableExists) tc.audit

@@ -22,8 +22,11 @@ object AlgebraQueries {
     // convention from q24/q58) makes every cell sum exact.
     "q171_gram_matrix" -> QuerySpec(
       (s, dir) =>
+        // dim(dim+1)/2 products per ROW over a one-split fixture scan:
+        // fan out so the outer-product map stage uses every core
         GramMatrix.upperTriangle(
-          Tables.embeddings(s, dir), col("embedding"), scale = 1000),
+          graft.etl.Ingestion.fanOutForCpu(Tables.embeddings(s, dir)),
+          col("embedding"), scale = 1000),
       """WITH v AS (SELECT list_transform(embedding,
                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
                     FROM embeddings),
@@ -51,7 +54,10 @@ object AlgebraQueries {
             (col("event_id") % 2 === 0).as("even")).as("meta"),
           array(col("event_id"), col("user_id")).as("ids"),
           col("props").as("raw")))
-        Tables.events(s, dir)
+        // fixture = one parquet file = one split; the per-row parse +
+        // five variant probes are CPU-bound, so fan the scan out
+        // (no-op on well-split production inputs — Ingestion.fanOutForCpu)
+        graft.etl.Ingestion.fanOutForCpu(Tables.events(s, dir))
           .select(col("event_id"), parse_json(doc).as("v"))
           .select(
             col("event_id"),

@@ -28,6 +28,13 @@ import graft.etl._
   */
 object EtlQueries {
 
+  /** The fixture parquet is ONE file = one input split, so without a
+    * fan-out every consumer's parse/cast plane would run on a single
+    * core regardless of the session's size — a fixture artifact, not a
+    * property of the measured system (round-15: the q11 transform read
+    * 8.1 s single-split vs 1.6 s fanned at sf0.1; at 100 TB inputs
+    * arrive in many splits and `fanOutForCpu` inserts nothing).
+    */
   def rawOrdersDocs(s: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
     val kStr = k.cast("string")
@@ -47,7 +54,7 @@ object EtlQueries {
     val mixedStr = when(pmod(k, lit(3)) === 0, kStr).otherwise(decStr)
     val commentPart = when(pmod(k, lit(5)) === 0, lit(""))
       .otherwise(concat(lit(",\"comment\":\"note "), kStr, lit("\"")))
-    Tables.orders(s, dir).select(concat(
+    Ingestion.fanOutForCpu(Tables.orders(s, dir)).select(concat(
       lit("{\"_id\":"), kStr,
       lit(",\"order_date\":\""), fd,
       lit("\",\"event_time\":\""), et,
@@ -275,7 +282,9 @@ object EtlQueries {
           lit(":"), pad(pmod(k * 3, lit(60))))
         val frac = when(pmod(k, lit(3)) === 0, lit(".500")).otherwise(lit(""))
         val dec = col("o_totalprice").cast("decimal(12,2)").cast("string")
-        val docs = Tables.orders(s, dir).select(concat(
+        // same single-split fixture artifact as rawOrdersDocs: the
+        // recursive Jackson rewrite is per-row CPU, fan it out
+        val docs = Ingestion.fanOutForCpu(Tables.orders(s, dir)).select(concat(
           lit("{\"_id\":{\"$oid\":\""), oid1,
           lit("\"},\"created\":{\"$date\":\""), t, frac, lit("Z\"},"),
           lit("\"meta\":{\"ref\":{\"$oid\":\""), oid2,
