@@ -35,6 +35,14 @@ final case class PgConn(host: String, port: Int, user: String,
   * dates/timestamps/booleans/decimals is accepted by Postgres' input
   * functions, array columns land as JSON text into JSONB targets (the
   * same convention as the other sinks).
+  *
+  * Task-retry semantics match Spark's own JDBC writer: each partition's
+  * COPY runs in its own implicit transaction, so a task that dies
+  * mid-stream disconnects and Postgres rolls the partial COPY back —
+  * the retry starts clean. The residual at-least-once window (a task
+  * dying AFTER its COPY commits but before reporting success) is the
+  * same one `write.jdbc` has; keep speculative execution off for this
+  * sink (GraftSession's default) or add an idempotence key downstream.
   */
 final class PgWireSink(conn: PgConn) extends TableSink {
 

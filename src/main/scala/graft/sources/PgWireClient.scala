@@ -38,8 +38,9 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
       columns: Seq[String], rows: Seq[Seq[String]], tags: Seq[String])
 
   /** Send a simple Query ('Q') and collect every result row until
-    * ReadyForQuery. Multi-statement strings are allowed; rows from the
-    * last result set win, tags accumulate.
+    * ReadyForQuery. Multi-statement strings are allowed: rows
+    * ACCUMULATE across result sets (columns reflect the last
+    * RowDescription), tags accumulate per statement.
     */
   def query(sql: String): QueryResult = {
     sendQuery(sql)
