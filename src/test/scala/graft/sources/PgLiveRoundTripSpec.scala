@@ -134,6 +134,78 @@ class PgLiveRoundTripSpec extends AnyFunSuite with SparkTestSession {
     finally client.close()
   }
 
+  test("live: md5 and cleartext auth legs, and a COPY rejected mid-statement") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    val h = LivePostgres.get()
+
+    // Roles for the two password auth methods. PG15 defaults to
+    // scram-sha-256, so pin md5 for the md5 role's stored verifier.
+    val admin = conn.open()
+    try {
+      val _ = admin.query(
+        """SET password_encryption = 'md5';
+           DROP ROLE IF EXISTS graft_md5; DROP ROLE IF EXISTS graft_clear;
+           CREATE ROLE graft_md5 LOGIN PASSWORD 'pw-md5';
+           SET password_encryption = 'scram-sha-256';
+           CREATE ROLE graft_clear LOGIN PASSWORD 'pw-clear'""")
+    } finally admin.close()
+
+    // hba is first-match: our method lines must precede the blanket
+    // trust entries. The JVM runs as root (or as the cluster owner), so
+    // prepending and reloading is direct.
+    val hba = h.baseDir.resolve("data/pg_hba.conf")
+    val orig = java.nio.file.Files.readString(hba)
+    java.nio.file.Files.writeString(hba,
+      "host all graft_md5 127.0.0.1/32 md5\n" +
+        "host all graft_clear 127.0.0.1/32 password\n" + orig)
+    val reload = conn.open()
+    try { val _ = reload.query("SELECT pg_reload_conf()") }
+    finally reload.close()
+
+    try {
+      // md5 leg: AuthenticationMD5Password → md5(md5(pw+user)+salt)
+      val m = PgWireClient.connect(h.host, h.port, "graft_md5", h.database,
+        password = "pw-md5")
+      try assert(m.query("SELECT current_user").rows == Seq(Seq("graft_md5")))
+      finally m.close()
+      // cleartext leg: AuthenticationCleartextPassword
+      val c = PgWireClient.connect(h.host, h.port, "graft_clear", h.database,
+        password = "pw-clear")
+      try assert(c.query("SELECT current_user").rows == Seq(Seq("graft_clear")))
+      finally c.close()
+      // a wrong password fails loudly with the server's message
+      val bad = intercept[PgWireClient.PgServerException](
+        PgWireClient.connect(h.host, h.port, "graft_md5", h.database,
+          password = "nope"))
+      assert(bad.getMessage.toLowerCase.contains("password"))
+    } finally {
+      java.nio.file.Files.writeString(hba, orig) // restore trust-only hba
+      val r = conn.open()
+      try { val _ = r.query("SELECT pg_reload_conf()") }
+      finally r.close()
+    }
+
+    // COPY rejected mid-statement (NOT NULL violation at a late row):
+    // the statement's implicit transaction rolls back — NOTHING lands —
+    // the error surfaces with the server's message, and the connection
+    // survives for the next statement (the task-retry contract
+    // PgWireSink documents).
+    val client = conn.open()
+    try {
+      val _ = client.query(
+        """CREATE SCHEMA IF NOT EXISTS graft_t;
+           DROP TABLE IF EXISTS graft_t.strict;
+           CREATE TABLE graft_t.strict (id INT NOT NULL, v TEXT)""")
+      val rows = (1 to 1000).map(i => s"$i\tok") :+ "\\N\tboom"
+      val err = intercept[PgWireClient.PgServerException](
+        client.copyIn("COPY graft_t.strict (id, v) FROM STDIN", rows.iterator))
+      assert(err.getMessage.contains("null value"), err.getMessage)
+      assert(client.query("SELECT count(*) FROM graft_t.strict")
+        .rows.head.head == "0", "failed COPY must land nothing")
+      assert(client.query("SELECT 1").rows == Seq(Seq("1")))
+    } finally client.close()
+  }
+
   test("live: full Pipeline.run against Postgres — planning, targets, audit, reports") {
     assume(LivePostgres.available, "postgres server binaries not installed")
     import java.nio.file.Files
