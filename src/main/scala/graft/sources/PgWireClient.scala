@@ -14,8 +14,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Protocol", protocol-message-formats): every backend message is a
   * 1-byte tag + Int32 length (self-inclusive) + body; the startup
   * message alone has no tag. Only what the sink/source need is
-  * implemented — trust / cleartext / md5 auth (SCRAM is rejected with
-  * a clear error), simple Query, CopyInResponse/CopyData/CopyDone,
+  * implemented — trust / cleartext / md5 / SCRAM-SHA-256 auth (the
+  * last per RFC 5802/7677, the default verifier since PG 10; the
+  * channel-binding -PLUS variant needs TLS this client doesn't speak
+  * and is declined per the RFC's gs2 "n" flag), simple Query,
+  * CopyInResponse/CopyData/CopyDone,
   * CopyOutResponse. One thread per connection; connections are cheap
   * against a local server, and each Spark partition opens its own —
   * the same connection-per-partition shape `write.jdbc` uses.
@@ -232,6 +235,7 @@ object PgWireClient {
 
       val client = new PgWireClient(socket, in, out)
       var ready = false
+      var scram: ScramClient = null
       while (!ready) {
         val tag = in.read()
         if (tag < 0) throw new EOFException("server closed during startup")
@@ -250,9 +254,24 @@ object PgWireClient {
                 val inner = md5Hex((password + user).getBytes(UTF_8))
                 val outer = md5Hex(inner.getBytes(UTF_8) ++ salt)
                 sendPassword(out, "md5" + outer)
-              case 10 => throw new PgProtocolException(
-                "server requires SCRAM auth; this client supports trust/cleartext/md5 " +
-                  "(configure pg_hba with trust/md5 for the graft role)")
+              case 10 => // AuthenticationSASL: cstring mechanism list
+                val mechs = parseSaslMechanisms(msg)
+                if (!mechs.contains(ScramMechanism)) throw new PgProtocolException(
+                  s"server offers SASL mechanisms ${mechs.mkString(", ")}; " +
+                    s"this client supports only $ScramMechanism (the -PLUS " +
+                    "variant requires TLS channel binding)")
+                scram = new ScramClient(password)
+                sendSaslInitial(out, ScramMechanism, scram.clientFirstMessage)
+              case 11 => // AuthenticationSASLContinue: server-first-message
+                if (scram == null) throw new PgProtocolException(
+                  "SASLContinue without a SASL exchange in progress")
+                val serverFirst = new String(msg, 4, msg.length - 4, UTF_8)
+                sendSaslResponse(out, scram.clientFinalMessage(serverFirst))
+              case 12 => // AuthenticationSASLFinal: v=<ServerSignature>
+                if (scram == null) throw new PgProtocolException(
+                  "SASLFinal without a SASL exchange in progress")
+                scram.verifyServerFinal(
+                  new String(msg, 4, msg.length - 4, UTF_8))
               case other => throw new PgProtocolException(
                 s"unsupported authentication code $other")
             }
@@ -269,6 +288,137 @@ object PgWireClient {
         try socket.close() catch { case _: Throwable => () }
         throw e
     }
+  }
+
+  private[sources] val ScramMechanism = "SCRAM-SHA-256"
+
+  /** AuthenticationSASL body after the Int32 code: a sequence of
+    * null-terminated mechanism names, terminated by an empty name.
+    */
+  private def parseSaslMechanisms(msg: Array[Byte]): Seq[String] = {
+    val names = Seq.newBuilder[String]
+    var off = 4
+    while (off < msg.length && msg(off) != 0) {
+      val (name, next) = cString(msg, off)
+      names += name
+      off = next
+    }
+    names.result()
+  }
+
+  /** SASLInitialResponse: mechanism cstring + Int32 byte-length of the
+    * initial client response + the response bytes.
+    */
+  private def sendSaslInitial(out: DataOutputStream, mech: String,
+      initial: String): Unit = {
+    val m = mech.getBytes(UTF_8)
+    val r = initial.getBytes(UTF_8)
+    out.writeByte('p')
+    out.writeInt(4 + m.length + 1 + 4 + r.length)
+    out.write(m)
+    out.writeByte(0)
+    out.writeInt(r.length)
+    out.write(r)
+    out.flush()
+  }
+
+  /** SASLResponse: the raw client-final-message, no framing inside. */
+  private def sendSaslResponse(out: DataOutputStream, resp: String): Unit = {
+    val r = resp.getBytes(UTF_8)
+    out.writeByte('p')
+    out.writeInt(4 + r.length)
+    out.write(r)
+    out.flush()
+  }
+
+  /** SCRAM-SHA-256 client state machine (RFC 5802 message flow, RFC 7677
+    * hash parameters). Channel binding is declined (`gs2-cbind-flag =
+    * "n"`, so `c=` carries base64("n,,") = "biws") — this client has no
+    * TLS layer to bind to. The username inside the SCRAM exchange is
+    * empty: Postgres ignores it and uses the startup-message user (libpq
+    * sends it empty too). The password is used verbatim as UTF-8 —
+    * RFC 5802 calls for SASLprep, which is the identity mapping on the
+    * ASCII passwords this plane uses; a non-ASCII password that needs
+    * normalization must be pre-normalized by the caller.
+    *
+    * `nonceOverride` exists for the RFC 7677 test vector (ScramSpec),
+    * which pins both nonces; production connects use a fresh
+    * SecureRandom nonce. `userForTest` likewise: the vector's
+    * client-first-bare carries `n=user`.
+    */
+  private[sources] final class ScramClient(password: String,
+      nonceOverride: Option[String] = None, userForTest: String = "") {
+
+    private val clientNonce: String = nonceOverride.getOrElse {
+      val raw = new Array[Byte](18)
+      new java.security.SecureRandom().nextBytes(raw)
+      java.util.Base64.getEncoder.encodeToString(raw)
+    }
+    private val clientFirstBare = s"n=$userForTest,r=$clientNonce"
+    /** Sent in SASLInitialResponse: gs2 header (no channel binding, no
+      * authzid) + bare.
+      */
+    def clientFirstMessage: String = s"n,,$clientFirstBare"
+
+    private var serverSignatureB64: String = null
+
+    /** Consume `r=<nonce>,s=<salt-b64>,i=<iterations>` and produce the
+      * client-final-message carrying the proof.
+      */
+    def clientFinalMessage(serverFirst: String): String = {
+      val attrs = serverFirst.split(",").iterator
+        .map(a => a.substring(0, 1) -> a.substring(2)).toMap
+      val combinedNonce = attrs.getOrElse("r", throw new PgProtocolException(
+        s"SCRAM server-first lacks r=: $serverFirst"))
+      if (!combinedNonce.startsWith(clientNonce)) throw new PgProtocolException(
+        "SCRAM server nonce does not extend the client nonce (possible MITM)")
+      val salt = java.util.Base64.getDecoder.decode(attrs("s"))
+      val iterations = attrs("i").toInt
+
+      val salted = pbkdf2(password, salt, iterations)
+      val clientKey = hmac(salted, "Client Key")
+      val storedKey = sha256(clientKey)
+      val withoutProof = s"c=biws,r=$combinedNonce"
+      val authMessage = s"$clientFirstBare,$serverFirst,$withoutProof"
+      val clientSig = hmac(storedKey, authMessage)
+      val proof = clientKey.zip(clientSig).map { case (a, b) => (a ^ b).toByte }
+      val serverKey = hmac(salted, "Server Key")
+      serverSignatureB64 = java.util.Base64.getEncoder
+        .encodeToString(hmac(serverKey, authMessage))
+      s"$withoutProof,p=${java.util.Base64.getEncoder.encodeToString(proof)}"
+    }
+
+    /** Check the server's `v=<signature>` — proves the server knew the
+      * verifier (mutual auth); a mismatch is impersonation, not a wrong
+      * password (that arrives as an ErrorResponse instead).
+      */
+    def verifyServerFinal(serverFinal: String): Unit = {
+      val v = serverFinal.split(",").find(_.startsWith("v="))
+        .getOrElse(throw new PgProtocolException(
+          s"SCRAM server-final lacks v=: $serverFinal")).substring(2)
+      if (serverSignatureB64 == null || v != serverSignatureB64)
+        throw new PgProtocolException(
+          "SCRAM server signature mismatch — server does not know the " +
+            "password verifier (possible impersonation)")
+    }
+
+    private def pbkdf2(pw: String, salt: Array[Byte], iter: Int): Array[Byte] =
+      javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+        .generateSecret(new javax.crypto.spec.PBEKeySpec(
+          pw.toCharArray, salt, iter, 256))
+        .getEncoded
+
+    private def hmac(key: Array[Byte], data: String): Array[Byte] =
+      hmacBytes(key, data.getBytes(UTF_8))
+
+    private def hmacBytes(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val m = javax.crypto.Mac.getInstance("HmacSHA256")
+      m.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+      m.doFinal(data)
+    }
+
+    private def sha256(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b)
   }
 
   private def sendPassword(out: DataOutputStream, pw: String): Unit = {

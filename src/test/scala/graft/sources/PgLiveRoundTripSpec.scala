@@ -138,16 +138,20 @@ class PgLiveRoundTripSpec extends AnyFunSuite with SparkTestSession {
     assume(LivePostgres.available, "postgres server binaries not installed")
     val h = LivePostgres.get()
 
-    // Roles for the two password auth methods. PG15 defaults to
-    // scram-sha-256, so pin md5 for the md5 role's stored verifier.
+    // Roles for the three password auth methods. PG15 defaults to
+    // scram-sha-256, so pin md5 for the md5 role's stored verifier; the
+    // scram role takes the default (its verifier is a real
+    // SCRAM-SHA-256 one, salt + 4096 iterations).
     val admin = conn.open()
     try {
       val _ = admin.query(
         """SET password_encryption = 'md5';
            DROP ROLE IF EXISTS graft_md5; DROP ROLE IF EXISTS graft_clear;
+           DROP ROLE IF EXISTS graft_scram;
            CREATE ROLE graft_md5 LOGIN PASSWORD 'pw-md5';
            SET password_encryption = 'scram-sha-256';
-           CREATE ROLE graft_clear LOGIN PASSWORD 'pw-clear'""")
+           CREATE ROLE graft_clear LOGIN PASSWORD 'pw-clear';
+           CREATE ROLE graft_scram LOGIN PASSWORD 'pw-scram'""")
     } finally admin.close()
 
     // hba is first-match: our method lines must precede the blanket
@@ -157,7 +161,8 @@ class PgLiveRoundTripSpec extends AnyFunSuite with SparkTestSession {
     val orig = java.nio.file.Files.readString(hba)
     java.nio.file.Files.writeString(hba,
       "host all graft_md5 127.0.0.1/32 md5\n" +
-        "host all graft_clear 127.0.0.1/32 password\n" + orig)
+        "host all graft_clear 127.0.0.1/32 password\n" +
+        "host all graft_scram 127.0.0.1/32 scram-sha-256\n" + orig)
     val reload = conn.open()
     try { val _ = reload.query("SELECT pg_reload_conf()") }
     finally reload.close()
@@ -173,11 +178,24 @@ class PgLiveRoundTripSpec extends AnyFunSuite with SparkTestSession {
         password = "pw-clear")
       try assert(c.query("SELECT current_user").rows == Seq(Seq("graft_clear")))
       finally c.close()
-      // a wrong password fails loudly with the server's message
+      // SCRAM-SHA-256 leg: AuthenticationSASL → initial response →
+      // SASLContinue (salt+iterations from the stored verifier) →
+      // proof → SASLFinal (server signature verified client-side).
+      val sc = PgWireClient.connect(h.host, h.port, "graft_scram", h.database,
+        password = "pw-scram")
+      try assert(sc.query("SELECT current_user").rows == Seq(Seq("graft_scram")))
+      finally sc.close()
+      // a wrong password fails loudly with the server's message — on
+      // the md5 leg and on the SCRAM leg (where it arrives as an
+      // ErrorResponse AFTER the proof, not a signature mismatch)
       val bad = intercept[PgWireClient.PgServerException](
         PgWireClient.connect(h.host, h.port, "graft_md5", h.database,
           password = "nope"))
       assert(bad.getMessage.toLowerCase.contains("password"))
+      val badScram = intercept[PgWireClient.PgServerException](
+        PgWireClient.connect(h.host, h.port, "graft_scram", h.database,
+          password = "nope"))
+      assert(badScram.getMessage.toLowerCase.contains("password"))
     } finally {
       java.nio.file.Files.writeString(hba, orig) // restore trust-only hba
       val r = conn.open()
