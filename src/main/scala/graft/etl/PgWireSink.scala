@@ -41,8 +41,10 @@ final case class PgConn(host: String, port: Int, user: String,
   * mid-stream disconnects and Postgres rolls the partial COPY back —
   * the retry starts clean. The residual at-least-once window (a task
   * dying AFTER its COPY commits but before reporting success) is the
-  * same one `write.jdbc` has; keep speculative execution off for this
-  * sink (GraftSession's default) or add an idempotence key downstream.
+  * same one `write.jdbc` has; [[appendExactlyOnce]] closes it with a
+  * ledger-arbitrated commit when the caller can supply a stable batch
+  * id (plain [[append]] keeps the JDBC-writer contract for ad-hoc
+  * loads with no ledger side table).
   */
 final class PgWireSink(conn: PgConn) extends TableSink {
 
@@ -108,6 +110,96 @@ final class PgWireSink(conn: PgConn) extends TableSink {
             PgWireClient.encodeCopyRow(scala.collection.immutable.ArraySeq
               .unsafeWrapArray(vs))
           })
+        } finally client.close()
+      }
+    }
+  }
+
+  /** Exactly-once append: closes [[append]]'s residual at-least-once
+    * window (a task re-run AFTER its COPY committed — stage retry on
+    * fetch failure, speculation, a lost success report) by making
+    * Postgres itself the commit arbiter. Each partition runs
+    *
+    * {{{ BEGIN; INSERT INTO <ledger>(batch_id, partition_id); COPY …;
+    *     UPDATE <ledger> SET n_rows = <n>; COMMIT }}}
+    *
+    * with `PRIMARY KEY (batch_id, partition_id)` on the ledger, so:
+    *   - a duplicate attempt hits unique_violation (23505) on the
+    *     INSERT — before streaming any data — and returns as a no-op;
+    *   - a CONCURRENT duplicate (speculation) blocks on the first
+    *     attempt's uncommitted ledger row and resolves to 23505 or a
+    *     clean run depending on whether the first commits or aborts;
+    *   - a task that dies mid-COPY aborts its transaction, deleting
+    *     its ledger row with it — the retry starts clean.
+    *
+    * The same protocol shape as the DSv2 commit coordinator, but the
+    * arbiter is the target database, so it also holds across JOB
+    * re-runs: pass a caller-stable `batchId` (a Structured Streaming
+    * `foreachBatch` epoch id, an orchestrator run key) and a
+    * re-delivered batch dedupes per partition — PROVIDED the frame's
+    * partition contents are deterministic (same plan over same input;
+    * repartition by a key column, not round-robin, if in doubt).
+    */
+  def appendExactlyOnce(df: DataFrame, tableName: String, batchId: String,
+      ledgerTable: String = "graft_meta.copy_ledger"): Unit = {
+    val (ledgerSchema, _) = SchemaScript.splitTableName(ledgerTable)
+    withClient { c =>
+      val _ = c.query(SchemaManager.createSchemaSql(ledgerSchema))
+      val _2 = c.query(
+        s"""CREATE TABLE IF NOT EXISTS ${quoted(ledgerTable)} (
+              batch_id TEXT NOT NULL,
+              partition_id INT NOT NULL,
+              n_rows BIGINT,
+              committed_at TIMESTAMPTZ NOT NULL DEFAULT now(),
+              PRIMARY KEY (batch_id, partition_id))""")
+    }
+    val stringified = df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name).cast("string").as(f.name)
+      }
+    }.toSeq: _*)
+    val cols = stringified.schema.fieldNames.toSeq
+    val colList = cols.map(c => "\"" + c.replace("\"", "\"\"") + "\"").mkString(", ")
+    val copySql = s"COPY ${quoted(tableName)} ($colList) FROM STDIN"
+    val ledger = quoted(ledgerTable)
+    val batchLit = "'" + batchId.replace("'", "''") + "'"
+    val cn = conn
+    val width = cols.length
+    stringified.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val client = cn.open()
+        try {
+          val claimed =
+            try {
+              val _ = client.query(
+                s"""BEGIN;
+                    INSERT INTO $ledger (batch_id, partition_id)
+                    VALUES ($batchLit, $pid)""")
+              true
+            } catch {
+              case e: PgWireClient.PgServerException if e.sqlState == "23505" =>
+                // Another attempt of THIS (batch, partition) already
+                // committed — this attempt is the duplicate; succeed
+                // without sending a row.
+                val _ = client.query("ROLLBACK")
+                false
+            }
+          if (claimed) {
+            val n = client.copyIn(copySql, rows.map { r =>
+              val vs = new Array[String](width)
+              var i = 0
+              while (i < width) { vs(i) = r.getString(i); i += 1 }
+              PgWireClient.encodeCopyRow(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(vs))
+            })
+            val _ = client.query(
+              s"""UPDATE $ledger SET n_rows = $n
+                  WHERE batch_id = $batchLit AND partition_id = $pid;
+                  COMMIT""")
+          }
         } finally client.close()
       }
     }

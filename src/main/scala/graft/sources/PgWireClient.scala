@@ -50,7 +50,7 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
     var cols: Seq[String] = Nil
     val rows = Seq.newBuilder[Seq[String]]
     val tags = Seq.newBuilder[String]
-    var err: String = null
+    var err: PgServerException = null
     var done = false
     while (!done) {
       val (tag, body) = readMessage()
@@ -58,14 +58,14 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
         case 'T' => cols = parseRowDescription(body)
         case 'D' => rows += parseDataRow(body)
         case 'C' => tags += cString(body, 0)._1
-        case 'E' => err = errorMessage(body)
+        case 'E' => err = serverException(body)
         case 'Z' => done = true
         case 'N' | 'S' | 'I' | 'A' => () // notice/param/empty/notify
         case other => throw new PgProtocolException(
           s"unexpected message '$other' during simple query")
       }
     }
-    if (err != null) throw new PgServerException(err)
+    if (err != null) throw err
     QueryResult(cols, rows.result(), tags.result())
   }
 
@@ -84,9 +84,9 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
       tag match {
         case 'G' => started = true
         case 'E' =>
-          val msg = errorMessage(body)
+          val e = serverException(body)
           drainUntilReady()
-          throw new PgServerException(msg)
+          throw e
         case 'N' | 'S' => ()
         case other => throw new PgProtocolException(
           s"expected CopyInResponse, got '$other'")
@@ -111,20 +111,20 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
     out.writeByte('c') // CopyDone
     out.writeInt(4)
     out.flush()
-    var err: String = null
+    var err: PgServerException = null
     var done = false
     while (!done) {
       val (tag, body) = readMessage()
       tag match {
         case 'C' => ()
-        case 'E' => err = errorMessage(body)
+        case 'E' => err = serverException(body)
         case 'Z' => done = true
         case 'N' | 'S' => ()
         case other => throw new PgProtocolException(
           s"unexpected message '$other' after CopyDone")
       }
     }
-    if (err != null) throw new PgServerException(err)
+    if (err != null) throw err
     n
   }
 
@@ -137,21 +137,21 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
   def copyOutLines(copySql: String): Seq[String] = {
     sendQuery(copySql)
     val bytes = new java.io.ByteArrayOutputStream(1 << 16)
-    var err: String = null
+    var err: PgServerException = null
     var done = false
     while (!done) {
       val (tag, body) = readMessage()
       tag match {
         case 'H' | 'c' | 'C' => ()
         case 'd' => bytes.write(body)
-        case 'E' => err = errorMessage(body)
+        case 'E' => err = serverException(body)
         case 'Z' => done = true
         case 'N' | 'S' => ()
         case other => throw new PgProtocolException(
           s"unexpected message '$other' during COPY OUT")
       }
     }
-    if (err != null) throw new PgServerException(err)
+    if (err != null) throw err
     val all = new String(bytes.toByteArray, UTF_8)
     if (all.isEmpty) Nil
     else all.split("\n", -1).toSeq.dropRight(1) // trailing newline
@@ -204,7 +204,11 @@ object PgWireClient {
   private val MaxMessage = 1 << 30
 
   final class PgProtocolException(msg: String) extends RuntimeException(msg)
-  final class PgServerException(msg: String) extends RuntimeException(msg)
+  /** A server ErrorResponse; `sqlState` is its SQLSTATE code ('C' field,
+    * e.g. "23505" unique_violation) or null if the server omitted it.
+    */
+  final class PgServerException(msg: String, val sqlState: String = null)
+    extends RuntimeException(msg)
 
   /** Connect + authenticate (trust, cleartext, or md5) + wait for
     * ReadyForQuery. `params` are extra startup parameters — the sink
@@ -276,7 +280,7 @@ object PgWireClient {
                 s"unsupported authentication code $other")
             }
           case 'S' | 'K' | 'N' => () // ParameterStatus / BackendKeyData / Notice
-          case 'E' => throw new PgServerException(errorMessage(msg))
+          case 'E' => throw serverException(msg)
           case 'Z' => ready = true
           case other => throw new PgProtocolException(
             s"unexpected startup message '$other'")
@@ -472,7 +476,7 @@ object PgWireClient {
     }
   }
 
-  private def errorMessage(body: Array[Byte]): String = {
+  private def serverException(body: Array[Byte]): PgServerException = {
     // ErrorResponse: (fieldType byte, cstring)* terminated by a 0 byte.
     val fields = scala.collection.mutable.Map[Char, String]()
     var off = 0
@@ -483,10 +487,12 @@ object PgWireClient {
       off = next
     }
     val sev = fields.getOrElse('S', "ERROR")
-    val sqlState = fields.get('C').map(c => s" [$c]").getOrElse("")
+    val state = fields.get('C')
     val msg = fields.getOrElse('M', "(no message)")
     val detail = fields.get('D').map(d => s"; $d").getOrElse("")
-    s"$sev$sqlState: $msg$detail"
+    new PgServerException(
+      s"$sev${state.map(c => s" [$c]").getOrElse("")}: $msg$detail",
+      state.orNull)
   }
 
   // ---- COPY text-format row codec ------------------------------------

@@ -134,6 +134,87 @@ class PgLiveRoundTripSpec extends AnyFunSuite with SparkTestSession {
     finally client.close()
   }
 
+  test("live: exactly-once append — duplicate batch no-ops, claims arbitrate, aborted claim retries clean") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    val sink = new PgWireSink(conn)
+    sink.createSchema("graft_t")
+    sink.execute(
+      """CREATE SCHEMA IF NOT EXISTS graft_meta;
+         DROP TABLE IF EXISTS graft_meta.copy_ledger;
+         DROP TABLE IF EXISTS graft_t.eo""")
+    sink.createTable("graft_t.eo", Seq(
+      ColumnDef("id", "BIGINT", notNull = true),
+      ColumnDef("v", "TEXT")))
+
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000, 1, 4)
+      .select(col("id"), concat(lit("r"), col("id")).as("v"))
+
+    // Redelivery of the SAME batch id (the foreachBatch replay case):
+    // second call is a per-partition no-op.
+    sink.appendExactlyOnce(df, "graft_t.eo", "batch-1")
+    sink.appendExactlyOnce(df, "graft_t.eo", "batch-1")
+    val c = conn.open()
+    try {
+      assert(c.query("SELECT count(*) FROM graft_t.eo").rows.head.head == "1000")
+      assert(c.query(
+        """SELECT count(*)::text, sum(n_rows)::text
+           FROM graft_meta.copy_ledger WHERE batch_id = 'batch-1'""")
+        .rows.head == Seq("4", "1000"))
+    } finally c.close()
+
+    // A NEW batch id appends again — idempotence is per batch, not global.
+    sink.appendExactlyOnce(df, "graft_t.eo", "batch-2")
+
+    // Concurrent claim arbitration at the wire level (the speculation
+    // interleaving): B's claim blocks on A's uncommitted ledger row,
+    // then resolves to 23505 when A commits.
+    val a = conn.open()
+    val _ = a.query("""BEGIN;
+      INSERT INTO graft_meta.copy_ledger (batch_id, partition_id)
+      VALUES ('batch-race', 0)""")
+    @volatile var bState: String = "did-not-run"
+    val t = new Thread(() => {
+      val b = conn.open()
+      try {
+        try {
+          val _ = b.query("""BEGIN;
+            INSERT INTO graft_meta.copy_ledger (batch_id, partition_id)
+            VALUES ('batch-race', 0)""")
+          bState = "claimed"
+        } catch {
+          case e: PgWireClient.PgServerException =>
+            bState = e.sqlState
+        }
+        val _2 = b.query("ROLLBACK")
+      } finally b.close()
+    })
+    t.start()
+    Thread.sleep(300) // let B reach the row lock
+    val _2 = a.query("COMMIT")
+    t.join(10000)
+    a.close()
+    assert(bState == "23505", s"expected the duplicate claim to lose, got: $bState")
+
+    // A claim whose task dies before commit (connection drop) leaves NO
+    // ledger row — the retry runs clean and lands the partition.
+    val dying = conn.open()
+    val _3 = dying.query("""BEGIN;
+      INSERT INTO graft_meta.copy_ledger (batch_id, partition_id)
+      VALUES ('batch-4', 0)""")
+    dying.close() // task death mid-transaction: server aborts it
+    val c2 = conn.open()
+    try assert(c2.query(
+      "SELECT count(*) FROM graft_meta.copy_ledger WHERE batch_id = 'batch-4'")
+      .rows.head.head == "0")
+    finally c2.close()
+    sink.appendExactlyOnce(df, "graft_t.eo", "batch-4")
+
+    val c3 = conn.open()
+    try assert(c3.query("SELECT count(*) FROM graft_t.eo").rows.head.head == "3000")
+    finally c3.close()
+  }
+
   test("live: md5 and cleartext auth legs, and a COPY rejected mid-statement") {
     assume(LivePostgres.available, "postgres server binaries not installed")
     val h = LivePostgres.get()
