@@ -215,6 +215,74 @@ class PgLiveRoundTripSpec extends AnyFunSuite with SparkTestSession {
     finally c3.close()
   }
 
+  test("live: streaming foreachBatch + epoch id = exactly-once through a batch replay") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    val sink = new PgWireSink(conn)
+    sink.createSchema("graft_t")
+    sink.execute(
+      """CREATE SCHEMA IF NOT EXISTS graft_meta;
+         DROP TABLE IF EXISTS graft_meta.copy_ledger;
+         DROP TABLE IF EXISTS graft_t.eo_stream""")
+    sink.createTable("graft_t.eo_stream", Seq(
+      ColumnDef("id", "BIGINT", notNull = true),
+      ColumnDef("v", "TEXT")))
+
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-pg-stream")
+    val srcDir = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    // Two files → two micro-batches under maxFilesPerTrigger=1.
+    spark.range(0, 500, 1, 2).select(col("id"), concat(lit("a"), col("id")).as("v"))
+      .write.parquet(s"$srcDir/f0")
+    spark.range(500, 1000, 1, 2).select(col("id"), concat(lit("b"), col("id")).as("v"))
+      .write.parquet(s"$srcDir/f1")
+
+    val schema = spark.read.parquet(s"$srcDir/f0").schema
+    @volatile var injected = false
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/*")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          sink.appendExactlyOnce(batch, "graft_t.eo_stream", s"ep-$id")
+          // Die AFTER the sink committed but BEFORE Spark records the
+          // batch as complete — the exact window where a plain append
+          // double-writes on restart.
+          if (id == 0 && !injected) {
+            injected = true
+            throw new RuntimeException("injected post-commit crash")
+          }
+        }
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(failed.getMessage.contains("injected post-commit crash"))
+    run() // restart from the checkpoint: batch 0 is REPLAYED with id 0
+
+    val c = conn.open()
+    try {
+      // 1000 rows exactly — the replayed epoch-0 COPY no-opped.
+      assert(c.query("SELECT count(*) FROM graft_t.eo_stream").rows.head.head == "1000")
+      assert(c.query(
+        "SELECT count(DISTINCT id) FROM graft_t.eo_stream").rows.head.head == "1000")
+      // Ledger: every committed (epoch, partition) is unique by PK; the
+      // n_rows total equals the landed rows (epoch/file-split boundaries
+      // are the source's business — one part file per micro-batch here),
+      // and the replayed epoch 0 is present exactly as one commit set.
+      assert(c.query(
+        """SELECT sum(n_rows)::text FROM graft_meta.copy_ledger
+           WHERE batch_id LIKE 'ep-%'""").rows.head.head == "1000")
+      assert(c.query(
+        """SELECT count(*) FROM graft_meta.copy_ledger
+           WHERE batch_id = 'ep-0'""").rows.head.head.toInt >= 1)
+    } finally c.close()
+  }
+
   test("live: md5 and cleartext auth legs, and a COPY rejected mid-statement") {
     assume(LivePostgres.available, "postgres server binaries not installed")
     val h = LivePostgres.get()
