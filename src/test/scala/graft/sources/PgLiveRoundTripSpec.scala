@@ -213,6 +213,12 @@ class PgLiveRoundTripSpec extends AnyFunSuite with SparkTestSession {
     val c3 = conn.open()
     try assert(c3.query("SELECT count(*) FROM graft_t.eo").rows.head.head == "3000")
     finally c3.close()
+
+    // Retention: vacuum past the horizon drops the ledger rows (and a
+    // missing ledger table vacuums to zero, not an error).
+    assert(sink.vacuumLedger(0) >= 9) // 4+4 batch partitions + batch-4
+    assert(sink.vacuumLedger(0) == 0)
+    assert(sink.vacuumLedger(7, "graft_meta.no_such_ledger") == 0)
   }
 
   test("live: streaming foreachBatch + epoch id = exactly-once through a batch replay") {
