@@ -14,7 +14,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Driver environment contract: local[32] with shuffle.partitions=32.
+    * The default matched the contract only when the caller exported
+    * SPARK_GRAFT_CPUS=32 (as every committed bench/scaling number did);
+    * rounds 1–15 shipped a historical default of 4, which silently ran
+    * any un-exported invocation — including the driver's own Bench — at
+    * an eighth of the machine. The env var remains the local-iteration
+    * override.
+    */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
