@@ -1,0 +1,420 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 read path over the Postgres wire protocol — the live analog of
+  * `spark.read.jdbc` for a classpath with no JDBC driver jar (the same
+  * gap [[graft.etl.PgWireSink]] fills on the write side). Catalyst gets
+  * a real connector, not an RDD of pre-rendered SQL:
+  *
+  *  - schema comes typed from `information_schema.columns`;
+  *  - filter pushdown renders the supported `sources.Filter` subset to
+  *    a WHERE clause evaluated BY Postgres (comparisons, IN, null
+  *    tests, LIKE-shaped string matches, AND/OR/NOT) — rejected
+  *    filters stay in Spark, accepted ones are exact so Spark does not
+  *    re-evaluate them;
+  *  - column pruning becomes the SELECT list (a 2-column projection
+  *    ships 2 columns over the wire, not the table);
+  *  - LIMIT pushes per partition (partial when partitioned: each slice
+  *    returns at most N and Spark re-limits globally);
+  *  - `partitionColumn`/`numPartitions` plan disjoint range slices
+  *    (bounds probed via min/max when not given; the first slice keeps
+  *    `IS NULL` so null keys are not silently dropped — a documented
+  *    JDBC-source gotcha), each read over its own connection via
+  *    `COPY (SELECT …) TO STDOUT` — the bulk path, not row-at-a-time
+  *    cursors.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.PgWireSource")
+  *   .option("port", h.port).option("table", "doc_audit.ingestion_audit")
+  *   .option("partitionColumn", "object_id").option("numPartitions", 4)
+  *   .load()
+  * }}}
+  *
+  * Type mapping (COPY text → Catalyst; server TimeZone pinned UTC by
+  * the startup params): int2/4/8 → Short/Int/Long, real/double →
+  * Float/Double, numeric(p,s) → Decimal(p,s) (unbounded numeric →
+  * Decimal(38,18)), bool → Boolean, date → Date, timestamp[tz] →
+  * Timestamp (tz-less read as UTC), bytea → Binary, text/varchar/uuid/
+  * json/jsonb and anything else (arrays, user types) → String verbatim.
+  */
+class PgWireSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PgWireSource.probeSchema(PgWireSource.connOf(options),
+      options.get("table"))._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val conn = PgWireSource.connOf(opts)
+    new PgWireTable(conn, opts.get("table"), schema,
+      Option(opts.get("partitionColumn")),
+      Option(opts.get("numPartitions")).map(_.toInt).getOrElse(1),
+      Option(opts.get("lowerBound")).map(_.toLong),
+      Option(opts.get("upperBound")).map(_.toLong))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object PgWireSource {
+
+  /** Serializable connection recipe (the source cannot reuse
+    * [[graft.etl.PgConn]] without an etl→sources→etl package cycle).
+    */
+  final case class Conn(host: String, port: Int, user: String,
+      database: String, password: String) extends Serializable {
+    def open(): PgWireClient =
+      PgWireClient.connect(host, port, user, database, password,
+        params = Map("TimeZone" -> "UTC", "DateStyle" -> "ISO"))
+  }
+
+  private[sources] def connOf(o: CaseInsensitiveStringMap): Conn = {
+    val host = Option(o.get("host")).getOrElse("127.0.0.1")
+    graft.etl.HostGuard.requireLocal(host) // F5
+    require(o.containsKey("port"), "option 'port' is required")
+    require(o.containsKey("table"), "option 'table' is required")
+    Conn(host, o.get("port").toInt,
+      Option(o.get("user")).getOrElse("postgres"),
+      Option(o.get("database")).getOrElse("postgres"),
+      Option(o.get("password")).getOrElse(""))
+  }
+
+  private[sources] def quoteIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  private[sources] def quoteTable(table: String): String = {
+    val (schema, t) = graft.etl.SchemaScript.splitTableName(table)
+    s"${quoteIdent(schema)}.${quoteIdent(t)}"
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Typed schema from information_schema, plus each column's PG
+    * data_type (the reader keys its text decoding on the CATALYST type,
+    * but bytea/decimal need the declared precision captured here).
+    */
+  private[sources] def probeSchema(conn: Conn, table: String)
+      : (StructType, Seq[String]) = {
+    val (schema, t) = graft.etl.SchemaScript.splitTableName(table)
+    val c = conn.open()
+    try {
+      val r = c.query(
+        s"""SELECT column_name, data_type, numeric_precision,
+                   numeric_scale, is_nullable
+            FROM information_schema.columns
+            WHERE table_schema = ${sqlLit(schema)}
+              AND table_name = ${sqlLit(t)}
+            ORDER BY ordinal_position""")
+      require(r.rows.nonEmpty, s"table $table not found (or has no columns)")
+      val fields = r.rows.map { row =>
+        val Seq(name, dt, prec, scale, nullable) = row: @unchecked
+        StructField(name, sparkType(dt, Option(prec), Option(scale)),
+          nullable != "NO")
+      }
+      (StructType(fields), r.rows.map(_(1)))
+    } finally c.close()
+  }
+
+  private def sparkType(pgType: String, prec: Option[String],
+      scale: Option[String]): DataType = pgType match {
+    case "smallint" => ShortType
+    case "integer" => IntegerType
+    case "bigint" => LongType
+    case "real" => FloatType
+    case "double precision" => DoubleType
+    case "numeric" =>
+      (prec.map(_.toInt), scale.map(_.toInt)) match {
+        case (Some(p), Some(s)) if p <= 38 => DecimalType(p, s)
+        case _ => DecimalType(38, 18) // unbounded NUMERIC: JDBC convention
+      }
+    case "boolean" => BooleanType
+    case "date" => DateType
+    case "timestamp with time zone" | "timestamp without time zone" =>
+      TimestampType
+    case "bytea" => BinaryType
+    case _ => StringType // text/varchar/uuid/json[b]/arrays/user types
+  }
+
+  // ---- sources.Filter → SQL ------------------------------------------
+
+  /** Render a filter to a WHERE fragment, or None if any piece is not
+    * exactly expressible (the filter then stays in Spark).
+    */
+  private[sources] def filterToSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => binOp(a, "=", v)
+    case GreaterThan(a, v) => binOp(a, ">", v)
+    case GreaterThanOrEqual(a, v) => binOp(a, ">=", v)
+    case LessThan(a, v) => binOp(a, "<", v)
+    case LessThanOrEqual(a, v) => binOp(a, "<=", v)
+    case In(a, vs) if vs.nonEmpty =>
+      val lits = vs.toSeq.map(valueLit)
+      if (lits.forall(_.isDefined))
+        Some(s"${quoteIdent(a)} IN (${lits.flatten.mkString(", ")})")
+      else None
+    case IsNull(a) => Some(s"${quoteIdent(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${quoteIdent(a)} IS NOT NULL")
+    case StringStartsWith(a, v) =>
+      Some(s"${quoteIdent(a)} LIKE ${sqlLit(likeEscape(v) + "%")} ESCAPE '\\'")
+    case StringEndsWith(a, v) =>
+      Some(s"${quoteIdent(a)} LIKE ${sqlLit("%" + likeEscape(v))} ESCAPE '\\'")
+    case StringContains(a, v) =>
+      Some(s"${quoteIdent(a)} LIKE ${sqlLit("%" + likeEscape(v) + "%")} ESCAPE '\\'")
+    case And(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls AND $rs)"
+    case Or(l, r) =>
+      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls OR $rs)"
+    case Not(child) => filterToSql(child).map(s => s"(NOT $s)")
+    case _ => None
+  }
+
+  private def binOp(attr: String, op: String, v: Any): Option[String] =
+    valueLit(v).map(lit => s"${quoteIdent(attr)} $op $lit")
+
+  private def likeEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+  /** Exact SQL literal for a pushdown value, or None for a type whose
+    * rendering we cannot guarantee round-trips (then the filter is not
+    * accepted). Doubles/floats use Java's shortest-round-trip
+    * decimal form, which PG's float8/float4 input parses back to the
+    * identical bit pattern.
+    */
+  private def valueLit(v: Any): Option[String] = v match {
+    case null => None // comparisons to null are never true; leave to Spark
+    case s: String => Some(sqlLit(s))
+    case s: UTF8String => Some(sqlLit(s.toString))
+    case b: Boolean => Some(if (b) "TRUE" else "FALSE")
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    case f: Float => Some(s"'${f.toString}'::float4")
+    case d: Double => Some(s"'${d.toString}'::float8")
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+    case d: java.sql.Date => Some(s"DATE '${d.toString}'")
+    case d: java.time.LocalDate => Some(s"DATE '${d.toString}'")
+    case t: java.sql.Timestamp =>
+      Some(s"TIMESTAMPTZ '${t.toInstant.toString}'")
+    case t: java.time.Instant => Some(s"TIMESTAMPTZ '${t.toString}'")
+    case _ => None
+  }
+
+  // ---- COPY text → Catalyst value ------------------------------------
+
+  private[sources] def parseValue(dt: DataType, s: String): Any =
+    if (s == null) null
+    else dt match {
+      case ShortType => s.toShort
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(s).setScale(d.scale,
+            java.math.RoundingMode.HALF_UP), d.precision, d.scale)
+      case BooleanType => s == "t" || s == "true"
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case TimestampType => parseTimestampMicros(s)
+      case BinaryType =>
+        // COPY text renders bytea as \x<hex> (after COPY unescaping)
+        require(s.startsWith("\\x"), s"unexpected bytea form: $s")
+        val hex = s.substring(2)
+        Array.tabulate[Byte](hex.length / 2)(i =>
+          Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+      case StringType => UTF8String.fromString(s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported read type $other")
+    }
+
+  /** `2026-08-16 01:23:45[.ffffff][+HH[:MM]]` (DateStyle=ISO, server TZ
+    * pinned UTC) → epoch micros. A tz-less timestamp is taken as UTC.
+    */
+  private[sources] def parseTimestampMicros(s: String): Long = {
+    val iso = s.replace(' ', 'T')
+    val tzAt = math.max(iso.lastIndexOf('+'), iso.lastIndexOf('-'))
+    val hasTz = tzAt > 10 // a '-' before pos 10 is the date part
+    val odt =
+      if (hasTz) {
+        val tz = iso.substring(tzAt)
+        val norm = // +HH → +HH:00 (PG emits the short form for UTC)
+          if (tz.length == 3) tz + ":00" else tz
+        java.time.OffsetDateTime.parse(iso.substring(0, tzAt) + norm)
+      } else
+        java.time.LocalDateTime.parse(iso).atOffset(java.time.ZoneOffset.UTC)
+    val inst = odt.toInstant
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+      (inst.getNano / 1000).toLong)
+  }
+}
+
+final class PgWireTable(conn: PgWireSource.Conn, table: String,
+    tableSchema: StructType, partCol: Option[String], numParts: Int,
+    lower: Option[Long], upper: Option[Long])
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft_pg[$table]"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PgScanBuilder(conn, table, tableSchema, partCol, numParts,
+      lower, upper)
+}
+
+final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
+    tableSchema: StructType, partCol: Option[String], numParts: Int,
+    lower: Option[Long], upper: Option[Long])
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var out: StructType = tableSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var whereSqls: Seq[String] = Nil
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f =>
+      PgWireSource.filterToSql(f).isDefined)
+    accepted = ok
+    whereSqls = ok.toSeq.flatMap(PgWireSource.filterToSql)
+    rest // unsupported filters stay in Spark
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark passes a subset of the table schema (possibly empty for
+    // count(*) — keep one narrow column so COPY has a SELECT list).
+    out =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(tableSchema.fields.take(1))
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean =
+    numParts > 1 // each slice limits locally; Spark re-limits globally
+
+  override def build(): Scan =
+    new PgScan(conn, table, out, whereSqls, limit, partCol, numParts,
+      lower, upper)
+}
+
+final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
+    wheres: Seq[String], limit: Option[Int], partCol: Option[String],
+    numParts: Int, lower: Option[Long], upper: Option[Long])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val w = if (wheres.isEmpty) "" else s" where=${wheres.mkString(" AND ")}"
+    val l = limit.map(n => s" limit=$n").getOrElse("")
+    s"GraftPgScan[$table] cols=${out.fieldNames.mkString(",")}$w$l"
+  }
+
+  private def baseWhere: String =
+    if (wheres.isEmpty) "" else wheres.mkString(" AND ")
+
+  private def selectSql(extra: Option[String]): String = {
+    val cols = out.fieldNames.map(PgWireSource.quoteIdent).mkString(", ")
+    val conds = Seq(baseWhere).filter(_.nonEmpty) ++ extra
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
+    s"SELECT $cols FROM ${PgWireSource.quoteTable(table)}$where$lim"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partCol match {
+      case Some(col) if numParts > 1 =>
+        val (lo, hi) = bounds(col)
+        if (lo > hi) Array(PgSqlPartition(selectSql(None)))
+        else {
+          val q = PgWireSource.quoteIdent(col)
+          val n = math.min(numParts.toLong, hi - lo + 1).toInt
+          val width = (hi - lo + 1 + n - 1) / n
+          (0 until n).map { i =>
+            val a = lo + i * width
+            val b = math.min(lo + (i + 1) * width, hi + 1)
+            val range =
+              if (i == 0)
+                // first slice keeps nulls: the JDBC source silently
+                // drops null-keyed rows, this one does not
+                s"($q < $b OR $q IS NULL)"
+              else s"($q >= $a AND $q < $b)"
+            PgSqlPartition(selectSql(Some(range))): InputPartition
+          }.toArray
+        }
+      case _ => Array(PgSqlPartition(selectSql(None)))
+    }
+
+  /** Partition bounds: explicit options, else probed with one min/max
+    * query (the probe reuses the pushed WHERE so pruning narrows the
+    * planned range too).
+    */
+  private def bounds(col: String): (Long, Long) = (lower, upper) match {
+    case (Some(a), Some(b)) => (a, b)
+    case _ =>
+      val q = PgWireSource.quoteIdent(col)
+      val where = if (baseWhere.isEmpty) "" else s" WHERE $baseWhere"
+      val c = conn.open()
+      try {
+        val r = c.query(
+          s"SELECT min($q)::text, max($q)::text FROM " +
+            s"${PgWireSource.quoteTable(table)}$where")
+        val Seq(mn, mx) = r.rows.head: @unchecked
+        if (mn == null) (1L, 0L) // empty table → single-partition plan
+        else (lower.getOrElse(mn.toLong), upper.getOrElse(mx.toLong))
+      } finally c.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PgReaderFactory(conn, out)
+}
+
+final case class PgSqlPartition(sql: String) extends InputPartition
+
+final class PgReaderFactory(conn: PgWireSource.Conn, out: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sql = p.asInstanceOf[PgSqlPartition].sql
+    new PartitionReader[InternalRow] {
+      private val client = conn.open()
+      private val lines =
+        try client.copyOutLines(s"COPY ($sql) TO STDOUT").iterator
+        catch { case e: Throwable => client.close(); throw e }
+      private var row: InternalRow = _
+
+      override def next(): Boolean =
+        if (!lines.hasNext) false
+        else {
+          val vs = PgWireClient.decodeCopyRow(lines.next())
+          val arr = new Array[Any](out.length)
+          var i = 0
+          while (i < out.length) {
+            arr(i) = PgWireSource.parseValue(out(i).dataType, vs(i))
+            i += 1
+          }
+          row = new GenericInternalRow(arr)
+          true
+        }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = client.close()
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.etl.PgConn
+
+/** DSv2 read connector over the wire protocol, against the live scratch
+  * server: typed schema from information_schema, pushdown (filters /
+  * columns / limit) visible in the physical plan and honored by the
+  * values, range partitioning with the null-keeping first slice. Unit
+  * legs (filter rendering, timestamp text forms) need no server.
+  */
+class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private lazy val h = LivePostgres.get()
+
+  private def reader =
+    spark.read.format("graft.sources.PgWireSource")
+      .option("host", h.host).option("port", h.port)
+      .option("user", h.user).option("database", h.database)
+
+  private def seed(): Unit = {
+    val c = PgConn(h.host, h.port, h.user, h.database).open()
+    try {
+      val _ = c.query(
+        """CREATE SCHEMA IF NOT EXISTS graft_t;
+           DROP TABLE IF EXISTS graft_t.src;
+           CREATE TABLE graft_t.src (
+             id BIGINT, n INT, amt NUMERIC(12,3), f8 DOUBLE PRECISION,
+             flag BOOLEAN, d DATE, ts TIMESTAMPTZ, txt TEXT,
+             doc JSONB, raw BYTEA);
+           INSERT INTO graft_t.src
+           SELECT i, i % 100, (i * 1.5)::numeric(12,3), i / 7.0,
+                  i % 2 = 0, DATE '2024-01-01' + (i % 365),
+                  TIMESTAMPTZ '2024-02-29 23:59:59.5+00' + (i || ' seconds')::interval,
+                  'row ' || i, jsonb_build_object('k', i),
+                  decode('DEADBEEF', 'hex')
+           FROM generate_series(0, 9999) AS g(i);
+           INSERT INTO graft_t.src (id, txt) VALUES (NULL, 'null-key')""")
+    } finally c.close()
+  }
+
+  test("live: typed schema + full-table values round the wire") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    val df = reader.option("table", "graft_t.src").load()
+    import org.apache.spark.sql.types._
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("id") == LongType && byName("n") == IntegerType)
+    assert(byName("amt") == DecimalType(12, 3))
+    assert(byName("f8") == DoubleType && byName("flag") == BooleanType)
+    assert(byName("d") == DateType && byName("ts") == TimestampType)
+    assert(byName("txt") == StringType && byName("doc") == StringType)
+    assert(byName("raw") == BinaryType)
+
+    assert(df.count() == 10001)
+    val r7 = df.filter("id = 7").collect().head
+    assert(r7.getAs[Long]("id") == 7L)
+    assert(r7.getAs[java.math.BigDecimal]("amt") ==
+      new java.math.BigDecimal("10.500"))
+    assert(r7.getAs[Double]("f8") == 7 / 7.0)
+    assert(!r7.getAs[Boolean]("flag"))
+    assert(r7.getAs[java.sql.Date]("d").toString == "2024-01-08")
+    // 2024-02-29T23:59:59.5Z + 7s, session UTC
+    assert(r7.getAs[java.sql.Timestamp]("ts").toInstant.toString ==
+      "2024-03-01T00:00:06.500Z")
+    assert(r7.getAs[String]("txt") == "row 7")
+    assert(r7.getAs[String]("doc") == """{"k": 7}""")
+    assert(r7.getAs[Array[Byte]]("raw").toSeq ==
+      Seq(0xDE, 0xAD, 0xBE, 0xEF).map(_.toByte))
+  }
+
+  test("live: filter/column/limit pushdown reach the server and the plan") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    val df = reader.option("table", "graft_t.src").load()
+
+    val q = df.filter("n = 42 and txt is not null").select("id", "txt")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftPgScan"), plan)
+    assert(plan.contains("\"n\" = 42"), plan)
+    assert(plan.contains("cols=id,txt"), plan)
+    assert(q.count() == 100)
+    // the pushed filter is exact: values agree with a Spark-side filter
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0 until 10000).filter(_ % 100 == 42).map(_.toLong))
+
+    val lim = df.limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains("limit=5"))
+    assert(lim.count() == 5)
+
+    // LIKE-shaped pushdown, with % and _ in the needle escaped
+    val like = df.filter("txt like 'row 99%'").select("id")
+    assert(like.queryExecution.executedPlan.toString.contains("LIKE"))
+    assert(like.count() == 111) // 99, 99x, 99xx
+  }
+
+  test("live: range partitioning probes bounds and keeps null keys") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    val df = reader.option("table", "graft_t.src")
+      .option("partitionColumn", "id").option("numPartitions", "4")
+      .load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 10001) // the NULL-keyed row is NOT dropped
+    assert(df.filter("id is null").count() == 1)
+    // slices are disjoint: no double-reads
+    assert(df.select("id").distinct().count() == 10001)
+
+    // pushed filters narrow the probed bounds too
+    val narrowed = reader.option("table", "graft_t.src")
+      .option("partitionColumn", "id").option("numPartitions", "4")
+      .load().filter("id >= 9000")
+    assert(narrowed.count() == 1000)
+  }
+
+  test("filter rendering: exact subset, unsupported stays in Spark (no server)") {
+    import org.apache.spark.sql.sources._
+    import PgWireSource.filterToSql
+    assert(filterToSql(EqualTo("a", 5)).contains("\"a\" = 5"))
+    assert(filterToSql(In("a", Array("x'y", "z"))).contains(
+      """"a" IN ('x''y', 'z')"""))
+    assert(filterToSql(And(IsNotNull("a"), LessThan("b", 2.5))).contains(
+      """("a" IS NOT NULL AND "b" < '2.5'::float8)"""))
+    assert(filterToSql(StringContains("t", "50%_x")).contains(
+      """"t" LIKE '%50\%\_x%' ESCAPE '\'"""))
+    assert(filterToSql(Not(EqualTo("a", true))).contains(
+      "(NOT \"a\" = TRUE)"))
+    assert(filterToSql(EqualTo("a", null)).isEmpty)
+    assert(filterToSql(EqualNullSafe("a", 1)).isEmpty) // not in the subset
+    // one unsupported leg poisons the conjunction (exactness contract)
+    assert(filterToSql(And(EqualTo("a", 1), EqualNullSafe("b", 2))).isEmpty)
+  }
+
+  test("timestamp text forms parse to the exact micros (no server)") {
+    import PgWireSource.parseTimestampMicros
+    assert(parseTimestampMicros("2024-02-29 23:59:59.5+00") ==
+      java.time.Instant.parse("2024-02-29T23:59:59.5Z").toEpochMilli * 1000L)
+    assert(parseTimestampMicros("2024-02-29 23:59:59+00") ==
+      parseTimestampMicros("2024-02-29 23:59:59")) // tz-less = UTC
+    assert(parseTimestampMicros("2024-02-29 12:00:00-05:30") ==
+      java.time.Instant.parse("2024-02-29T17:30:00Z").toEpochMilli * 1000L)
+    assert(parseTimestampMicros("2024-02-29 00:00:00.000001+00") ==
+      java.time.Instant.parse("2024-02-29T00:00:00Z").toEpochMilli * 1000L + 1)
+  }
+}
