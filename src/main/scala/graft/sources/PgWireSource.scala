@@ -7,7 +7,8 @@ import scala.collection.JavaConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, NullOrdering, SortDirection, SortOrder => VSortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -275,18 +276,31 @@ final class PgWireTable(conn: PgWireSource.Conn, table: String,
       lower, upper)
 }
 
+/** GROUP BY + aggregate expressions compiled to server-side SQL: the
+  * SELECT list (group columns then aggregate expressions, the order
+  * Spark maps positions by) and the matching read schema.
+  */
+final case class PushedPgAgg(selectExprs: Seq[String],
+    groupByCols: Seq[String], schema: StructType)
+
 final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
     tableSchema: StructType, partCol: Option[String], numParts: Int,
     lower: Option[Long], upper: Option[Long])
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
+
+  import PgWireSource.quoteIdent
 
   private var out: StructType = tableSchema
   private var accepted: Array[Filter] = Array.empty
   private var whereSqls: Seq[String] = Nil
   private var limit: Option[Int] = None
+  private var orderBySql: Seq[String] = Nil
+  private var pushedAgg: Option[PushedPgAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f =>
@@ -298,43 +312,158 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(requiredSchema: StructType): Unit =
+    // With an aggregate pushed the output IS the agg schema; otherwise
     // Spark passes a subset of the table schema (possibly empty for
     // count(*) — keep one narrow column so COPY has a SELECT list).
-    out =
-      if (requiredSchema.fields.nonEmpty) requiredSchema
-      else StructType(tableSchema.fields.take(1))
+    if (pushedAgg.isEmpty)
+      out =
+        if (requiredSchema.fields.nonEmpty) requiredSchema
+        else StructType(tableSchema.fields.take(1))
 
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  private def fieldName(e: VExpression): Option[String] = e match {
+    case ref: NamedReference if ref.fieldNames.length == 1 =>
+      Some(ref.fieldNames()(0))
+    case _ => None
+  }
+
+  private def fieldOf(col: String): Option[StructField] =
+    tableSchema.fields.find(_.name == col)
+
+  /** Compile the aggregation to server SQL, or None if any piece is
+    * outside the exactly-translatable subset: COUNT(*)/COUNT(col)
+    * (→ ::int8; PG count is int8 already), MIN/MAX (column's own
+    * type), SUM over integrals (→ ::int8 — PG widens int sums to
+    * numeric; on true int8 overflow PG raises where non-ANSI Spark
+    * would wrap, loud-over-silent), floats (→ ::float8, Spark's SUM
+    * result type for both float widths) and decimals (→ the
+    * ::numeric(p+10,s) widening Spark's SUM uses, while p+10 fits).
+    * DISTINCT aggregates are not pushed — per-slice DISTINCT partials
+    * do not merge.
+    */
+  private def compileAgg(agg: Aggregation): Option[PushedPgAgg] = {
+    val groups = agg.groupByExpressions.toSeq.map(fieldName)
+    if (groups.exists(_.isEmpty)) return None
+    val groupCols = groups.flatten
+    if (groupCols.distinct.length != groupCols.length) return None
+    val groupFields = groupCols.map(fieldOf)
+    if (groupFields.exists(_.isEmpty)) return None
+
+    val specs = agg.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        Some(("count(*)::int8", StructField(s"agg_$i", LongType, nullable = false)))
+      case (c: Count, i) if !c.isDistinct =>
+        fieldName(c.column).filter(fieldOf(_).isDefined).map(col =>
+          (s"count(${quoteIdent(col)})::int8",
+            StructField(s"agg_$i", LongType, nullable = false)))
+      case (m: Min, i) =>
+        fieldName(m.column).flatMap(col => fieldOf(col).map(f =>
+          (s"min(${quoteIdent(col)})", StructField(s"agg_$i", f.dataType))))
+      case (m: Max, i) =>
+        fieldName(m.column).flatMap(col => fieldOf(col).map(f =>
+          (s"max(${quoteIdent(col)})", StructField(s"agg_$i", f.dataType))))
+      case (s: Sum, i) if !s.isDistinct =>
+        fieldName(s.column).flatMap(col => fieldOf(col).flatMap(f =>
+          f.dataType match {
+            case ShortType | IntegerType | LongType =>
+              Some((s"sum(${quoteIdent(col)})::int8",
+                StructField(s"agg_$i", LongType)))
+            case FloatType | DoubleType =>
+              Some((s"sum(${quoteIdent(col)})::float8",
+                StructField(s"agg_$i", DoubleType)))
+            case d: DecimalType if d.precision + 10 <= 38 =>
+              Some((s"sum(${quoteIdent(col)})::numeric(${d.precision + 10},${d.scale})",
+                StructField(s"agg_$i", DecimalType(d.precision + 10, d.scale))))
+            case _ => None
+          }))
+      case _ => None
+    }
+    if (specs.isEmpty || specs.exists(_.isEmpty)) return None
+    val aggExprs = specs.flatten
+    Some(PushedPgAgg(
+      groupCols.map(quoteIdent) ++ aggExprs.map(_._1),
+      groupCols.map(quoteIdent),
+      StructType(groupFields.flatten ++ aggExprs.map(_._2))))
+  }
+
+  /** Complete only when the scan plans ONE slice — a multi-slice scan
+    * emits per-slice partials for Spark's final merge (count→sum,
+    * sum/min/max→themselves), which all the accepted functions do
+    * exactly.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    (partCol.isEmpty || numParts <= 1) && compileAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    compileAgg(agg) match {
+      case some @ Some(compiled) =>
+        pushedAgg = some
+        out = compiled.schema
+        true
+      case None => false
+    }
+
+  override def pushLimit(n: Int): Boolean =
+    if (pushedAgg.isDefined) false
+    else { limit = Some(n); true }
+
+  /** ORDER BY over plain columns with Spark's null ordering rendered
+    * explicitly — PG's defaults (NULLS LAST for ASC) differ from
+    * Spark's (NULLS FIRST for ASC), so the clause is never implicit.
+    */
+  override def pushTopN(orders: Array[VSortOrder], n: Int): Boolean = {
+    if (pushedAgg.isDefined) return false
+    val rendered = orders.toSeq.map(o =>
+      fieldName(o.expression).filter(fieldOf(_).isDefined).map { col =>
+        val dir =
+          if (o.direction == SortDirection.ASCENDING) "ASC" else "DESC"
+        val nulls =
+          if (o.nullOrdering == NullOrdering.NULLS_FIRST) "NULLS FIRST"
+          else "NULLS LAST"
+        s"${quoteIdent(col)} $dir $nulls"
+      })
+    if (rendered.isEmpty || rendered.exists(_.isEmpty)) return false
+    orderBySql = rendered.flatten
+    limit = Some(n)
+    true
+  }
+
   override def isPartiallyPushed: Boolean =
-    numParts > 1 // each slice limits locally; Spark re-limits globally
+    numParts > 1 // each slice limits/sorts locally; Spark re-does globally
 
   override def build(): Scan =
     new PgScan(conn, table, out, whereSqls, limit, partCol, numParts,
-      lower, upper)
+      lower, upper, pushedAgg, orderBySql)
 }
 
 final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
     wheres: Seq[String], limit: Option[Int], partCol: Option[String],
-    numParts: Int, lower: Option[Long], upper: Option[Long])
+    numParts: Int, lower: Option[Long], upper: Option[Long],
+    agg: Option[PushedPgAgg] = None, orderBy: Seq[String] = Nil)
     extends Scan with Batch {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String = {
     val w = if (wheres.isEmpty) "" else s" where=${wheres.mkString(" AND ")}"
+    val a = agg.map(a => s" agg=${a.selectExprs.mkString(",")}").getOrElse("")
+    val o = if (orderBy.isEmpty) "" else s" orderBy=${orderBy.mkString(",")}"
     val l = limit.map(n => s" limit=$n").getOrElse("")
-    s"GraftPgScan[$table] cols=${out.fieldNames.mkString(",")}$w$l"
+    s"GraftPgScan[$table] cols=${out.fieldNames.mkString(",")}$w$a$o$l"
   }
 
   private def baseWhere: String =
     if (wheres.isEmpty) "" else wheres.mkString(" AND ")
 
   private def selectSql(extra: Option[String]): String = {
-    val cols = out.fieldNames.map(PgWireSource.quoteIdent).mkString(", ")
+    val cols = agg.map(_.selectExprs.mkString(", ")).getOrElse(
+      out.fieldNames.map(PgWireSource.quoteIdent).mkString(", "))
     val conds = Seq(baseWhere).filter(_.nonEmpty) ++ extra
     val where = if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val grp = agg.filter(_.groupByCols.nonEmpty)
+      .map(a => s" GROUP BY ${a.groupByCols.mkString(", ")}").getOrElse("")
+    val ord = if (orderBy.isEmpty) "" else s" ORDER BY ${orderBy.mkString(", ")}"
     val lim = limit.map(n => s" LIMIT $n").getOrElse("")
-    s"SELECT $cols FROM ${PgWireSource.quoteTable(table)}$where$lim"
+    s"SELECT $cols FROM ${PgWireSource.quoteTable(table)}$where$grp$ord$lim"
   }
 
   override def planInputPartitions(): Array[InputPartition] =

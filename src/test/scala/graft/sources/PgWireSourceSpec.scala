@@ -115,6 +115,69 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(narrowed.count() == 1000)
   }
 
+  test("live: aggregate pushdown — grouped partials merge exactly, complete when single-slice") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    import org.apache.spark.sql.functions._
+
+    // Single slice → COMPLETE pushdown: the plan carries the agg, no
+    // Spark-side HashAggregate input wider than the groups.
+    val single = reader.option("table", "graft_t.src").load()
+      .filter("id is not null")
+      .groupBy(col("n")).agg(
+        count(lit(1)).as("cnt"), sum(col("id")).as("s"),
+        min(col("amt")).as("lo"), max(col("amt")).as("hi"))
+    val plan1 = single.queryExecution.executedPlan.toString
+    assert(plan1.contains("agg=") && plan1.contains("count(*)::int8"), plan1)
+    val rows = single.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getLong(2), r.getDecimal(3), r.getDecimal(4))).sortBy(_._1)
+    assert(rows.length == 100)
+    val (n0, c0, s0, lo0, hi0) = rows.head // group n = 0: ids 0,100,...,9900
+    assert(n0 == 0 && c0 == 100 && s0 == (0 until 10000 by 100).sum)
+    assert(lo0 == new java.math.BigDecimal("0.000"))
+    assert(hi0 == new java.math.BigDecimal("14850.000")) // 9900*1.5
+
+    // Partitioned → PARTIAL pushdown: per-slice partials, Spark merges;
+    // totals must equal the single-slice answer exactly.
+    val partial = reader.option("table", "graft_t.src")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+      .filter("id is not null")
+      .groupBy(col("n")).agg(count(lit(1)).as("cnt"), sum(col("id")).as("s"))
+    assert(partial.queryExecution.executedPlan.toString.contains("agg="))
+    val p0 = partial.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).head
+    assert(p0 == ((0, 100L, (0 until 10000 by 100).sum.toLong)))
+
+    // Global (no group-by) count through the pushed path.
+    val cnt = reader.option("table", "graft_t.src").load().count()
+    assert(cnt == 10001)
+
+    // DISTINCT is not pushed (per-slice distinct partials don't merge):
+    // values still correct via the raw-rows fallback.
+    val dis = reader.option("table", "graft_t.src").load()
+      .agg(countDistinct(col("n")).as("d"))
+    assert(!dis.queryExecution.executedPlan.toString.contains("agg="))
+    assert(dis.collect().head.getLong(0) == 100)
+  }
+
+  test("live: TopN pushdown renders Spark's null ordering explicitly") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    val df = reader.option("table", "graft_t.src").load()
+    // Spark ASC default = NULLS FIRST; PG default = NULLS LAST. The
+    // null-keyed row must surface first or the clause wasn't rendered.
+    val top = df.select("id", "txt").orderBy("id").limit(3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("orderBy=") && plan.contains("NULLS FIRST"), plan)
+    val got = top.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((-1L, "null-key"), (0L, "row 0"), (1L, "row 1")))
+
+    val bottom = df.select("id").orderBy(org.apache.spark.sql.functions
+      .col("id").desc).limit(2)
+    assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(9999L, 9998L))
+  }
+
   test("filter rendering: exact subset, unsupported stays in Spark (no server)") {
     import org.apache.spark.sql.sources._
     import PgWireSource.filterToSql
