@@ -130,31 +130,69 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
 
   /** Execute a `COPY ... TO STDOUT` (text format) and return the rows
     * as raw text lines (COPY escaping intact — decode with
-    * [[PgWireClient.decodeCopyRow]]). CopyData chunk boundaries are NOT
-    * assumed to align with rows: bytes are accumulated and split on
-    * newline.
+    * [[PgWireClient.decodeCopyRow]]). Materializes the whole result;
+    * for slice-sized reads prefer [[copyOutIterator]].
     */
-  def copyOutLines(copySql: String): Seq[String] = {
+  def copyOutLines(copySql: String): Seq[String] =
+    copyOutIterator(copySql).toVector
+
+  /** Streaming `COPY ... TO STDOUT`: lines are yielded as CopyData
+    * frames arrive off the wire, so memory is bounded by one frame +
+    * one line, not the slice (the DSv2 partition reader's contract at
+    * scale). CopyData boundaries are NOT row boundaries — bytes carry
+    * across frames and split on the newline BYTE, which never occurs
+    * inside a UTF-8 multi-byte sequence, so decoding per line is safe.
+    * A server error surfaces at its wire position (after the lines
+    * that preceded it); abandoning the iterator mid-stream requires
+    * closing the client (the server then aborts the COPY).
+    */
+  def copyOutIterator(copySql: String): Iterator[String] = {
     sendQuery(copySql)
-    val bytes = new java.io.ByteArrayOutputStream(1 << 16)
-    var err: PgServerException = null
-    var done = false
-    while (!done) {
-      val (tag, body) = readMessage()
-      tag match {
-        case 'H' | 'c' | 'C' => ()
-        case 'd' => bytes.write(body)
-        case 'E' => err = serverException(body)
-        case 'Z' => done = true
-        case 'N' | 'S' => ()
-        case other => throw new PgProtocolException(
-          s"unexpected message '$other' during COPY OUT")
+    new Iterator[String] {
+      private val carry = new java.io.ByteArrayOutputStream
+      private val pending = scala.collection.mutable.Queue[String]()
+      private var done = false
+
+      private def pump(): Unit = while (pending.isEmpty && !done) {
+        val (tag, body) = readMessage()
+        tag match {
+          case 'd' =>
+            var start = 0
+            var i = 0
+            while (i < body.length) {
+              if (body(i) == '\n') {
+                if (carry.size == 0)
+                  pending += new String(body, start, i - start, UTF_8)
+                else {
+                  carry.write(body, start, i - start)
+                  pending += carry.toString("UTF-8")
+                  carry.reset()
+                }
+                start = i + 1
+              }
+              i += 1
+            }
+            if (start < body.length) carry.write(body, start, body.length - start)
+          case 'H' | 'c' | 'C' => ()
+          case 'E' =>
+            val e = serverException(body)
+            drainUntilReady()
+            done = true
+            throw e
+          case 'Z' => done = true
+          case 'N' | 'S' => ()
+          case other => throw new PgProtocolException(
+            s"unexpected message '$other' during COPY OUT")
+        }
+      }
+
+      override def hasNext: Boolean = { pump(); pending.nonEmpty }
+      override def next(): String = {
+        pump()
+        if (pending.isEmpty) throw new NoSuchElementException("COPY drained")
+        pending.dequeue()
       }
     }
-    if (err != null) throw err
-    val all = new String(bytes.toByteArray, UTF_8)
-    if (all.isEmpty) Nil
-    else all.split("\n", -1).toSeq.dropRight(1) // trailing newline
   }
 
   override def close(): Unit = {

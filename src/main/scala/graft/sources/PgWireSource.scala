@@ -523,8 +523,12 @@ final class PgReaderFactory(conn: PgWireSource.Conn, out: StructType)
     val sql = p.asInstanceOf[PgSqlPartition].sql
     new PartitionReader[InternalRow] {
       private val client = conn.open()
+      // Streaming read: memory stays bounded by one wire frame + one
+      // line regardless of slice size (close() mid-stream — e.g. an
+      // early task limit — tears the connection down and the server
+      // aborts the COPY).
       private val lines =
-        try client.copyOutLines(s"COPY ($sql) TO STDOUT").iterator
+        try client.copyOutIterator(s"COPY ($sql) TO STDOUT")
         catch { case e: Throwable => client.close(); throw e }
       private var row: InternalRow = _
 
