@@ -115,6 +115,26 @@ final class PgWireSink(conn: PgConn) extends TableSink {
     }
   }
 
+  /** Drop ledger entries older than `olderThanDays` — the retention
+    * companion to [[appendExactlyOnce]] (the ledger otherwise grows by
+    * one row per partition per batch forever). Only vacuum past the
+    * re-delivery horizon: a vacuumed batch id that is later re-run
+    * re-opens its dedup window and appends again. Returns the number of
+    * rows dropped.
+    */
+  def vacuumLedger(olderThanDays: Int,
+      ledgerTable: String = "graft_meta.copy_ledger"): Long =
+    withClient { c =>
+      if (!tableExists(ledgerTable)) 0L
+      else {
+        val r = c.query(
+          s"""DELETE FROM ${quoted(ledgerTable)}
+              WHERE committed_at < now() - interval '$olderThanDays days'""")
+        // CommandComplete tag is "DELETE <n>"
+        r.tags.lastOption.map(_.split(" ").last.toLong).getOrElse(0L)
+      }
+    }
+
   /** Exactly-once append: closes [[append]]'s residual at-least-once
     * window (a task re-run AFTER its COPY committed — stage retry on
     * fetch failure, speculation, a lost success report) by making
@@ -140,26 +160,6 @@ final class PgWireSink(conn: PgConn) extends TableSink {
     * partition contents are deterministic (same plan over same input;
     * repartition by a key column, not round-robin, if in doubt).
     */
-  /** Drop ledger entries older than `olderThanDays` — the retention
-    * companion to [[appendExactlyOnce]] (the ledger otherwise grows by
-    * one row per partition per batch forever). Only vacuum past the
-    * re-delivery horizon: a vacuumed batch id that is later re-run
-    * re-opens its dedup window and appends again. Returns the number of
-    * rows dropped.
-    */
-  def vacuumLedger(olderThanDays: Int,
-      ledgerTable: String = "graft_meta.copy_ledger"): Long =
-    withClient { c =>
-      if (!tableExists(ledgerTable)) 0L
-      else {
-        val r = c.query(
-          s"""DELETE FROM ${quoted(ledgerTable)}
-              WHERE committed_at < now() - interval '$olderThanDays days'""")
-        // CommandComplete tag is "DELETE <n>"
-        r.tags.lastOption.map(_.split(" ").last.toLong).getOrElse(0L)
-      }
-    }
-
   def appendExactlyOnce(df: DataFrame, tableName: String, batchId: String,
       ledgerTable: String = "graft_meta.copy_ledger"): Unit = {
     val (ledgerSchema, _) = SchemaScript.splitTableName(ledgerTable)

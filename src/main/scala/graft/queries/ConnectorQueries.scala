@@ -521,7 +521,86 @@ object ConnectorQueries {
                 CAST(k AS INTEGER) AS raw_id,
                 CASE WHEN k%7=0 THEN 'error' ELSE 'success' END AS status,
                 CAST(CASE WHEN k%5=0 THEN 2 ELSE 1 END AS BIGINT) AS n_missing
-         FROM doc ORDER BY order_id""")
+         FROM doc ORDER BY order_id"""),
+
+    // Q313 (round-16, r15 verdict #2): the DSv2 WRITE half of the wire
+    // connector — `df.write.format(...).mode("append").save()` drives
+    // the ledger-arbitrated COPY protocol through Spark's commit
+    // coordinator (PgWireWrite), where q312 appends via the library
+    // sink. The gate writes the typed frame TWICE with the same stable
+    // batchId: the second job is the redelivery/re-run case and every
+    // partition claim must no-op — a dedup failure doubles the rows
+    // and breaks the row-level oracle, so exactly-once is what the
+    // hash check certifies. Read-back goes through the DSv2 READ path
+    // range-partitioned on the key (null-keeping first slice,
+    // unbounded last slice), so one gate pins both planes of the
+    // connector plus DATE/NUMERIC/BOOLEAN/JSONB round-trips under
+    // `postgres_loader.py`'s typed-landing contract
+    // (reference: etl_pipeline/postgres_loader.py:63-77).
+    "q313_pg_dsv2_write" -> QuerySpec(
+      (s, dir) => {
+        import graft.etl._
+        import graft.sources.LivePostgres
+        val h = LivePostgres.get()
+        val conn = PgConn(h.host, h.port, h.user, h.database)
+        val sink = new PgWireSink(conn)
+        sink.execute("DROP TABLE IF EXISTS \"public\".\"orders_dsv2\"")
+        sink.execute(
+          """CREATE TABLE public.orders_dsv2 (
+               o_orderkey BIGINT NOT NULL, o_custkey BIGINT,
+               o_totalprice NUMERIC(15,2), o_orderdate DATE,
+               o_orderpriority TEXT, is_even BOOLEAN, flags JSONB)""")
+        // Re-runnable in one JVM (bench sweeps re-enter the gate): the
+        // target table was just dropped, so retire this gate's ledger
+        // claims too or the re-run would no-op into the empty table.
+        if (sink.tableExists("graft_meta.copy_ledger"))
+          sink.execute(
+            "DELETE FROM graft_meta.copy_ledger WHERE batch_id = 'q313-a'")
+
+        val src = graft.Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"),
+          to_date(col("o_orderdate")).as("o_orderdate"),
+          col("o_orderpriority"),
+          (col("o_orderkey") % 2 === 0).as("is_even"),
+          array(col("o_orderkey") % 3, col("o_orderkey") % 7).as("flags"))
+          // key-hash partitioning: slice contents are deterministic
+          // across re-runs, the precondition for ledger dedup
+          .repartition(4, col("o_orderkey"))
+
+        def write(): Unit = src.write.format("graft.sources.PgWireSource")
+          .option("host", h.host).option("port", h.port)
+          .option("user", h.user).option("database", h.database)
+          .option("table", "public.orders_dsv2")
+          .option("batchId", "q313-a")
+          .mode("append").save()
+        write()
+        write() // the redelivered job: claims hit 23505, zero new rows
+
+        s.read.format("graft.sources.PgWireSource")
+          .option("host", h.host).option("port", h.port)
+          .option("user", h.user).option("database", h.database)
+          .option("table", "public.orders_dsv2")
+          .option("partitionColumn", "o_orderkey")
+          .option("numPartitions", "4")
+          .load()
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"), col("is_even"),
+            get_json_object(col("flags"), "$[0]").cast("long").as("flag0"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                CAST(o_custkey AS BIGINT) AS o_custkey,
+                CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+                o_orderpriority,
+                (o_orderkey % 2 = 0) AS is_even,
+                CAST(o_orderkey % 3 AS BIGINT) AS flag0
+         FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""")
   )
 
   /** `schema.table` → `"schema"."table"` for gate-side DROPs. */

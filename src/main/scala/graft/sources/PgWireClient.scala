@@ -75,9 +75,73 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
     * of lines sent after the server confirms CommandComplete.
     */
   def copyIn(copySql: String, lines: Iterator[String]): Long = {
+    val stream = copyInBegin(copySql)
+    lines.foreach(stream.send)
+    stream.finish()
+  }
+
+  /** Incremental COPY IN for callers that receive rows one at a time
+    * (the DSv2 [[DataWriter]] contract: `write(row)` calls arrive
+    * individually, with commit/abort decided later by Spark's commit
+    * coordinator): [[copyInBegin]] → `send` per line → `finish` to
+    * complete the statement, or drop the connection to abort it (the
+    * server rolls the COPY back with its transaction).
+    */
+  final class CopyInStream private[PgWireClient] () {
+    private var n = 0L
+    private val buf = new java.io.ByteArrayOutputStream(CopyChunk + 8192)
+
+    private def flushChunk(): Unit = if (buf.size > 0) {
+      out.writeByte('d')
+      out.writeInt(4 + buf.size)
+      buf.writeTo(out)
+      buf.reset()
+    }
+
+    /** Queue one already-encoded COPY text line (no trailing newline —
+      * added here), flushing ~64 KiB CopyData frames as they fill.
+      */
+    def send(line: String): Unit = {
+      val b = line.getBytes(UTF_8)
+      buf.write(b, 0, b.length)
+      buf.write('\n')
+      n += 1
+      if (buf.size >= CopyChunk) flushChunk()
+    }
+
+    /** CopyDone + wait for CommandComplete/ReadyForQuery; returns the
+      * number of lines sent. A server rejection (constraint violation,
+      * bad input text) surfaces here.
+      */
+    def finish(): Long = {
+      flushChunk()
+      out.writeByte('c') // CopyDone
+      out.writeInt(4)
+      out.flush()
+      var err: PgServerException = null
+      var done = false
+      while (!done) {
+        val (tag, body) = readMessage()
+        tag match {
+          case 'C' => ()
+          case 'E' => err = serverException(body)
+          case 'Z' => done = true
+          case 'N' | 'S' => ()
+          case other => throw new PgProtocolException(
+            s"unexpected message '$other' after CopyDone")
+        }
+      }
+      if (err != null) throw err
+      n
+    }
+  }
+
+  /** Send the COPY ... FROM STDIN statement and wait for
+    * CopyInResponse; an ErrorResponse here (bad table, bad SQL)
+    * surfaces before any data is sent.
+    */
+  def copyInBegin(copySql: String): CopyInStream = {
     sendQuery(copySql)
-    // Expect CopyInResponse (skipping notices); an ErrorResponse here
-    // (bad table, bad SQL) surfaces before any data is sent.
     var started = false
     while (!started) {
       val (tag, body) = readMessage()
@@ -92,40 +156,7 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
           s"expected CopyInResponse, got '$other'")
       }
     }
-    var n = 0L
-    val buf = new java.io.ByteArrayOutputStream(CopyChunk + 8192)
-    def flushChunk(): Unit = if (buf.size > 0) {
-      out.writeByte('d')
-      out.writeInt(4 + buf.size)
-      buf.writeTo(out)
-      buf.reset()
-    }
-    lines.foreach { line =>
-      val b = line.getBytes(UTF_8)
-      buf.write(b, 0, b.length)
-      buf.write('\n')
-      n += 1
-      if (buf.size >= CopyChunk) flushChunk()
-    }
-    flushChunk()
-    out.writeByte('c') // CopyDone
-    out.writeInt(4)
-    out.flush()
-    var err: PgServerException = null
-    var done = false
-    while (!done) {
-      val (tag, body) = readMessage()
-      tag match {
-        case 'C' => ()
-        case 'E' => err = serverException(body)
-        case 'Z' => done = true
-        case 'N' | 'S' => ()
-        case other => throw new PgProtocolException(
-          s"unexpected message '$other' after CopyDone")
-      }
-    }
-    if (err != null) throw err
-    n
+    new CopyInStream()
   }
 
   /** Execute a `COPY ... TO STDOUT` (text format) and return the rows
@@ -179,7 +210,14 @@ final class PgWireClient private (socket: Socket, in: DataInputStream,
             drainUntilReady()
             done = true
             throw e
-          case 'Z' => done = true
+          case 'Z' =>
+            // COPY text rows are always newline-terminated; bytes still
+            // in the carry at end-of-stream mean a truncated/corrupt
+            // COPY — fail loudly instead of silently dropping the row.
+            if (carry.size > 0) throw new PgProtocolException(
+              s"COPY OUT ended with ${carry.size} unterminated bytes " +
+                "in the final line (truncated stream?)")
+            done = true
           case 'N' | 'S' => ()
           case other => throw new PgProtocolException(
             s"unexpected message '$other' during COPY OUT")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, NamedReference, NullOrdering, SortDirection, SortOrder => VSortOrder, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Avg, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -130,6 +130,38 @@ object PgWireSource {
       (StructType(fields), r.rows.map(_(1)))
     } finally c.close()
   }
+
+  /** Column → declared PG data_type, probed once per (conn, table) per
+    * JVM. The Catalyst schema alone cannot distinguish text from
+    * char(n): both map to StringType, but bpchar comparison is
+    * blank-padded ('a' = 'a  ' is TRUE where Spark says false), so the
+    * scan builder declines pushdown on 'character' columns.
+    */
+  private val pgTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Conn, String), Map[String, String]]()
+
+  private[sources] def pgTypesOf(conn: Conn, table: String): Map[String, String] =
+    pgTypeCache.computeIfAbsent((conn, table), { key =>
+      val (schema, types) = probeSchema(key._1, key._2)
+      schema.fieldNames.zip(types).toMap
+    })
+
+  /** Server encoding, probed once per connection recipe per JVM. String
+    * ordering pushdown (TopN sort keys, MIN/MAX) is rendered with
+    * COLLATE "C" — byte order of the server encoding — which equals
+    * Spark's binary UTF-8 string order exactly when that encoding IS
+    * UTF-8; on any other server encoding string-ordered pushdown is
+    * declined rather than silently reordered.
+    */
+  private val encodingCache =
+    new java.util.concurrent.ConcurrentHashMap[Conn, String]()
+
+  private[sources] def serverEncoding(conn: Conn): String =
+    encodingCache.computeIfAbsent(conn, { c =>
+      val client = c.open()
+      try client.query("SHOW server_encoding").rows.head.head
+      finally client.close()
+    })
 
   private def sparkType(pgType: String, prec: Option[String],
       scale: Option[String]): DataType = pgType match {
@@ -265,15 +297,20 @@ object PgWireSource {
 final class PgWireTable(conn: PgWireSource.Conn, table: String,
     tableSchema: StructType, partCol: Option[String], numParts: Int,
     lower: Option[Long], upper: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft_pg[$table]"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgScanBuilder(conn, table, tableSchema, partCol, numParts,
       lower, upper)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new PgWriteBuilder(conn, table, info)
 }
 
 /** GROUP BY + aggregate expressions compiled to server-side SQL: the
@@ -302,9 +339,32 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
   private var orderBySql: Seq[String] = Nil
   private var pushedAgg: Option[PushedPgAgg] = None
 
+  /** Declared PG type per column (lazy: probed only when a pushdown
+    * decision needs it, cached per (conn, table) JVM-wide).
+    */
+  private lazy val pgTypes: Map[String, String] =
+    PgWireSource.pgTypesOf(conn, table)
+
+  /** char(n): PG compares blank-padded ('a' = 'a  ' is TRUE), Spark
+    * does not — any filter touching one stays in Spark, and ordering
+    * pushdown on one is declined.
+    */
+  private def isBpchar(col: String): Boolean =
+    pgTypes.get(col).contains("character")
+
+  /** String ordering pushdown is safe only with COLLATE "C" on a UTF-8
+    * server (byte order there == Spark's binary UTF-8 order); under the
+    * database collation 'a' < 'B' in e.g. en_US while Spark says
+    * 'B' < 'a', which silently corrupts TopN and MIN/MAX.
+    */
+  private def stringOrderPushable(col: String): Boolean =
+    !isBpchar(col) &&
+      PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8")
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f =>
-      PgWireSource.filterToSql(f).isDefined)
+      PgWireSource.filterToSql(f).isDefined &&
+        !f.references.exists(isBpchar))
     accepted = ok
     whereSqls = ok.toSeq.flatMap(PgWireSource.filterToSql)
     rest // unsupported filters stay in Spark
@@ -329,6 +389,21 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
   private def fieldOf(col: String): Option[StructField] =
     tableSchema.fields.find(_.name == col)
 
+  private def singleSlice: Boolean = partCol.isEmpty || numParts <= 1
+
+  /** MIN/MAX argument rendering, or None when ordering pushdown on the
+    * column is unsafe: strings get COLLATE "C" (and require a UTF-8
+    * server — see [[stringOrderPushable]]); everything else passes
+    * through (numeric/temporal/bool ordering is collation-free).
+    */
+  private def minMaxArg(col: String, dt: DataType): Option[String] = dt match {
+    case StringType =>
+      if (stringOrderPushable(col)) Some(s"${quoteIdent(col)} COLLATE \"C\"")
+      else None
+    case BinaryType => None // bytea min/max exists but is rarely wanted; keep in Spark
+    case _ => if (isBpchar(col)) None else Some(quoteIdent(col))
+  }
+
   /** Compile the aggregation to server SQL, or None if any piece is
     * outside the exactly-translatable subset: COUNT(*)/COUNT(col)
     * (→ ::int8; PG count is int8 already), MIN/MAX (column's own
@@ -336,9 +411,11 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
     * numeric; on true int8 overflow PG raises where non-ANSI Spark
     * would wrap, loud-over-silent), floats (→ ::float8, Spark's SUM
     * result type for both float widths) and decimals (→ the
-    * ::numeric(p+10,s) widening Spark's SUM uses, while p+10 fits).
-    * DISTINCT aggregates are not pushed — per-slice DISTINCT partials
-    * do not merge.
+    * ::numeric(p+10,s) widening Spark's SUM uses, while p+10 fits),
+    * and AVG on the single-slice (complete) path only. String MIN/MAX
+    * ride COLLATE "C" via [[minMaxArg]] or stay in Spark. DISTINCT
+    * aggregates are not pushed — per-slice DISTINCT partials do not
+    * merge.
     */
   private def compileAgg(agg: Aggregation): Option[PushedPgAgg] = {
     val groups = agg.groupByExpressions.toSeq.map(fieldName)
@@ -356,11 +433,13 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
           (s"count(${quoteIdent(col)})::int8",
             StructField(s"agg_$i", LongType, nullable = false)))
       case (m: Min, i) =>
-        fieldName(m.column).flatMap(col => fieldOf(col).map(f =>
-          (s"min(${quoteIdent(col)})", StructField(s"agg_$i", f.dataType))))
+        fieldName(m.column).flatMap(col => fieldOf(col).flatMap(f =>
+          minMaxArg(col, f.dataType).map(arg =>
+            (s"min($arg)", StructField(s"agg_$i", f.dataType)))))
       case (m: Max, i) =>
-        fieldName(m.column).flatMap(col => fieldOf(col).map(f =>
-          (s"max(${quoteIdent(col)})", StructField(s"agg_$i", f.dataType))))
+        fieldName(m.column).flatMap(col => fieldOf(col).flatMap(f =>
+          minMaxArg(col, f.dataType).map(arg =>
+            (s"max($arg)", StructField(s"agg_$i", f.dataType)))))
       case (s: Sum, i) if !s.isDistinct =>
         fieldName(s.column).flatMap(col => fieldOf(col).flatMap(f =>
           f.dataType match {
@@ -373,6 +452,29 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
             case d: DecimalType if d.precision + 10 <= 38 =>
               Some((s"sum(${quoteIdent(col)})::numeric(${d.precision + 10},${d.scale})",
                 StructField(s"agg_$i", DecimalType(d.precision + 10, d.scale))))
+            case _ => None
+          }))
+      case (a: Avg, i) if !a.isDistinct && singleSlice =>
+        // AVG does not decompose into mergeable per-slice partials
+        // (avg-of-avgs is wrong under uneven slice counts), so it is
+        // compiled ONLY on the complete-pushdown path; when the scan is
+        // partitioned this returns None and Spark re-plans avg as
+        // sum/count partials, which the cases above accept.
+        fieldName(a.column).flatMap(col => fieldOf(col).flatMap(f =>
+          f.dataType match {
+            case ShortType | IntegerType | LongType | FloatType | DoubleType =>
+              // Spark's Average accumulates non-decimal inputs in
+              // DOUBLE; cast the input so PG runs the same IEEE
+              // arithmetic instead of exact numeric it would use for
+              // integer inputs.
+              Some((s"avg((${quoteIdent(col)})::float8)::float8",
+                StructField(s"agg_$i", DoubleType)))
+            case d: DecimalType if d.precision + 4 <= 38 =>
+              // Spark's avg(decimal(p,s)) result type is
+              // decimal(p+4, s+4); PG's numeric avg carries at least
+              // that scale, and both round ties away from zero.
+              Some((s"avg(${quoteIdent(col)})::numeric(${d.precision + 4},${d.scale + 4})",
+                StructField(s"agg_$i", DecimalType(d.precision + 4, d.scale + 4))))
             case _ => None
           }))
       case _ => None
@@ -409,18 +511,31 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
   /** ORDER BY over plain columns with Spark's null ordering rendered
     * explicitly — PG's defaults (NULLS LAST for ASC) differ from
     * Spark's (NULLS FIRST for ASC), so the clause is never implicit.
+    * String keys carry COLLATE "C" (byte order = Spark's binary UTF-8
+    * order on a UTF-8 server); under the database collation en_US has
+    * 'a' < 'B' where Spark has 'B' < 'a', so an uncollated string key
+    * would return a silently different top-N.
     */
   override def pushTopN(orders: Array[VSortOrder], n: Int): Boolean = {
     if (pushedAgg.isDefined) return false
     val rendered = orders.toSeq.map(o =>
-      fieldName(o.expression).filter(fieldOf(_).isDefined).map { col =>
+      fieldName(o.expression).flatMap(col => fieldOf(col).flatMap { f =>
+        f.dataType match {
+          case StringType =>
+            if (stringOrderPushable(col))
+              Some(s"${quoteIdent(col)} COLLATE \"C\"")
+            else None
+          case BinaryType => None // bytea byte order ≠ guaranteed everywhere; keep in Spark
+          case _ => if (isBpchar(col)) None else Some(quoteIdent(col))
+        }
+      }.map { key =>
         val dir =
           if (o.direction == SortDirection.ASCENDING) "ASC" else "DESC"
         val nulls =
           if (o.nullOrdering == NullOrdering.NULLS_FIRST) "NULLS FIRST"
           else "NULLS LAST"
-        s"${quoteIdent(col)} $dir $nulls"
-      })
+        s"$key $dir $nulls"
+      }))
     if (rendered.isEmpty || rendered.exists(_.isEmpty)) return false
     orderBySql = rendered.flatten
     limit = Some(n)
@@ -478,13 +593,18 @@ final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
           (0 until n).map { i =>
             val a = lo + i * width
             val b = math.min(lo + (i + 1) * width, hi + 1)
+            // Bounds set the STRIDE, never filter rows (the JDBC-source
+            // contract): the first slice is unbounded below and keeps
+            // nulls (the JDBC source silently drops null-keyed rows,
+            // this one does not), the last is unbounded above — rows
+            // outside explicit lower/upperBound land in an edge slice
+            // instead of silently vanishing.
             val range =
-              if (i == 0)
-                // first slice keeps nulls: the JDBC source silently
-                // drops null-keyed rows, this one does not
-                s"($q < $b OR $q IS NULL)"
-              else s"($q >= $a AND $q < $b)"
-            PgSqlPartition(selectSql(Some(range))): InputPartition
+              if (n == 1) None
+              else if (i == 0) Some(s"($q < $b OR $q IS NULL)")
+              else if (i == n - 1) Some(s"($q >= $a)")
+              else Some(s"($q >= $a AND $q < $b)")
+            PgSqlPartition(selectSql(range)): InputPartition
           }.toArray
         }
       case _ => Array(PgSqlPartition(selectSql(None)))

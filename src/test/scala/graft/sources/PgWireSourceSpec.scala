@@ -178,6 +178,99 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(9999L, 9998L))
   }
 
+  test("live: explicit bounds set the stride, not a row filter") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    // Bounds cover only [2000, 8000): rows outside must land in the
+    // edge slices (first unbounded below + nulls, last unbounded
+    // above), never be dropped — the Spark JDBC-source contract.
+    val df = reader.option("table", "graft_t.src")
+      .option("partitionColumn", "id").option("numPartitions", "4")
+      .option("lowerBound", "2000").option("upperBound", "7999")
+      .load()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 10001) // nothing outside the bounds vanished
+    assert(df.filter("id is null").count() == 1)
+    assert(df.filter("id >= 8000").count() == 2000)
+    assert(df.select("id").distinct().count() == 10001) // still disjoint
+  }
+
+  test("live: AVG pushes complete on one slice, falls back exactly when partitioned") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    import org.apache.spark.sql.functions._
+
+    // Single slice → AVG compiled server-side (complete pushdown).
+    val single = reader.option("table", "graft_t.src").load()
+      .filter("id is not null")
+      .groupBy(col("n")).agg(avg(col("id")).as("a"), avg(col("amt")).as("am"))
+    val plan1 = single.queryExecution.executedPlan.toString
+    assert(plan1.contains("avg(("), plan1) // our rendering: avg(("id")::float8)
+    val r0 = single.collect().map(r =>
+      (r.getInt(0), r.getDouble(1), r.getDecimal(2))).sortBy(_._1).head
+    // group n=0: ids 0,100,...,9900 → mean 4950; amt = id*1.5 → 7425
+    assert(r0._1 == 0 && r0._2 == 4950.0)
+    assert(r0._3 == new java.math.BigDecimal("7425.0000000")) // scale 3+4
+    // Spark's avg(decimal(12,3)) result type is decimal(16,7)
+    assert(single.schema("am").dataType ==
+      org.apache.spark.sql.types.DecimalType(16, 7))
+
+    // Partitioned → avg is NOT compiled (avg-of-avgs hazard); Spark
+    // re-plans it as pushed sum/count partials with identical values.
+    val part = reader.option("table", "graft_t.src")
+      .option("partitionColumn", "id").option("numPartitions", "4").load()
+      .filter("id is not null")
+      .groupBy(col("n")).agg(avg(col("id")).as("a"))
+    val plan2 = part.queryExecution.executedPlan.toString
+    assert(!plan2.contains("avg(("), plan2) // no server-side avg partials
+    val p0 = part.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).head
+    assert(p0 == ((0, 4950.0)))
+  }
+
+  test("live: string TopN/min-max ride COLLATE \"C\" so binary order matches Spark") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    import org.apache.spark.sql.functions._
+    val c = PgConn(h.host, h.port, h.user, h.database).open()
+    try {
+      val _ = c.query(
+        """DROP TABLE IF EXISTS graft_t.strs;
+           CREATE TABLE graft_t.strs (id INT, s TEXT, pad CHAR(5));
+           INSERT INTO graft_t.strs VALUES
+             (1, 'apple', 'a'), (2, 'Banana', 'a  '), (3, 'cherry', 'b'),
+             (4, 'Apricot', 'a'), (5, NULL, NULL)""")
+    } finally c.close()
+    val df = reader.option("table", "graft_t.strs").load()
+
+    // Binary UTF-8 order: uppercase before lowercase ('B' < 'a').
+    val top = df.select("id", "s").orderBy(col("s").asc_nulls_last).limit(3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("COLLATE \"C\""), plan)
+    assert(top.collect().map(_.getInt(0)).toSeq == Seq(4, 2, 1))
+
+    val mm = df.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val plan2 = mm.queryExecution.executedPlan.toString
+    assert(plan2.contains("COLLATE \"C\""), plan2)
+    val r = mm.collect().head
+    assert(r.getString(0) == "Apricot" && r.getString(1) == "cherry")
+
+    // char(n): PG blank-padded equality ('a' = 'a  ') disagrees with
+    // Spark, so the filter stays Spark-side and Spark's semantics win.
+    val eq = df.filter(col("pad") === "a")
+    val plan3 = eq.queryExecution.executedPlan.toString
+    assert(!plan3.contains("\"pad\" ="), plan3)
+    // COPY text ships the blank-padded value, so Spark equality against
+    // the unpadded 'a' matches nothing — where a pushed PG '=' would
+    // have (wrongly, by Spark semantics) matched rows 1, 2 and 4.
+    assert(eq.count() == 0)
+    assert(df.filter(col("pad") === "a    ").count() == 3)
+    // and min/max on the bpchar column is likewise not pushed
+    val mmPad = df.agg(min(col("pad")).as("lo"))
+    assert(!mmPad.queryExecution.executedPlan.toString.contains("min(\"pad\""))
+    assert(mmPad.collect().head.getString(0) == "a    ")
+  }
+
   test("filter rendering: exact subset, unsupported stays in Spark (no server)") {
     import org.apache.spark.sql.sources._
     import PgWireSource.filterToSql
