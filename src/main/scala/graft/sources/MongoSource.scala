@@ -163,6 +163,34 @@ object MongoSource {
     }
   }
 
+  /** S2's LIVE leg over the from-scratch wire client — `readRaw`
+    * without any connector jar: one [[MongoWireClient]] cursor streams
+    * the collection (`find` + `getMore`, memory bounded by one server
+    * batch) and each BSON document is rendered to the reference's
+    * serialized JSON form ([[BsonCodec.toReferenceJson]]: ObjectId →
+    * hex string, datetime → naive isoformat — the identical normal
+    * form `normalizeExtendedJson` produces), feeding the same
+    * transform plane.
+    *
+    * The single slice matches the reference's one-cursor
+    * `collection.find()` semantics and runs ON AN EXECUTOR, not the
+    * driver; the scale path is one cursor per partition with disjoint
+    * `_id`-range filters via [[MongoWireClient.find]]'s `filter`
+    * (bounds from a driver-side min/max probe), the same shape the
+    * Postgres read plane uses.
+    */
+  def readRawWire(spark: SparkSession, host: String, port: Int,
+      database: String, collection: String): DataFrame = {
+    HostGuard.requireLocal(host, "MongoDB") // F5, driver-side and early
+    import org.apache.spark.sql.Encoders
+    spark.range(0, 1, 1, 1).mapPartitions { _ =>
+      val client = MongoWireClient.connect(host, port)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => client.close()))
+      client.find(database, collection).map(BsonCodec.toReferenceJson)
+    }(Encoders.STRING).toDF("raw")
+  }
+
   /** S3 — 1-document preview per collection for mapping inference. */
   def preview(
       spark: SparkSession,

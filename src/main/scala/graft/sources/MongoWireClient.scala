@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{InetSocketAddress, Socket}
+
+import BsonCodec._
+
+/** Minimal MongoDB wire-protocol client — OP_MSG (opcode 2013, the only
+  * opcode modern servers speak) over [[BsonCodec]], enough to run the
+  * live half of S2 (`ui/mongo_ingest.py:94-105`: `collection.find()`
+  * over every document) without any mongo-spark-connector or driver
+  * jar on the classpath. Built from the public "MongoDB Wire Protocol"
+  * spec the way [[PgWireClient]] was built from the Postgres
+  * Frontend/Backend docs: framing is a 16-byte little-endian header
+  * (messageLength, requestID, responseTo, opCode) + uint32 flagBits +
+  * a kind-0 section (one BSON command document). Checksums and kind-1
+  * sections are never sent and not required of replies (flagBits 0;
+  * a reply carrying checksumPresent fails loudly).
+  *
+  * Surface: `runCommand` (any `$db`-routed command), `hello` (the
+  * connection handshake), and `find` — a pull-based cursor iterator
+  * that drives `getMore` as batches drain, so memory is bounded by one
+  * server batch regardless of collection size (the reference holds the
+  * whole collection in driver memory; this plane streams). No auth
+  * legs: the scratch-server deployment this targets (LiveMongo, the
+  * [[LivePostgres]] sibling) runs with auth disabled, and the F5 host
+  * guard restricts connects to loopback anyway.
+  */
+final class MongoWireClient private (socket: Socket, in: DataInputStream,
+    out: DataOutputStream) extends AutoCloseable {
+
+  import MongoWireClient._
+
+  private var nextRequestId = 1
+
+  /** Send one command document (must NOT already contain `$db` — it is
+    * appended here) and return the reply body. A reply with `ok` ≠ 1
+    * throws with the server's `errmsg`/`codeName`.
+    */
+  def runCommand(db: String, command: BDoc): BDoc = {
+    val id = nextRequestId
+    nextRequestId += 1
+    val body = BDoc(command.fields :+ ("$db" -> BString(db)))
+    out.write(buildMessage(id, body))
+    out.flush()
+    val (responseTo, reply) = readMessage(in)
+    if (responseTo != id) throw new MongoProtocolException(
+      s"reply responseTo=$responseTo does not match request $id")
+    val ok = reply.get("ok") match {
+      case Some(BDouble(v)) => v == 1.0
+      case Some(BInt32(v)) => v == 1
+      case Some(BInt64(v)) => v == 1L
+      case _ => false
+    }
+    if (!ok) {
+      val msg = reply.get("errmsg") match {
+        case Some(BString(m)) => m
+        case _ => reply.toString
+      }
+      throw new MongoServerException(msg)
+    }
+    reply
+  }
+
+  /** Connection handshake (`hello`, the modern isMaster). */
+  def hello(): BDoc = runCommand("admin", BDoc("hello" -> BInt32(1)))
+
+  /** Stream every document of a collection — the reference's
+    * `collection.find()` loop — pulling `batchSize`-document batches
+    * via getMore as the caller drains. `filter` narrows server-side
+    * (the scale path slices a collection by `_id` range filters, one
+    * cursor per Spark partition).
+    */
+  def find(db: String, collection: String, filter: BDoc = BDoc(),
+      batchSize: Int = 1000, limit: Long = 0L): Iterator[BDoc] = {
+    val findCmd = BDoc(Vector[(String, BsonValue)](
+      "find" -> BString(collection),
+      "filter" -> filter,
+      "batchSize" -> BInt32(batchSize)) ++
+      (if (limit > 0) Vector("limit" -> BInt64(limit)) else Vector.empty))
+    val first = runCommand(db, findCmd)
+    new Iterator[BDoc] {
+      private var batch = cursorBatch(first, "firstBatch")
+      private var cursorId = cursorIdOf(first)
+      private var idx = 0
+
+      private def pump(): Unit =
+        while (idx >= batch.length && cursorId != 0L) {
+          val more = runCommand(db, BDoc(
+            "getMore" -> BInt64(cursorId),
+            "collection" -> BString(collection),
+            "batchSize" -> BInt32(batchSize)))
+          batch = cursorBatch(more, "nextBatch")
+          cursorId = cursorIdOf(more)
+          idx = 0
+        }
+
+      override def hasNext: Boolean = { pump(); idx < batch.length }
+      override def next(): BDoc = {
+        pump()
+        if (idx >= batch.length) throw new NoSuchElementException("cursor drained")
+        val d = batch(idx); idx += 1; d
+      }
+    }
+  }
+
+  /** Insert documents (test/fixture seeding when a live server exists). */
+  def insert(db: String, collection: String, docs: Seq[BDoc]): Long = {
+    val reply = runCommand(db, BDoc(
+      "insert" -> BString(collection),
+      "documents" -> BArray(docs.toVector)))
+    reply.get("n") match {
+      case Some(BInt32(n)) => n.toLong
+      case Some(BInt64(n)) => n
+      case _ => docs.size.toLong
+    }
+  }
+
+  override def close(): Unit = socket.close()
+}
+
+object MongoWireClient {
+
+  val OpMsg = 2013
+
+  final class MongoProtocolException(msg: String) extends RuntimeException(msg)
+  final class MongoServerException(msg: String) extends RuntimeException(msg)
+
+  def connect(host: String, port: Int,
+      connectTimeoutMs: Int = 15000): MongoWireClient = {
+    graft.etl.HostGuard.requireLocal(host, "MongoDB") // F5
+    val socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
+    socket.setTcpNoDelay(true)
+    val in = new DataInputStream(
+      new BufferedInputStream(socket.getInputStream, 1 << 16))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+    val client = new MongoWireClient(socket, in, out)
+    try {
+      val h = client.hello() // handshake: fail fast on a non-Mongo peer
+      val _ = h
+      client
+    } catch {
+      case e: Throwable =>
+        try socket.close() catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** One OP_MSG frame: header + flagBits 0 + kind-0 section carrying
+    * the command body. Exposed for the golden byte-vector specs;
+    * `responseTo` is 0 on requests and the request's id on replies
+    * (the fake-server spec frames replies with it).
+    */
+  private[sources] def buildMessage(requestId: Int, body: BDoc,
+      responseTo: Int = 0): Array[Byte] = {
+    val doc = BsonCodec.encode(body)
+    val len = 16 + 4 + 1 + doc.length
+    val out = new java.io.ByteArrayOutputStream(len)
+    def int32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    int32(len)
+    int32(requestId)
+    int32(responseTo)
+    int32(OpMsg)
+    int32(0) // flagBits: no checksum, no moreToCome, no exhaustAllowed
+    out.write(0) // section kind 0: body
+    out.write(doc, 0, doc.length)
+    out.toByteArray
+  }
+
+  /** Read one OP_MSG reply: returns (responseTo, body document).
+    * Kind-1 sections in replies are a spec violation (servers only
+    * send kind 0) and checksummed replies are unmodeled — both fail
+    * loudly rather than desync the stream.
+    */
+  private[sources] def readMessage(in: DataInputStream): (Int, BDoc) = {
+    val len = readInt32(in)
+    if (len < 16 || len > MaxMessage) throw new MongoProtocolException(
+      s"implausible message length $len")
+    val requestId = readInt32(in)
+    val _ = requestId
+    val responseTo = readInt32(in)
+    val opCode = readInt32(in)
+    if (opCode != OpMsg) throw new MongoProtocolException(
+      s"unexpected opcode $opCode (only OP_MSG/2013 is modeled)")
+    val rest = new Array[Byte](len - 16)
+    in.readFully(rest)
+    val flags = (rest(0) & 0xff) | ((rest(1) & 0xff) << 8) |
+      ((rest(2) & 0xff) << 16) | ((rest(3) & 0xff) << 24)
+    if ((flags & 1) != 0) throw new MongoProtocolException(
+      "reply has checksumPresent; this client never requests CRC32C")
+    if (rest(4) != 0) throw new MongoProtocolException(
+      s"reply leads with section kind ${rest(4)}; expected kind 0")
+    val (body, next) = BsonCodec.readDoc(rest, 5)
+    if (next != rest.length) throw new MongoProtocolException(
+      s"trailing ${rest.length - next} bytes after reply body " +
+        "(kind-1 sections in replies are not modeled)")
+    (responseTo, body)
+  }
+
+  private val MaxMessage = 48 * 1000 * 1000 // server's maxMessageSizeBytes
+
+  private def readInt32(in: DataInputStream): Int = {
+    val b = new Array[Byte](4)
+    try in.readFully(b)
+    catch { case _: EOFException =>
+      throw new EOFException("server closed connection mid-frame") }
+    (b(0) & 0xff) | ((b(1) & 0xff) << 8) |
+      ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+  }
+
+  private[sources] def cursorBatch(reply: BDoc, key: String): Vector[BDoc] =
+    reply.get("cursor") match {
+      case Some(c: BDoc) => c.get(key) match {
+        case Some(BArray(items)) => items.map {
+          case d: BDoc => d
+          case other => throw new MongoProtocolException(
+            s"cursor batch contains a non-document: $other")
+        }
+        case _ => Vector.empty
+      }
+      case _ => throw new MongoProtocolException(
+        s"reply lacks a cursor document: $reply")
+    }
+
+  private[sources] def cursorIdOf(reply: BDoc): Long =
+    reply.get("cursor").collect { case c: BDoc => c.get("id") } .flatten match {
+      case Some(BInt64(id)) => id
+      case other => throw new MongoProtocolException(
+        s"cursor id missing or mistyped: $other")
+    }
+}

@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import BsonCodec._
+
+/** The Mongo wire plane, attested without a server (r15 verdict #1 —
+  * the ScramSpec pattern): BSON codec pinned to the public spec's own
+  * byte vectors (bsonspec.org's two canonical examples plus per-type
+  * round-trips), OP_MSG framing pinned byte-for-byte, and the full
+  * hello → find → getMore cursor cycle driven against a loopback fake
+  * server speaking pre-framed replies over a real socket. Live legs
+  * (`assume(LiveMongo.available)`) cancel loudly today and go green
+  * the moment a mongod binary ships — no code change.
+  */
+class MongoWireSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(b => Integer.parseInt(b, 16).toByte).toArray
+
+  test("BSON golden vector 1 (bsonspec.org): {\"hello\": \"world\"}") {
+    val expected = hex("16000000 02 68656c6c6f00 06000000 776f726c6400 00")
+    val doc = BDoc("hello" -> BString("world"))
+    assert(encode(doc).toSeq == expected.toSeq)
+    assert(decode(expected) == doc)
+  }
+
+  test("BSON golden vector 2 (bsonspec.org): {\"BSON\": [\"awesome\", 5.05, 1986]}") {
+    val expected = hex(
+      "31000000 04 42534f4e00" + // array element "BSON"
+        "26000000" +             // inner doc length 0x26
+        "02 3000 08000000 617765736f6d6500" + // "0": "awesome"
+        "01 3100 333333333333 1440" +         // "1": 5.05 (LE float64)
+        "10 3200 c2070000" +                  // "2": 1986 (int32)
+        "00 00")
+    val doc = BDoc("BSON" -> BArray(Vector(
+      BString("awesome"), BDouble(5.05), BInt32(1986))))
+    assert(encode(doc).toSeq == expected.toSeq)
+    assert(decode(expected) == doc)
+  }
+
+  test("BSON per-type round-trips: every modeled type survives encode→decode") {
+    val doc = BDoc(
+      "_id" -> BObjectId("507f1f77bcf86cd799439011"),
+      "str" -> BString("uni ‰∂é√º \n tab\t"),
+      "f" -> BDouble(-0.0),
+      "i32" -> BInt32(Int.MinValue),
+      "i64" -> BInt64(Long.MaxValue),
+      "flag" -> BBool(true),
+      "when" -> BDateTime(1709251199500L), // 2024-02-29T23:59:59.5Z
+      "nothing" -> BNull,
+      "ts" -> BTimestamp(0x100000002L),
+      "bin" -> BBinary(0, Array[Byte](0, 1, 127, -128)),
+      "nested" -> BDoc("a" -> BArray(Vector(
+        BInt32(1), BNull, BDoc("b" -> BString("c"))))))
+    val encoded = encode(doc)
+    val back = decode(encoded)
+    // BBinary holds an Array — compare fields structurally
+    assert(back.fields.map(_._1) == doc.fields.map(_._1))
+    back.fields.zip(doc.fields).foreach {
+      case ((_, BBinary(s1, b1)), (_, BBinary(s2, b2))) =>
+        assert(s1 == s2 && b1.toSeq == b2.toSeq)
+      case ((_, got), (_, want)) => assert(got == want)
+    }
+    // and the re-encoding is byte-identical (field order preserved)
+    assert(encode(back).toSeq == encoded.toSeq)
+  }
+
+  test("BSON decode refuses unmodeled types and corrupt framing loudly") {
+    // decimal128 (0x13) must not be silently coerced
+    val d128 = hex("15000000 13 6400" + "00" * 16 + "00")
+    val e = intercept[BsonException](decode(d128))
+    assert(e.getMessage.contains("0x13"))
+    // truncated document
+    intercept[Exception](decode(hex("16000000 02 68656c6c6f00")))
+    // bad trailing byte
+    intercept[BsonException](decode(hex("0500000001")))
+  }
+
+  test("reference-serializer rendering: ObjectId→hex, datetime→naive isoformat") {
+    val doc = BDoc(
+      "_id" -> BObjectId("507f1f77bcf86cd799439011"),
+      "when" -> BDateTime(1709251199500L),
+      "whole" -> BDateTime(1704067200000L), // 2024-01-01T00:00:00Z exactly
+      "n" -> BInt32(42), "f" -> BDouble(5.0), "s" -> BString("a\"b"),
+      "ok" -> BBool(false), "z" -> BNull,
+      "arr" -> BArray(Vector(BInt64(7), BObjectId("507f1f77bcf86cd799439012"))))
+    assert(toReferenceJson(doc) ==
+      """{"_id":"507f1f77bcf86cd799439011",""" +
+        """"when":"2024-02-29T23:59:59.500000",""" +
+        """"whole":"2024-01-01T00:00:00",""" +
+        """"n":42,"f":5.0,"s":"a\"b","ok":false,"z":null,""" +
+        """"arr":[7,"507f1f77bcf86cd799439012"]}""")
+    // the rendering matches MongoSource.isoNaive on the same instant
+    assert(MongoSource.isoNaive("2024-02-29T23:59:59.5Z")
+      .contains(BsonCodec.isoNaiveMillis(1709251199500L)))
+  }
+
+  test("OP_MSG golden frame: hello command, pinned byte-for-byte") {
+    val body = BDoc("hello" -> BInt32(1), "$db" -> BString("admin"))
+    val frame = MongoWireClient.buildMessage(requestId = 7, body)
+    val expected = hex(
+      "34000000" +  // messageLength 0x34 = 52
+        "07000000" + // requestID 7
+        "00000000" + // responseTo 0
+        "dd070000" + // opCode 2013 (OP_MSG)
+        "00000000" + // flagBits 0
+        "00" +       // section kind 0
+        // body: {hello: 1, $db: "admin"} — 31 bytes
+        "1f000000 10 68656c6c6f00 01000000" +
+        "02 24646200 06000000 61646d696e00 00")
+    assert(frame.toSeq == expected.toSeq)
+  }
+
+  test("fake server over a real socket: hello → find → getMore cursor cycle") {
+    import MongoWireClient._
+    val docs = (0 until 5).map(i => BDoc(
+      "_id" -> BObjectId(f"$i%024x"),
+      "v" -> BInt32(i),
+      "at" -> BDateTime(1704067200000L + i))).toVector
+
+    // Replies are framed with responseTo = the request's id, batches of
+    // 2 with a live cursor id until the last.
+    def cursorReply(key: String, batch: Vector[BDoc], id: Long) = BDoc(
+      "cursor" -> BDoc(
+        (if (key == "firstBatch")
+          Vector[(String, BsonValue)]("ns" -> BString("db.c")) else Vector.empty) ++
+          Vector[(String, BsonValue)](
+            key -> BArray(batch.map(d => d: BsonValue)),
+            "id" -> BInt64(id)): _*),
+      "ok" -> BDouble(1.0))
+
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val serverThread = new Thread(() => {
+      val s = server.accept()
+      val in = new java.io.DataInputStream(s.getInputStream)
+      val out = s.getOutputStream
+      var getMores = 0
+      var open = true
+      while (open) {
+        try {
+          // read one frame: LE length, then the rest
+          val lenB = new Array[Byte](4); in.readFully(lenB)
+          val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
+            ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
+          val rest = new Array[Byte](len - 4); in.readFully(rest)
+          val reqId = (rest(0) & 0xff) | ((rest(1) & 0xff) << 8) |
+            ((rest(2) & 0xff) << 16) | ((rest(3) & 0xff) << 24)
+          val (body, _) = BsonCodec.readDoc(rest, 17) // 12 hdr rest + flags 4 + kind 1
+          val cmd = body.fields.head._1
+          val reply = cmd match {
+            case "hello" => BDoc("ok" -> BDouble(1.0),
+              "maxWireVersion" -> BInt32(17))
+            case "find" => cursorReply("firstBatch", docs.take(2), 99L)
+            case "getMore" =>
+              getMores += 1
+              if (getMores == 1) cursorReply("nextBatch", docs.slice(2, 4), 99L)
+              else cursorReply("nextBatch", docs.drop(4), 0L)
+            case other => BDoc("ok" -> BDouble(0.0),
+              "errmsg" -> BString(s"unknown command $other"))
+          }
+          out.write(MongoWireClient.buildMessage(1000 + reqId, reply,
+            responseTo = reqId))
+          out.flush()
+        } catch { case _: Throwable => open = false }
+      }
+      s.close()
+    })
+    serverThread.setDaemon(true)
+    serverThread.start()
+
+    val client = MongoWireClient.connect("127.0.0.1", server.getLocalPort)
+    try {
+      val got = client.find("db", "c", batchSize = 2).toVector
+      assert(got.size == 5)
+      assert(got.map(_.get("v")) == docs.map(_.get("v")))
+      // and the documents render to the reference's serialized form
+      assert(BsonCodec.toReferenceJson(got.head) ==
+        """{"_id":"000000000000000000000000","v":0,""" +
+          """"at":"2024-01-01T00:00:00"}""")
+      // an error reply surfaces as a server exception
+      val err = intercept[MongoServerException](
+        client.runCommand("db", BDoc("bogus" -> BInt32(1))))
+      assert(err.getMessage.contains("unknown command"))
+    } finally {
+      client.close()
+      server.close()
+    }
+  }
+
+  test("live: insert + find round-trip against a real mongod (flips green when one ships)") {
+    assume(LiveMongo.available,
+      "mongod not installed — the live S2 leg stays environment-blocked; " +
+        "the wire plane is attested by the golden-vector legs above")
+    val h = LiveMongo.get()
+    val client = MongoWireClient.connect(h.host, h.port)
+    try {
+      val docs = (0 until 100).map(i => BDoc(
+        "_id" -> BInt32(i), "name" -> BString(s"doc-$i"),
+        "at" -> BDateTime(1704067200000L + i * 1000L))).toVector
+      assert(client.insert("graft_t", "wire_rt", docs) == 100L)
+      val back = client.find("graft_t", "wire_rt", batchSize = 7).toVector
+      assert(back.size == 100)
+      assert(back.map(_.get("name")).toSet == docs.map(_.get("name")).toSet)
+    } finally client.close()
+  }
+}
