@@ -16,6 +16,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
 
+    // Scratch-cluster boot OUTSIDE every per-query timer (round-15
+    // verdict #3): LivePostgres.get() pays initdb + server start once
+    // per JVM, and it otherwise lands inside whichever timed line first
+    // touches the live plane — the driver's r15 run charged q312 17.5 s
+    // of one-time boot vs the 2.3 s the gate actually costs. Booting
+    // here (before any query, warmup included) makes the first live
+    // gate's line measure the gate, not the environment. Protocol noted
+    // in SCALING.md §live-plane.
+    if (graft.sources.LivePostgres.available) {
+      try { val _ = graft.sources.LivePostgres.get() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] scratch-postgres pre-boot failed " +
+          s"(live gates will pay/report it instead): ${e.getMessage}")
+      }
+    }
+
     // Optional comma-separated name filter for local iteration (the
     // driver sets nothing and benches everything).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
