@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** DSv2 read path over the Postgres wire protocol — the live analog of
-  * `spark.read.jdbc` for a classpath with no JDBC driver jar (the same
-  * gap [[graft.etl.PgWireSink]] fills on the write side). Catalyst gets
-  * a real connector, not an RDD of pre-rendered SQL:
+/** DSv2 table over the Postgres wire protocol — the live analog of
+  * `spark.read.jdbc`/`df.write.jdbc` for a classpath with no JDBC
+  * driver jar. One `TableProvider` serves both planes: reads through
+  * [[PgScanBuilder]] (below) and writes through [[PgWriteBuilder]]
+  * (PgWireWrite.scala — streaming COPY per partition under Spark's
+  * commit coordinator with a ledger-arbitrated exactly-once claim).
+  * Catalyst gets a real connector, not an RDD of pre-rendered SQL:
   *
   *  - schema comes typed from `information_schema.columns`;
   *  - filter pushdown renders the supported `sources.Filter` subset to
