@@ -306,7 +306,8 @@ final class PgWireTable(conn: PgWireSource.Conn, table: String,
   override def name(): String = s"graft_pg[$table]"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgScanBuilder(conn, table, tableSchema, partCol, numParts,
       lower, upper)

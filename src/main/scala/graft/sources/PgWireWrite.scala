@@ -46,7 +46,16 @@ import org.apache.spark.sql.types._
   * time, not mid-COPY.
   */
 final class PgWriteBuilder(conn: PgWireSource.Conn, table: String,
-    info: LogicalWriteInfo) extends WriteBuilder {
+    info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  /** `mode("overwrite")` (full-table) arrives as truncate — the same
+    * contract as `write.jdbc`'s truncate-then-append. The TRUNCATE runs
+    * driver-side once, before any writer task (see
+    * [[PgBatchWrite.createBatchWriterFactory]]).
+    */
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
   override def build(): Write = {
     val schema = info.schema()
@@ -62,22 +71,25 @@ final class PgWriteBuilder(conn: PgWireSource.Conn, table: String,
       if (qid != null && qid.nonEmpty) qid else UUID.randomUUID().toString
     }
     new PgWrite(conn, table, schema, batchId,
-      if (ledgerOn) Some(ledgerTable) else None)
+      if (ledgerOn) Some(ledgerTable) else None, truncateFirst)
   }
 }
 
 final class PgWrite(conn: PgWireSource.Conn, table: String,
-    schema: StructType, batchId: String, ledgerTable: Option[String])
+    schema: StructType, batchId: String, ledgerTable: Option[String],
+    truncateFirst: Boolean = false)
     extends Write {
   override def toBatch: BatchWrite =
-    new PgBatchWrite(conn, table, schema, batchId, ledgerTable)
+    new PgBatchWrite(conn, table, schema, batchId, ledgerTable, truncateFirst)
   override def description(): String =
     s"GraftPgWrite[$table] batchId=$batchId " +
-      s"ledger=${ledgerTable.getOrElse("off")}"
+      s"ledger=${ledgerTable.getOrElse("off")}" +
+      (if (truncateFirst) " truncate" else "")
 }
 
 final class PgBatchWrite(conn: PgWireSource.Conn, table: String,
-    schema: StructType, batchId: String, ledgerTable: Option[String])
+    schema: StructType, batchId: String, ledgerTable: Option[String],
+    truncateFirst: Boolean = false)
     extends BatchWrite {
 
   /** One attempt per partition gets the coordinator's commit grant;
@@ -103,6 +115,26 @@ final class PgBatchWrite(conn: PgWireSource.Conn, table: String,
                 n_rows BIGINT,
                 committed_at TIMESTAMPTZ NOT NULL DEFAULT now(),
                 PRIMARY KEY (batch_id, partition_id))""")
+      } finally c.close()
+    }
+    if (truncateFirst) {
+      // Overwrite = truncate-then-append (the write.jdbc contract).
+      // This job's OWN prior ledger claims are retired with the rows
+      // they described — otherwise an overwrite re-run under the same
+      // stable batchId would truncate and then dedup itself into an
+      // empty table. Claims of OTHER batches stay: they describe rows
+      // this truncate just removed, but their job already finished;
+      // re-running one of those old batch ids after an overwrite is a
+      // caller contract violation (overwrite resets the table's
+      // history), same as with write.jdbc.
+      val c = conn.open()
+      try {
+        val _ = c.query(s"TRUNCATE TABLE ${PgWireSource.quoteTable(table)}")
+        ledgerTable.foreach { lt =>
+          val batchLit = "'" + batchId.replace("'", "''") + "'"
+          val _2 = c.query(s"DELETE FROM ${PgWireSource.quoteTable(lt)} " +
+            s"WHERE batch_id = $batchLit")
+        }
       } finally c.close()
     }
     PgDataWriterFactory(conn, table, schema, batchId, ledgerTable)

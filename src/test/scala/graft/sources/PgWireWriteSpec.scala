@@ -200,6 +200,36 @@ class PgWireWriteSpec extends AnyFunSuite with SparkTestSession {
     finally c2.close()
   }
 
+  test("live: mode(overwrite) truncates then appends; same-batchId overwrite re-run is idempotent") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    val sink = new PgWireSink(conn)
+    sink.createSchema("graft_w")
+    sink.execute(
+      """DROP TABLE IF EXISTS graft_w.ow;
+         CREATE TABLE graft_w.ow (id BIGINT NOT NULL)""")
+    writer(spark.range(0, 100, 1, 2).toDF("id"))
+      .option("table", "graft_w.ow").mode("append").save()
+    assert(rowCount("graft_w.ow") == 100)
+
+    // Overwrite replaces, not appends.
+    writer(spark.range(1000, 1050, 1, 2).toDF("id"))
+      .option("table", "graft_w.ow")
+      .option("batchId", "ow-1").mode("overwrite").save()
+    assert(rowCount("graft_w.ow") == 50)
+
+    // Re-running the SAME overwrite job (same batchId) truncates and
+    // lands again — its own prior claims are retired with the rows, so
+    // the result is the 50 rows, not an empty table.
+    writer(spark.range(1000, 1050, 1, 2).toDF("id"))
+      .option("table", "graft_w.ow")
+      .option("batchId", "ow-1").mode("overwrite").save()
+    assert(rowCount("graft_w.ow") == 50)
+    val c = conn.open()
+    try assert(c.query("SELECT count(DISTINCT id) FROM graft_w.ow")
+      .rows.head.head == "50")
+    finally c.close()
+  }
+
   test("live: ledger=false gives the plain transactional append; bad types fail at plan time") {
     assume(LivePostgres.available, "postgres server binaries not installed")
     val sink = new PgWireSink(conn)
