@@ -191,6 +191,78 @@ object MongoSource {
     }(Encoders.STRING).toDF("raw")
   }
 
+  /** The SCALE path of the wire read: one cursor per Spark partition
+    * over disjoint `_id`-range filters — the shape that turns the
+    * reference's single `collection.find()` into a partition-parallel
+    * scan (the Mongo analog of [[PgWireSource]]'s range slices, with
+    * the same stride-only contract: first slice unbounded below, last
+    * unbounded above, so every document lands in exactly one slice no
+    * matter where the probed bounds sit).
+    *
+    * Bounds come from one driver-side min/max probe (`find` sorted by
+    * `_id`, limit 1, each way). Numeric `_id` (int32/int64) slices
+    * arithmetically; a collection with a non-numeric `_id` (ObjectId,
+    * string) or fewer distinct keys than partitions falls back to the
+    * single-cursor [[readRawWire]] — correct first, parallel when the
+    * key supports it. (ObjectId's leading 4 timestamp bytes would
+    * support range slicing too; deferred until a live server exists to
+    * pin the comparison semantics against.)
+    */
+  def readRawWirePartitioned(spark: SparkSession, host: String, port: Int,
+      database: String, collection: String,
+      numPartitions: Int): DataFrame = {
+    import graft.sources.BsonCodec._
+    HostGuard.requireLocal(host, "MongoDB") // F5, driver-side and early
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+
+    def idOf(d: Option[BDoc]): Option[Long] =
+      d.flatMap(_.get("_id")).collect {
+        case BInt32(v) => v.toLong
+        case BInt64(v) => v
+      }
+    val (lo, hi) = {
+      val c = MongoWireClient.connect(host, port)
+      try {
+        def probe(dir: Int): Option[BDoc] =
+          c.find(database, collection, batchSize = 1, limit = 1L,
+            sort = Some(BDoc("_id" -> BInt32(dir)))).take(1).toSeq.headOption
+        (idOf(probe(1)), idOf(probe(-1)))
+      } finally c.close()
+    }
+    val sliceable = (for (a <- lo; b <- hi) yield b - a + 1 >= numPartitions)
+      .getOrElse(false)
+    if (numPartitions == 1 || !sliceable)
+      return readRawWire(spark, host, port, database, collection)
+
+    val (a0, b0) = (lo.get, hi.get)
+    val width = (b0 - a0 + 1 + numPartitions - 1) / numPartitions
+    // (lower, upper): None = unbounded on that side — bounds are the
+    // STRIDE, never a row filter (the r16 PgWireSource lesson: a capped
+    // last slice silently drops keys past the probed/explicit bound).
+    val slices: Seq[(Option[Long], Option[Long])] =
+      (0 until numPartitions).map { i =>
+        val a = if (i == 0) None else Some(a0 + i * width)
+        val b = if (i == numPartitions - 1) None else Some(a0 + (i + 1) * width)
+        (a, b)
+      }
+    import org.apache.spark.sql.Encoders
+    val rdd = spark.sparkContext
+      .parallelize(slices, numPartitions)
+      .mapPartitions(_.flatMap { case (a, b) =>
+        val range = BDoc(Vector[(String, BsonValue)]() ++
+          a.map(v => "$gte" -> (BInt64(v): BsonValue)) ++
+          b.map(v => "$lt" -> (BInt64(v): BsonValue)))
+        val filter =
+          if (range.fields.isEmpty) BDoc() else BDoc("_id" -> range)
+        val client = MongoWireClient.connect(host, port)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => client.close()))
+        client.find(database, collection, filter)
+          .map(BsonCodec.toReferenceJson)
+      })
+    spark.createDataset(rdd)(Encoders.STRING).toDF("raw")
+  }
+
   /** S3 — 1-document preview per collection for mapping inference. */
   def preview(
       spark: SparkSession,

@@ -72,11 +72,13 @@ final class MongoWireClient private (socket: Socket, in: DataInputStream,
     * cursor per Spark partition).
     */
   def find(db: String, collection: String, filter: BDoc = BDoc(),
-      batchSize: Int = 1000, limit: Long = 0L): Iterator[BDoc] = {
+      batchSize: Int = 1000, limit: Long = 0L,
+      sort: Option[BDoc] = None): Iterator[BDoc] = {
     val findCmd = BDoc(Vector[(String, BsonValue)](
       "find" -> BString(collection),
       "filter" -> filter,
       "batchSize" -> BInt32(batchSize)) ++
+      sort.map(s => "sort" -> (s: BsonValue)).toVector ++
       (if (limit > 0) Vector("limit" -> BInt64(limit)) else Vector.empty))
     val first = runCommand(db, findCmd)
     new Iterator[BDoc] {

@@ -13,7 +13,7 @@ import BsonCodec._
   * (`assume(LiveMongo.available)`) cancel loudly today and go green
   * the moment a mongod binary ships — no code change.
   */
-class MongoWireSpec extends AnyFunSuite {
+class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
 
   private def hex(s: String): Array[Byte] =
     s.replaceAll("\\s", "").grouped(2)
@@ -113,16 +113,74 @@ class MongoWireSpec extends AnyFunSuite {
     assert(frame.toSeq == expected.toSeq)
   }
 
-  test("fake server over a real socket: hello → find → getMore cursor cycle") {
-    import MongoWireClient._
-    val docs = (0 until 5).map(i => BDoc(
-      "_id" -> BObjectId(f"$i%024x"),
-      "v" -> BInt32(i),
-      "at" -> BDateTime(1704067200000L + i))).toVector
+  /** In-memory fake mongod: real sockets, one handler thread per
+    * connection (the partitioned read opens several concurrently),
+    * find with `_id` `$gte`/`$lt` range filters, `sort {_id: ±1}` and
+    * `limit` (the min/max probe shape), getMore-driven batching.
+    */
+  private final class FakeMongoServer(docs: Vector[BDoc]) {
+    import java.util.concurrent.ConcurrentHashMap
+    import java.util.concurrent.atomic.AtomicLong
 
-    // Replies are framed with responseTo = the request's id, batches of
-    // 2 with a live cursor id until the last.
-    def cursorReply(key: String, batch: Vector[BDoc], id: Long) = BDoc(
+    private val server = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getLoopbackAddress)
+    def port: Int = server.getLocalPort
+    private val cursors = new ConcurrentHashMap[Long, Vector[BDoc]]()
+    private val nextCursor = new AtomicLong(100L)
+
+    private def idOf(d: BDoc): Long = d.get("_id") match {
+      case Some(BInt32(v)) => v.toLong
+      case Some(BInt64(v)) => v
+      case _ => Long.MinValue
+    }
+
+    private def runFind(body: BDoc): BDoc = {
+      var selected = body.get("filter") match {
+        case Some(f: BDoc) => f.get("_id") match {
+          case Some(range: BDoc) =>
+            val lo = range.get("$gte").collect {
+              case BInt64(v) => v; case BInt32(v) => v.toLong }
+            val hi = range.get("$lt").collect {
+              case BInt64(v) => v; case BInt32(v) => v.toLong }
+            docs.filter(d => lo.forall(idOf(d) >= _) && hi.forall(idOf(d) < _))
+          case _ => docs
+        }
+        case _ => docs
+      }
+      body.get("sort").foreach {
+        case s: BDoc => s.get("_id") match {
+          case Some(BInt32(1)) => selected = selected.sortBy(idOf)
+          case Some(BInt32(-1)) => selected = selected.sortBy(-idOf(_))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      body.get("limit").foreach {
+        case BInt64(n) => selected = selected.take(n.toInt)
+        case BInt32(n) => selected = selected.take(n)
+        case _ => ()
+      }
+      val batchSize = body.get("batchSize")
+        .collect { case BInt32(n) => n }.getOrElse(101)
+      val (first, rest) = selected.splitAt(batchSize)
+      val cid = if (rest.isEmpty) 0L else {
+        val id = nextCursor.getAndIncrement()
+        cursors.put(id, rest); id
+      }
+      cursorReply("firstBatch", first, cid)
+    }
+
+    private def runGetMore(body: BDoc): BDoc = {
+      val cid = body.get("getMore").collect { case BInt64(v) => v }.get
+      val remaining = Option(cursors.remove(cid)).getOrElse(Vector.empty)
+      val batchSize = body.get("batchSize")
+        .collect { case BInt32(n) => n }.getOrElse(101)
+      val (batch, rest) = remaining.splitAt(batchSize)
+      val next = if (rest.isEmpty) 0L else { cursors.put(cid, rest); cid }
+      cursorReply("nextBatch", batch, next)
+    }
+
+    private def cursorReply(key: String, batch: Vector[BDoc], id: Long) = BDoc(
       "cursor" -> BDoc(
         (if (key == "firstBatch")
           Vector[(String, BsonValue)]("ns" -> BString("db.c")) else Vector.empty) ++
@@ -131,47 +189,57 @@ class MongoWireSpec extends AnyFunSuite {
             "id" -> BInt64(id)): _*),
       "ok" -> BDouble(1.0))
 
-    val server = new java.net.ServerSocket(0, 1,
-      java.net.InetAddress.getLoopbackAddress)
-    val serverThread = new Thread(() => {
-      val s = server.accept()
+    private val acceptor = new Thread(() => {
+      try {
+        while (true) {
+          val s = server.accept()
+          val h = new Thread(() => handle(s))
+          h.setDaemon(true); h.start()
+        }
+      } catch { case _: Throwable => () } // server closed
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(s: java.net.Socket): Unit = {
       val in = new java.io.DataInputStream(s.getInputStream)
       val out = s.getOutputStream
-      var getMores = 0
-      var open = true
-      while (open) {
-        try {
-          // read one frame: LE length, then the rest
+      try {
+        while (true) {
           val lenB = new Array[Byte](4); in.readFully(lenB)
           val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
             ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
           val rest = new Array[Byte](len - 4); in.readFully(rest)
           val reqId = (rest(0) & 0xff) | ((rest(1) & 0xff) << 8) |
             ((rest(2) & 0xff) << 16) | ((rest(3) & 0xff) << 24)
-          val (body, _) = BsonCodec.readDoc(rest, 17) // 12 hdr rest + flags 4 + kind 1
-          val cmd = body.fields.head._1
-          val reply = cmd match {
+          val (body, _) = BsonCodec.readDoc(rest, 17) // hdr-rest 12 + flags 4 + kind 1
+          val reply = body.fields.head._1 match {
             case "hello" => BDoc("ok" -> BDouble(1.0),
               "maxWireVersion" -> BInt32(17))
-            case "find" => cursorReply("firstBatch", docs.take(2), 99L)
-            case "getMore" =>
-              getMores += 1
-              if (getMores == 1) cursorReply("nextBatch", docs.slice(2, 4), 99L)
-              else cursorReply("nextBatch", docs.drop(4), 0L)
+            case "find" => runFind(body)
+            case "getMore" => runGetMore(body)
             case other => BDoc("ok" -> BDouble(0.0),
               "errmsg" -> BString(s"unknown command $other"))
           }
           out.write(MongoWireClient.buildMessage(1000 + reqId, reply,
             responseTo = reqId))
           out.flush()
-        } catch { case _: Throwable => open = false }
-      }
-      s.close()
-    })
-    serverThread.setDaemon(true)
-    serverThread.start()
+        }
+      } catch { case _: Throwable => () } // client closed
+      finally s.close()
+    }
 
-    val client = MongoWireClient.connect("127.0.0.1", server.getLocalPort)
+    def close(): Unit = server.close()
+  }
+
+  test("fake server over a real socket: hello → find → getMore cursor cycle") {
+    import MongoWireClient._
+    val docs = (0 until 5).map(i => BDoc(
+      "_id" -> BObjectId(f"$i%024x"),
+      "v" -> BInt32(i),
+      "at" -> BDateTime(1704067200000L + i))).toVector
+    val server = new FakeMongoServer(docs)
+    val client = MongoWireClient.connect("127.0.0.1", server.port)
     try {
       val got = client.find("db", "c", batchSize = 2).toVector
       assert(got.size == 5)
@@ -188,6 +256,36 @@ class MongoWireSpec extends AnyFunSuite {
       client.close()
       server.close()
     }
+  }
+
+  test("partitioned wire read: disjoint _id slices reassemble the collection, stride-only bounds") {
+    // 97 docs, ids 3..99 — deliberately not starting at 0 so the probe
+    // matters, with a doc count that does not divide evenly by 3.
+    val docs = (0 until 97).map(i => BDoc(
+      "_id" -> BInt32(i + 3), "name" -> BString(s"d$i"))).toVector
+    val server = new FakeMongoServer(docs)
+    try {
+      val df = MongoSource.readRawWirePartitioned(spark,
+        "127.0.0.1", server.port, "db", "c", numPartitions = 3)
+      assert(df.rdd.getNumPartitions == 3)
+      val raws = df.collect().map(_.getString(0))
+      assert(raws.length == 97, "every document exactly once")
+      assert(raws.toSet.size == 97, "slices are disjoint")
+      assert(raws.contains("""{"_id":3,"name":"d0"}"""))
+      assert(raws.contains("""{"_id":99,"name":"d96"}"""))
+    } finally server.close()
+
+    // Non-numeric _id (ObjectId): the slicer cannot subdivide the key
+    // space, so it falls back to the single-cursor read — correct
+    // first, parallel when the key supports it.
+    val oidDocs = (0 until 5).map(i =>
+      BDoc("_id" -> BObjectId(f"$i%024x"))).toVector
+    val server2 = new FakeMongoServer(oidDocs)
+    try {
+      val df2 = MongoSource.readRawWirePartitioned(spark,
+        "127.0.0.1", server2.port, "db", "c", numPartitions = 4)
+      assert(df2.count() == 5)
+    } finally server2.close()
   }
 
   test("live: insert + find round-trip against a real mongod (flips green when one ships)") {
