@@ -149,6 +149,34 @@ object PgWireSource {
       schema.fieldNames.zip(types).toMap
     })
 
+  /** Planner statistics probed once per (conn, table) per JVM:
+    * (reltuples row estimate, pg_table_size bytes) from pg_class —
+    * the estimates the server maintains via vacuum/analyze, at zero
+    * scan cost. reltuples is -1 until a table's first analyze; that
+    * maps to "unknown" (the planner then keeps its huge default, which
+    * errs away from broadcasting — the safe direction).
+    */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Conn, String), (Long, Long)]()
+
+  private[sources] def tableStats(conn: Conn, table: String): (Long, Long) =
+    statsCache.computeIfAbsent((conn, table), { key =>
+      val (schema, t) = graft.etl.SchemaScript.splitTableName(key._2)
+      val c = key._1.open()
+      try {
+        val r = c.query(
+          s"""SELECT c.reltuples::int8::text, pg_table_size(c.oid)::text
+              FROM pg_class c JOIN pg_namespace n ON n.oid = c.relnamespace
+              WHERE n.nspname = ${sqlLit(schema)}
+                AND c.relname = ${sqlLit(t)}""")
+        r.rows.headOption match {
+          case Some(Seq(rows, bytes)) => (rows.toLong, bytes.toLong)
+          case _ => (-1L, -1L)
+        }
+      } catch { case _: Throwable => (-1L, -1L) }
+      finally c.close()
+    })
+
   /** Server encoding, probed once per connection recipe per JVM. String
     * ordering pushdown (TopN sort keys, MIN/MAX) is rendered with
     * COLLATE "C" — byte order of the server encoding — which equals
@@ -549,19 +577,65 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
   override def isPartiallyPushed: Boolean =
     numParts > 1 // each slice limits/sorts locally; Spark re-does globally
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // Catalyst default-size width share of the projected columns vs the
+    // full table row — how much of pg_table_size this scan actually
+    // ships (1.0 when an aggregate is pushed: its output is tiny but
+    // table-level stats are the safe over-estimate there).
+    val share =
+      if (pushedAgg.isDefined) 1.0
+      else {
+        val total = tableSchema.fields.map(_.dataType.defaultSize.toLong).sum
+        if (total <= 0L) 1.0
+        else math.min(1.0,
+          out.fields.map(_.dataType.defaultSize.toLong).sum.toDouble / total)
+      }
     new PgScan(conn, table, out, whereSqls, limit, partCol, numParts,
-      lower, upper, pushedAgg, orderBySql)
+      lower, upper, pushedAgg, orderBySql, share)
+  }
 }
 
 final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
     wheres: Seq[String], limit: Option[Int], partCol: Option[String],
     numParts: Int, lower: Option[Long], upper: Option[Long],
-    agg: Option[PushedPgAgg] = None, orderBy: Seq[String] = Nil)
-    extends Scan with Batch {
+    agg: Option[PushedPgAgg] = None, orderBy: Seq[String] = Nil,
+    widthShare: Double = 1.0)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
+
+  /** Table-level planner statistics from the server's own pg_class
+    * estimates — what lets Spark BROADCAST a small Postgres dimension
+    * against a big fact scan instead of shuffling both sides (without
+    * stats a DSv2 relation sizes as "huge" and never broadcasts; the
+    * decision that matters most at 1000-executor scale). Row count is
+    * scaled to the SELECT list's width share and capped by a pushed
+    * LIMIT; a scan with a pushed aggregate or filter reports table-
+    * level numbers — an over-estimate, which errs away from a wrong
+    * broadcast. Unknown (never-analyzed) tables report empty.
+    */
+  override def estimateStatistics(): Statistics = {
+    val (rows, bytes) = PgWireSource.tableStats(conn, table)
+    new Statistics {
+      override def numRows(): java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(
+          limit.map(l => math.min(l.toLong, rows)).getOrElse(rows))
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (rows < 0 || bytes < 0) java.util.OptionalLong.empty()
+        else {
+          // prune-aware: charge only the projected columns' width share
+          val pruned = (bytes * widthShare).toLong max 1L
+          val capped = limit match {
+            case Some(l) if rows > 0 =>
+              math.min(pruned, (pruned.toDouble * l / rows).toLong max 1L)
+            case _ => pruned
+          }
+          java.util.OptionalLong.of(capped)
+        }
+    }
+  }
   override def description(): String = {
     val w = if (wheres.isEmpty) "" else s" where=${wheres.mkString(" AND ")}"
     val a = agg.map(a => s" agg=${a.selectExprs.mkString(",")}").getOrElse("")

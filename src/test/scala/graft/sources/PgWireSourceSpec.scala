@@ -271,6 +271,43 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(mmPad.collect().head.getString(0) == "a    ")
   }
 
+  test("live: reported pg_class statistics size the scan so a small dim broadcasts") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    val c = PgConn(h.host, h.port, h.user, h.database).open()
+    try {
+      val _ = c.query(
+        """CREATE SCHEMA IF NOT EXISTS graft_t;
+           DROP TABLE IF EXISTS graft_t.dim_stats;
+           CREATE TABLE graft_t.dim_stats (id BIGINT, label TEXT, pad TEXT);
+           INSERT INTO graft_t.dim_stats
+           SELECT i, 'label-' || i, repeat('x', 200)
+           FROM generate_series(0, 199) AS g(i);
+           ANALYZE graft_t.dim_stats""")
+    } finally c.close()
+
+    // The scan's relation statistics come from pg_class (reltuples +
+    // pg_table_size), so Spark's planner sees a ~50 KB dim instead of
+    // the DSv2 "unknown = huge" default that can never broadcast.
+    val dim = reader.option("table", "graft_t.dim_stats").load()
+    val stats = dim.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 &&
+      stats.sizeInBytes < 10L * 1024 * 1024, s"stats: $stats")
+
+    // Prune-aware: a 1-narrow-column projection reports a fraction of
+    // the padded table's bytes.
+    val narrow = dim.select("id").queryExecution.optimizedPlan.stats
+    assert(narrow.sizeInBytes < stats.sizeInBytes, s"$narrow !< $stats")
+
+    // End state: the join picks BroadcastHashJoin with NO hint.
+    import org.apache.spark.sql.functions._
+    val big = spark.range(0, 100000, 1, 8)
+      .withColumn("k", col("id") % 200)
+    val joined = big.join(dim, col("k") === dim("id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() == 100000)
+  }
+
   test("filter rendering: exact subset, unsupported stays in Spark (no server)") {
     import org.apache.spark.sql.sources._
     import PgWireSource.filterToSql
