@@ -335,7 +335,7 @@ final class PgWireTable(conn: PgWireSource.Conn, table: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgScanBuilder(conn, table, tableSchema, partCol, numParts,
       lower, upper)

@@ -81,10 +81,61 @@ final class PgWrite(conn: PgWireSource.Conn, table: String,
     extends Write {
   override def toBatch: BatchWrite =
     new PgBatchWrite(conn, table, schema, batchId, ledgerTable, truncateFirst)
+
+  /** Native streaming sink: each micro-batch's writers claim
+    * `<batchId>-epoch-<epochId>` ledger slots, so a batch REPLAYED
+    * from the checkpoint (restart after a post-commit crash — the
+    * exact window `foreachBatch` + `appendExactlyOnce` closes by hand)
+    * dedups per partition with no user code. `batchId` defaults to
+    * Spark's query id, which the checkpoint keeps stable across
+    * restarts — pass an explicit `batchId` option to survive a
+    * checkpoint swap too. Append output mode only: Complete-mode
+    * truncate-per-epoch is not modeled.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!truncateFirst,
+      "PgWireSource streaming write supports append mode only")
+    new PgStreamingWrite(conn, table, schema, batchId, ledgerTable)
+  }
+
   override def description(): String =
     s"GraftPgWrite[$table] batchId=$batchId " +
       s"ledger=${ledgerTable.getOrElse("off")}" +
       (if (truncateFirst) " truncate" else "")
+}
+
+final class PgStreamingWrite(conn: PgWireSource.Conn, table: String,
+    schema: StructType, baseBatchId: String, ledgerTable: Option[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def useCommitCoordinator(): Boolean = true
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    ledgerTable.foreach(lt => PgWriteSupport.ensureLedger(conn, lt))
+    PgStreamingDataWriterFactory(conn, table, schema, baseBatchId, ledgerTable)
+  }
+
+  /** Per-epoch commits already landed (or no-opped) in Postgres under
+    * their epoch-scoped claims; Spark's checkpoint commit is the
+    * progress marker, the database is the dedup arbiter — the pairing
+    * that makes a replayed epoch a per-partition no-op.
+    */
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class PgStreamingDataWriterFactory(conn: PgWireSource.Conn,
+    table: String, schema: StructType, baseBatchId: String,
+    ledgerTable: Option[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new PgDataWriter(conn, table, schema, s"$baseBatchId-epoch-$epochId",
+      ledgerTable, partitionId)
 }
 
 final class PgBatchWrite(conn: PgWireSource.Conn, table: String,
@@ -102,21 +153,7 @@ final class PgBatchWrite(conn: PgWireSource.Conn, table: String,
     // Driver-side, once per job: the ledger table must exist before any
     // executor claims into it (CREATE ... IF NOT EXISTS per partition
     // would race inside the claim transactions).
-    ledgerTable.foreach { lt =>
-      val (ledgerSchema, _) = graft.etl.SchemaScript.splitTableName(lt)
-      val c = conn.open()
-      try {
-        val _ = c.query(
-          graft.etl.SchemaManager.createSchemaSql(ledgerSchema))
-        val _2 = c.query(
-          s"""CREATE TABLE IF NOT EXISTS ${PgWireSource.quoteTable(lt)} (
-                batch_id TEXT NOT NULL,
-                partition_id INT NOT NULL,
-                n_rows BIGINT,
-                committed_at TIMESTAMPTZ NOT NULL DEFAULT now(),
-                PRIMARY KEY (batch_id, partition_id))""")
-      } finally c.close()
-    }
+    ledgerTable.foreach(lt => PgWriteSupport.ensureLedger(conn, lt))
     if (truncateFirst) {
       // Overwrite = truncate-then-append (the write.jdbc contract).
       // This job's OWN prior ledger claims are retired with the rows
@@ -158,6 +195,28 @@ final class PgBatchWrite(conn: PgWireSource.Conn, table: String,
 
 final case class PgCommitMessage(partitionId: Int, rows: Long,
     deduped: Boolean) extends WriterCommitMessage
+
+private[sources] object PgWriteSupport {
+  /** Driver-side, once per job/stream: the ledger table must exist
+    * before any executor claims into it (per-partition CREATE IF NOT
+    * EXISTS would race inside the claim transactions).
+    */
+  def ensureLedger(conn: PgWireSource.Conn, ledgerTable: String): Unit = {
+    val (ledgerSchema, _) = graft.etl.SchemaScript.splitTableName(ledgerTable)
+    val c = conn.open()
+    try {
+      val _ = c.query(
+        graft.etl.SchemaManager.createSchemaSql(ledgerSchema))
+      val _2 = c.query(
+        s"""CREATE TABLE IF NOT EXISTS ${PgWireSource.quoteTable(ledgerTable)} (
+              batch_id TEXT NOT NULL,
+              partition_id INT NOT NULL,
+              n_rows BIGINT,
+              committed_at TIMESTAMPTZ NOT NULL DEFAULT now(),
+              PRIMARY KEY (batch_id, partition_id))""")
+    } finally c.close()
+  }
+}
 
 final case class PgDataWriterFactory(conn: PgWireSource.Conn,
     table: String, schema: StructType, batchId: String,

@@ -230,6 +230,77 @@ class PgWireWriteSpec extends AnyFunSuite with SparkTestSession {
     finally c.close()
   }
 
+  test("live: native streaming sink — epoch-scoped ledger claims dedup a replayed micro-batch") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    val sink = new PgWireSink(conn)
+    sink.createSchema("graft_w")
+    sink.execute(
+      """DROP TABLE IF EXISTS graft_w.stream_t;
+         CREATE TABLE graft_w.stream_t (id BIGINT NOT NULL, v TEXT)""")
+
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-pg-dsv2-stream")
+    val srcDir = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt")
+    spark.range(0, 500, 1, 2)
+      .select(col("id"), concat(lit("a"), col("id")).as("v"))
+      .write.parquet(s"$srcDir/f0")
+    spark.range(500, 1000, 1, 2)
+      .select(col("id"), concat(lit("b"), col("id")).as("v"))
+      .write.parquet(s"$srcDir/f1")
+    val schema = spark.read.parquet(s"$srcDir/f0").schema
+
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/*")
+        .writeStream
+        .format("graft.sources.PgWireSource")
+        .option("host", h.host).option("port", h.port)
+        .option("user", h.user).option("database", h.database)
+        .option("table", "graft_w.stream_t")
+        .option("batchId", "ws-1")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+
+    run()
+    assert(rowCount("graft_w.stream_t") == 1000)
+    val c = conn.open()
+    try assert(c.query(
+      """SELECT sum(n_rows)::text FROM graft_meta.copy_ledger
+         WHERE batch_id LIKE 'ws-1-epoch-%'""").rows.head.head == "1000")
+    finally c.close()
+
+    // Force the post-commit-crash replay: drop the newest checkpoint
+    // commit marker, so the restart re-executes that epoch with the
+    // SAME epoch id — the window where a ledgerless sink double-writes.
+    val commits = ckpt.resolve("commits")
+    val newest = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filter(!_.endsWith(".tmp")).maxBy(p =>
+        scala.util.Try(p.split('/').last.toLong).getOrElse(-1L))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(newest))
+    // ...and its Hadoop checksum shadow, or the re-commit's rename
+    // fails on the stale .crc
+    val crc = commits.resolve("." + newest.split('/').last + ".crc")
+    java.nio.file.Files.deleteIfExists(crc)
+    run() // replays the last micro-batch; claims hit 23505 and no-op
+    assert(rowCount("graft_w.stream_t") == 1000, "replayed epoch must dedup")
+    val c2 = conn.open()
+    try assert(c2.query("SELECT count(DISTINCT id) FROM graft_w.stream_t")
+      .rows.head.head == "1000")
+    finally c2.close()
+
+    // New data still flows after the replay.
+    spark.range(1000, 1250, 1, 2)
+      .select(col("id"), concat(lit("c"), col("id")).as("v"))
+      .write.parquet(s"$srcDir/f2")
+    run()
+    assert(rowCount("graft_w.stream_t") == 1250)
+  }
+
   test("live: ledger=false gives the plain transactional append; bad types fail at plan time") {
     assume(LivePostgres.available, "postgres server binaries not installed")
     val sink = new PgWireSink(conn)
