@@ -600,7 +600,37 @@ final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
     numParts: Int, lower: Option[Long], upper: Option[Long],
     agg: Option[PushedPgAgg] = None, orderBy: Seq[String] = Nil,
     widthShare: Double = 1.0)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filtering: after a broadcast build side
+    * materializes, Spark hands the scan the join keys' IN-set and the
+    * scan re-plans — here the set is rendered into the WHERE clause,
+    * so Postgres evaluates the join-key filter and only matching rows
+    * ever cross the wire (and the partition-bounds probe narrows to
+    * the surviving key range). Best-effort by contract: a filter this
+    * source cannot render exactly (unsupported type, char(n) padding,
+    * an IN-set too large to ship as SQL) is simply not applied — the
+    * join still filters row-level.
+    */
+  private var runtimeWheres: Seq[String] = Nil
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (agg.isDefined) Array.empty // WHERE injects below the GROUP BY
+    else out.fields.collect {
+      case f if f.dataType != BinaryType &&
+          !PgWireSource.pgTypesOf(conn, table).get(f.name)
+            .contains("character") =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeWheres = filters.toSeq
+      .filter {
+        case org.apache.spark.sql.sources.In(_, vs) => vs.length <= 10000
+        case _ => true
+      }
+      .flatMap(PgWireSource.filterToSql)
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
@@ -644,8 +674,10 @@ final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
     s"GraftPgScan[$table] cols=${out.fieldNames.mkString(",")}$w$a$o$l"
   }
 
-  private def baseWhere: String =
-    if (wheres.isEmpty) "" else wheres.mkString(" AND ")
+  private def baseWhere: String = {
+    val all = wheres ++ runtimeWheres
+    if (all.isEmpty) "" else all.mkString(" AND ")
+  }
 
   private def selectSql(extra: Option[String]): String = {
     val cols = agg.map(_.selectExprs.mkString(", ")).getOrElse(

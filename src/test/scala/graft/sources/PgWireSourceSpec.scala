@@ -308,6 +308,38 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(joined.count() == 100000)
   }
 
+  test("live: runtime filtering ships the broadcast join keys to the server") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    seed()
+    import org.apache.spark.sql.functions._
+    val big = reader.option("table", "graft_t.src").load()
+    val dim = spark.range(100, 140).select(col("id"))
+      .filter(col("id") % 2 === 0)
+    val joined = big.join(broadcast(dim), "id").select("id", "txt")
+    val rows = joined.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (100L until 140L by 2).toSeq)
+
+    def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          findScan(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findScan(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Some(b)
+        case other => other.children.view.flatMap(findScan).headOption
+      }
+    val scan = findScan(joined.queryExecution.executedPlan)
+      .getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.toString.toLowerCase.contains("runtimefilters"),
+      s"no runtime filter attached:\n$scan")
+    // The IN-set was rendered into the COPY's WHERE: Postgres returned
+    // exactly the 20 matching rows, not the 10 001-row table.
+    assert(scan.metrics("numOutputRows").value == 20L,
+      s"server did not evaluate the join keys: ${scan.metrics("numOutputRows").value} rows crossed")
+  }
+
   test("filter rendering: exact subset, unsupported stays in Spark (no server)") {
     import org.apache.spark.sql.sources._
     import PgWireSource.filterToSql
