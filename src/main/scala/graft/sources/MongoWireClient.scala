@@ -140,8 +140,15 @@ object MongoWireClient {
       new BufferedOutputStream(socket.getOutputStream, 1 << 16))
     val client = new MongoWireClient(socket, in, out)
     try {
+      // The hello handshake reads under the connect deadline: a peer
+      // that accepts the socket but never answers (half-open port,
+      // wrong service) must fail the task, not hang it. Established
+      // sessions keep blocking reads — a getMore against a busy server
+      // can legitimately be slower than any handshake deadline.
+      socket.setSoTimeout(connectTimeoutMs)
       val h = client.hello() // handshake: fail fast on a non-Mongo peer
       val _ = h
+      socket.setSoTimeout(0)
       client
     } catch {
       case e: Throwable =>

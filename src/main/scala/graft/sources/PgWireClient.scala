@@ -296,6 +296,14 @@ object PgWireClient {
     val socket = new Socket()
     socket.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     socket.setTcpNoDelay(true)
+    // The startup/auth exchange reads under the same deadline as the
+    // TCP connect: a peer that accepts the socket but never answers
+    // (half-open port, wrong service) would otherwise hang the task
+    // forever. Cleared once ReadyForQuery arrives — established
+    // sessions keep blocking reads, since a COPY of a big slice or a
+    // long server-side statement can legitimately be silent for longer
+    // than any handshake deadline.
+    socket.setSoTimeout(connectTimeoutMs)
     val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
     val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
     try {
@@ -362,6 +370,7 @@ object PgWireClient {
             s"unexpected startup message '$other'")
         }
       }
+      socket.setSoTimeout(0) // handshake done: blocking reads from here
       client
     } catch {
       case e: Throwable =>

@@ -288,6 +288,20 @@ class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
     } finally server2.close()
   }
 
+  test("a silent peer fails the hello handshake within the deadline") {
+    val silent = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    try {
+      val t0 = System.nanoTime()
+      intercept[java.net.SocketTimeoutException] {
+        MongoWireClient.connect("127.0.0.1", silent.getLocalPort,
+          connectTimeoutMs = 500)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(elapsedMs < 10000, s"handshake hung ${elapsedMs}ms")
+    } finally silent.close()
+  }
+
   test("live: insert + find round-trip against a real mongod (flips green when one ships)") {
     assume(LiveMongo.available,
       "mongod not installed — the live S2 leg stays environment-blocked; " +

@@ -358,6 +358,21 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(filterToSql(And(EqualTo("a", 1), EqualNullSafe("b", 2))).isEmpty)
   }
 
+  test("a silent peer fails the handshake within the deadline (no server)") {
+    // accepts the TCP connection, never speaks the protocol
+    val silent = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    try {
+      val t0 = System.nanoTime()
+      intercept[java.net.SocketTimeoutException] {
+        PgWireClient.connect("127.0.0.1", silent.getLocalPort,
+          "u", "db", connectTimeoutMs = 500)
+      }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(elapsedMs < 10000, s"handshake hung ${elapsedMs}ms")
+    } finally silent.close()
+  }
+
   test("timestamp text forms parse to the exact micros (no server)") {
     import PgWireSource.parseTimestampMicros
     assert(parseTimestampMicros("2024-02-29 23:59:59.5+00") ==
