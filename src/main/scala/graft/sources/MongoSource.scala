@@ -201,12 +201,13 @@ object MongoSource {
     *
     * Bounds come from one driver-side min/max probe (`find` sorted by
     * `_id`, limit 1, each way). Numeric `_id` (int32/int64) slices
-    * arithmetically; a collection with a non-numeric `_id` (ObjectId,
-    * string) or fewer distinct keys than partitions falls back to the
-    * single-cursor [[readRawWire]] — correct first, parallel when the
-    * key supports it. (ObjectId's leading 4 timestamp bytes would
-    * support range slicing too; deferred until a live server exists to
-    * pin the comparison semantics against.)
+    * arithmetically; ObjectId `_id` slices on its leading 4 timestamp
+    * bytes (BSON compares ObjectIds bytewise, so boundary ObjectIds
+    * `<tsHex> + 16 zero hex chars` split the key space exactly — the
+    * slicing MongoDB's own splitVector uses conceptually); any other
+    * key shape (string, mixed) or fewer distinct slice points than
+    * partitions falls back to the single-cursor [[readRawWire]] —
+    * correct first, parallel when the key supports it.
     */
   def readRawWirePartitioned(spark: SparkSession, host: String, port: Int,
       database: String, collection: String,
@@ -215,26 +216,39 @@ object MongoSource {
     HostGuard.requireLocal(host, "MongoDB") // F5, driver-side and early
     require(numPartitions >= 1, "numPartitions must be >= 1")
 
-    def idOf(d: Option[BDoc]): Option[Long] =
-      d.flatMap(_.get("_id")).collect {
-        case BInt32(v) => v.toLong
-        case BInt64(v) => v
-      }
-    val (lo, hi) = {
+    val (loId, hiId) = {
       val c = MongoWireClient.connect(host, port)
       try {
-        def probe(dir: Int): Option[BDoc] =
+        def probe(dir: Int): Option[BsonValue] =
           c.find(database, collection, batchSize = 1, limit = 1L,
-            sort = Some(BDoc("_id" -> BInt32(dir)))).take(1).toSeq.headOption
-        (idOf(probe(1)), idOf(probe(-1)))
+            sort = Some(BDoc("_id" -> BInt32(dir)))).take(1).toSeq
+            .headOption.flatMap(_.get("_id"))
+        (probe(1), probe(-1))
       } finally c.close()
     }
-    val sliceable = (for (a <- lo; b <- hi) yield b - a + 1 >= numPartitions)
-      .getOrElse(false)
+    // Slice coordinates: numeric ids use the value itself; ObjectIds
+    // use the leading 4-byte timestamp (seconds). `mkBound` renders a
+    // coordinate back into a comparable _id boundary value.
+    val coords: Option[(Long, Long, Long => BsonValue)] =
+      (loId, hiId) match {
+        case (Some(BInt32(a)), Some(BInt32(b))) =>
+          Some((a.toLong, b.toLong, v => BInt64(v)))
+        case (Some(BInt64(a)), Some(BInt64(b))) =>
+          Some((a, b, v => BInt64(v)))
+        case (Some(BObjectId(a)), Some(BObjectId(b))) =>
+          // boundary ObjectId <tsHex><16 zeros>: bytewise-minimal for
+          // its timestamp, so [tsA, tsB) boundaries are exact
+          Some((java.lang.Long.parseLong(a.substring(0, 8), 16),
+            java.lang.Long.parseLong(b.substring(0, 8), 16),
+            v => BObjectId(f"$v%08x" + "0" * 16)))
+        case _ => None
+      }
+    val sliceable = coords.exists { case (a, b, _) =>
+      b - a + 1 >= numPartitions }
     if (numPartitions == 1 || !sliceable)
       return readRawWire(spark, host, port, database, collection)
 
-    val (a0, b0) = (lo.get, hi.get)
+    val (a0, b0, mkBound) = coords.get
     val width = (b0 - a0 + 1 + numPartitions - 1) / numPartitions
     // (lower, upper): None = unbounded on that side — bounds are the
     // STRIDE, never a row filter (the r16 PgWireSource lesson: a capped
@@ -250,8 +264,8 @@ object MongoSource {
       .parallelize(slices, numPartitions)
       .mapPartitions(_.flatMap { case (a, b) =>
         val range = BDoc(Vector[(String, BsonValue)]() ++
-          a.map(v => "$gte" -> (BInt64(v): BsonValue)) ++
-          b.map(v => "$lt" -> (BInt64(v): BsonValue)))
+          a.map(v => "$gte" -> mkBound(v)) ++
+          b.map(v => "$lt" -> mkBound(v)))
         val filter =
           if (range.fields.isEmpty) BDoc() else BDoc("_id" -> range)
         val client = MongoWireClient.connect(host, port)

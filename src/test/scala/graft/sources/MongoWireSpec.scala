@@ -128,29 +128,39 @@ class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
     private val cursors = new ConcurrentHashMap[Long, Vector[BDoc]]()
     private val nextCursor = new AtomicLong(100L)
 
-    private def idOf(d: BDoc): Long = d.get("_id") match {
-      case Some(BInt32(v)) => v.toLong
-      case Some(BInt64(v)) => v
-      case _ => Long.MinValue
+    // BSON key ordering for the _id kinds the specs use: numerics by
+    // value, ObjectIds bytewise (== lowercase-hex lexicographic).
+    private def cmpIds(a: BsonValue, b: BsonValue): Int = (a, b) match {
+      case (BObjectId(x), BObjectId(y)) => x.compareTo(y)
+      case _ =>
+        def n(v: BsonValue): Long = v match {
+          case BInt32(i) => i.toLong
+          case BInt64(i) => i
+          case _ => Long.MinValue
+        }
+        java.lang.Long.compare(n(a), n(b))
     }
+
+    private def idOf(d: BDoc): BsonValue = d.get("_id").getOrElse(BNull)
 
     private def runFind(body: BDoc): BDoc = {
       var selected = body.get("filter") match {
         case Some(f: BDoc) => f.get("_id") match {
           case Some(range: BDoc) =>
-            val lo = range.get("$gte").collect {
-              case BInt64(v) => v; case BInt32(v) => v.toLong }
-            val hi = range.get("$lt").collect {
-              case BInt64(v) => v; case BInt32(v) => v.toLong }
-            docs.filter(d => lo.forall(idOf(d) >= _) && hi.forall(idOf(d) < _))
+            val lo = range.get("$gte")
+            val hi = range.get("$lt")
+            docs.filter(d => lo.forall(cmpIds(idOf(d), _) >= 0) &&
+              hi.forall(cmpIds(idOf(d), _) < 0))
           case _ => docs
         }
         case _ => docs
       }
       body.get("sort").foreach {
         case s: BDoc => s.get("_id") match {
-          case Some(BInt32(1)) => selected = selected.sortBy(idOf)
-          case Some(BInt32(-1)) => selected = selected.sortBy(-idOf(_))
+          case Some(BInt32(1)) =>
+            selected = selected.sortWith((x, y) => cmpIds(idOf(x), idOf(y)) < 0)
+          case Some(BInt32(-1)) =>
+            selected = selected.sortWith((x, y) => cmpIds(idOf(x), idOf(y)) > 0)
           case _ => ()
         }
         case _ => ()
@@ -275,16 +285,31 @@ class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
       assert(raws.contains("""{"_id":99,"name":"d96"}"""))
     } finally server.close()
 
-    // Non-numeric _id (ObjectId): the slicer cannot subdivide the key
-    // space, so it falls back to the single-cursor read — correct
-    // first, parallel when the key supports it.
-    val oidDocs = (0 until 5).map(i =>
-      BDoc("_id" -> BObjectId(f"$i%024x"))).toVector
+    // ObjectId _id: sliced on the leading 4 timestamp bytes (bytewise
+    // comparison), boundary ObjectIds <tsHex><16 zeros>. 60 docs over
+    // 60 distinct timestamps — the machine suffix varies to prove the
+    // boundaries cut on the prefix, not the whole value.
+    val base = 0x65000000L
+    val oidDocs = (0 until 60).map(i => BDoc(
+      "_id" -> BObjectId(f"${base + i}%08x" + f"${(i * 2654435761L) & 0xffffffffffffffffL}%016x".takeRight(16)),
+      "n" -> BInt32(i))).toVector
     val server2 = new FakeMongoServer(oidDocs)
     try {
       val df2 = MongoSource.readRawWirePartitioned(spark,
         "127.0.0.1", server2.port, "db", "c", numPartitions = 4)
-      assert(df2.count() == 5)
+      assert(df2.rdd.getNumPartitions == 4)
+      val raws2 = df2.collect().map(_.getString(0))
+      assert(raws2.length == 60, "every ObjectId-keyed doc exactly once")
+      assert(raws2.toSet.size == 60, "timestamp-prefix slices are disjoint")
+
+      // A key shape the slicer does not model (string ids) falls back
+      // to the single-cursor read — correct first.
+      val strDocs = (0 until 5).map(i =>
+        BDoc("_id" -> BString(s"k$i"))).toVector
+      val server3 = new FakeMongoServer(strDocs)
+      try assert(MongoSource.readRawWirePartitioned(spark,
+        "127.0.0.1", server3.port, "db", "c", numPartitions = 4).count() == 5)
+      finally server3.close()
     } finally server2.close()
   }
 
