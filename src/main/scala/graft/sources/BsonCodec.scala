@@ -140,8 +140,17 @@ object BsonCodec {
   /** Decode one document starting at `off`; returns (doc, next offset).
     * Exposed for the wire client, whose OP_MSG bodies and kind-1
     * sections are back-to-back documents in one frame.
+    *
+    * Every name/value extent is validated against the ENCLOSING
+    * document end before it is read (r16 advice): a name missing its
+    * NUL, a negative/oversized string/binary length, or a fixed-width
+    * value overrunning the body all fail with the loud [[BsonException]]
+    * contract instead of a raw ArrayIndexOutOfBounds / negative-length
+    * JVM exception from a corrupt frame.
     */
   private[sources] def readDoc(b: Array[Byte], off: Int): (BDoc, Int) = {
+    if (off < 0 || off + 4 > b.length) throw new BsonException(
+      s"document header overruns buffer at offset $off")
     val len = readInt32(b, off)
     val end = off + len
     if (len < 5 || end > b.length) throw new BsonException(
@@ -153,9 +162,9 @@ object BsonCodec {
     while (pos < end - 1) {
       val tpe = b(pos) & 0xff
       pos += 1
-      val (name, afterName) = cstring(b, pos)
+      val (name, afterName) = cstring(b, pos, end - 1)
       pos = afterName
-      val (value, afterValue) = readValue(tpe, b, pos)
+      val (value, afterValue) = readValue(tpe, b, pos, end - 1)
       fields += name -> value
       pos = afterValue
     }
@@ -164,27 +173,45 @@ object BsonCodec {
     (BDoc(fields.result()), end)
   }
 
-  private def readValue(tpe: Int, b: Array[Byte], pos: Int): (BsonValue, Int) =
+  /** `limit` is the enclosing document's body end (the byte index of
+    * its trailing 0x00) — no value may read at or past it.
+    */
+  private def readValue(tpe: Int, b: Array[Byte], pos: Int,
+      limit: Int): (BsonValue, Int) = {
+    def need(n: Int): Unit =
+      if (pos + n > limit) throw new BsonException(
+        f"BSON value (type 0x$tpe%02x) of $n bytes at offset $pos " +
+          s"overruns document body end $limit")
     tpe match {
       case 0x01 =>
+        need(8)
         (BDouble(java.lang.Double.longBitsToDouble(readInt64(b, pos))), pos + 8)
       case 0x02 =>
+        need(4)
         val len = readInt32(b, pos)
-        if (len < 1 || b(pos + 4 + len - 1) != 0) throw new BsonException(
-          s"bad string length $len at $pos")
+        if (len < 1 || pos + 4 + len > limit || b(pos + 4 + len - 1) != 0)
+          throw new BsonException(s"bad string length $len at $pos")
         (BString(new String(b, pos + 4, len - 1, UTF_8)), pos + 4 + len)
       case 0x03 =>
         val (doc, next) = readDoc(b, pos)
+        if (next > limit) throw new BsonException(
+          s"embedded document at $pos overruns parent body end $limit")
         (doc, next)
       case 0x04 =>
         val (doc, next) = readDoc(b, pos)
+        if (next > limit) throw new BsonException(
+          s"embedded array at $pos overruns parent body end $limit")
         (BArray(doc.fields.map(_._2)), next)
       case 0x05 =>
+        need(5)
         val len = readInt32(b, pos)
+        if (len < 0 || pos + 5 + len > limit) throw new BsonException(
+          s"bad binary length $len at $pos (body end $limit)")
         val sub = b(pos + 4)
         val bytes = java.util.Arrays.copyOfRange(b, pos + 5, pos + 5 + len)
         (BBinary(sub, bytes), pos + 5 + len)
       case 0x07 =>
+        need(12)
         val sb = new java.lang.StringBuilder(24)
         var i = 0
         while (i < 12) {
@@ -194,21 +221,30 @@ object BsonCodec {
           i += 1
         }
         (BObjectId(sb.toString), pos + 12)
-      case 0x08 => (BBool(b(pos) != 0), pos + 1)
-      case 0x09 => (BDateTime(readInt64(b, pos)), pos + 8)
+      case 0x08 => need(1); (BBool(b(pos) != 0), pos + 1)
+      case 0x09 => need(8); (BDateTime(readInt64(b, pos)), pos + 8)
       case 0x0A => (BNull, pos)
-      case 0x10 => (BInt32(readInt32(b, pos)), pos + 4)
-      case 0x11 => (BTimestamp(readInt64(b, pos)), pos + 8)
-      case 0x12 => (BInt64(readInt64(b, pos)), pos + 8)
+      case 0x10 => need(4); (BInt32(readInt32(b, pos)), pos + 4)
+      case 0x11 => need(8); (BTimestamp(readInt64(b, pos)), pos + 8)
+      case 0x12 => need(8); (BInt64(readInt64(b, pos)), pos + 8)
       case other => throw new BsonException(
         f"unmodeled BSON type 0x$other%02x at offset $pos — refusing to " +
           "coerce silently (decimal128/regex/code are outside this " +
           "plane's document model)")
     }
+  }
 
-  private def cstring(b: Array[Byte], off: Int): (String, Int) = {
+  /** Element name: NUL-terminated UTF-8, terminator required BEFORE
+    * `limit` (the document body end) — a name whose NUL is missing
+    * must not walk into the next element, the next frame, or off the
+    * end of the buffer.
+    */
+  private def cstring(b: Array[Byte], off: Int, limit: Int): (String, Int) = {
     var end = off
-    while (b(end) != 0) end += 1
+    while (end < limit && b(end) != 0) end += 1
+    if (end >= limit) throw new BsonException(
+      s"element name at $off is missing its NUL terminator before " +
+        s"document body end $limit")
     (new String(b, off, end - off, UTF_8), end + 1)
   }
 
@@ -230,7 +266,13 @@ object BsonCodec {
     * [[MongoSource.normalizeExtendedJson]] produces from extended-JSON
     * dumps, so wire-read documents feed the identical transform plane.
     * Binary renders as base64 text (the wrapper-free convention);
-    * doubles via Java's shortest-round-trip form.
+    * doubles in CPython repr form ([[shortestDouble]] — "1e+23", not
+    * Java's "1.0E23"). Deliberate divergence: NaN/±Infinity render as
+    * `null` where Python's json.dumps would emit the bare NaN/Infinity
+    * tokens — those tokens are not JSON, and every consumer of this
+    * plane re-parses `raw` as strict JSON (Jackson rejects them), so
+    * the valid-JSON invariant wins over byte-fidelity to a form the
+    * reference itself could not re-ingest.
     */
   def toReferenceJson(v: BsonValue): String = {
     val sb = new java.lang.StringBuilder(64)
@@ -274,12 +316,57 @@ object BsonCodec {
         jsonString(java.util.Base64.getEncoder.encodeToString(bytes), sb)
     }
 
-  /** Integral doubles render as integers the way Python's repr does
-    * for JSON-bound floats only when they came from ints — BSON keeps
-    * the distinction in the type byte, so a true double 5.0 renders
-    * "5.0" (Java and Python agree on that form).
+  /** Double → the text CPython's `repr`/`json.dumps` emits (r16 advice:
+    * Java's `Double.toString` diverges outside [1e-3, 1e7) — "1.0E23"
+    * where Python writes "1e+23").
+    *
+    * Java 17's own digits cannot be borrowed: its pre-JDK-19 algorithm
+    * is not shortest-round-trip (`Double.toString(1e23)` is the famous
+    * "9.999999999999999E22"), so the digits are derived here the way
+    * Ryū/Gay define repr — the FEWEST significant digits whose
+    * closest (half-even) decimal rounding re-parses to the identical
+    * bits, found by rounding the exact binary expansion of the value
+    * at increasing precision (≤17 always round-trips; decimal-derived
+    * data terminates after a few iterations). Layout then follows
+    * Python's rules: positional while the decimal exponent e (of
+    * d.ddd×10^e) is in [-4, 16), otherwise scientific with a lowercase
+    * 'e', an explicit sign, a ≥2-digit zero-padded exponent, and no
+    * trailing ".0" on a bare mantissa ("1e+23", not "1.0e+23"). A true
+    * double 5.0 still renders "5.0" (both languages agree there).
     */
-  private def shortestDouble(d: Double): String = d.toString
+  private def shortestDouble(d: Double): String = {
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val sign = if (d < 0) "-" else ""
+    val a = Math.abs(d)
+    val exact = new java.math.BigDecimal(a) // exact binary expansion
+    var n = 1
+    var bd = exact.round(new java.math.MathContext(n,
+      java.math.RoundingMode.HALF_EVEN))
+    while (bd.doubleValue() != a && n < 17) {
+      n += 1
+      bd = exact.round(new java.math.MathContext(n,
+        java.math.RoundingMode.HALF_EVEN))
+    }
+    val stripped = bd.stripTrailingZeros
+    val digits = stripped.unscaledValue.toString
+    val e = digits.length - 1 - stripped.scale // value = D.DDD × 10^e
+    val out =
+      if (e >= -4 && e < 16) {
+        if (e >= 0) {
+          val intPart = digits.padTo(e + 1, '0').substring(0, e + 1)
+          val frac = if (digits.length > e + 1) digits.substring(e + 1) else "0"
+          s"$intPart.$frac"
+        } else "0." + ("0" * (-e - 1)) + digits
+      } else {
+        val m =
+          if (digits.length == 1) digits
+          else digits.substring(0, 1) + "." + digits.substring(1)
+        val es = if (e < 0) "-" else "+"
+        val ea = Math.abs(e).toString
+        s"${m}e$es${if (ea.length < 2) "0" + ea else ea}"
+      }
+    sign + out
+  }
 
   /** Epoch millis → pymongo-default naive isoformat (UTC), the same
     * rendering [[MongoSource.isoNaive]] produces from textual `$date`.

@@ -237,10 +237,17 @@ object MongoSource {
           Some((a, b, v => BInt64(v)))
         case (Some(BObjectId(a)), Some(BObjectId(b))) =>
           // boundary ObjectId <tsHex><16 zeros>: bytewise-minimal for
-          // its timestamp, so [tsA, tsB) boundaries are exact
+          // its timestamp, so [tsA, tsB) boundaries are exact. The
+          // ceil-width stride can overshoot an intermediate boundary
+          // past 0xFFFFFFFF when the probed max sits near the 32-bit
+          // limit (r16 advice) — clamp before formatting: a clamped
+          // boundary keeps the slice cover exhaustive and disjoint
+          // (the slices between two clamped boundaries are empty, and
+          // the last slice is unbounded above), where the unclamped
+          // 9-hex render would trip BObjectId's 24-char require.
           Some((java.lang.Long.parseLong(a.substring(0, 8), 16),
             java.lang.Long.parseLong(b.substring(0, 8), 16),
-            v => BObjectId(f"$v%08x" + "0" * 16)))
+            v => BObjectId(f"${math.min(v, 0xffffffffL)}%08x" + "0" * 16)))
         case _ => None
       }
     val sliceable = coords.exists { case (a, b, _) =>

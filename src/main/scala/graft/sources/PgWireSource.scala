@@ -501,12 +501,16 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
               // integer inputs.
               Some((s"avg((${quoteIdent(col)})::float8)::float8",
                 StructField(s"agg_$i", DoubleType)))
-            case d: DecimalType if d.precision + 4 <= 38 =>
-              // Spark's avg(decimal(p,s)) result type is
-              // decimal(p+4, s+4); PG's numeric avg carries at least
-              // that scale, and both round ties away from zero.
-              Some((s"avg(${quoteIdent(col)})::numeric(${d.precision + 4},${d.scale + 4})",
-                StructField(s"agg_$i", DecimalType(d.precision + 4, d.scale + 4))))
+            // Decimal AVG is DECLINED even single-slice (r16 advice):
+            // PG computes the quotient at its internal ~16-digit scale
+            // and the ::numeric(p+4,s+4) cast rounds AGAIN, while Spark
+            // rounds an exact sum/count quotient once — adversarial
+            // values differ by 1 ulp at scale s+4. Declining complete
+            // pushdown makes Spark rewrite avg → sum+count, the Sum
+            // case above pushes the exact numeric sum, and Spark's own
+            // single-rounded division restores bit-exact decimals —
+            // the aggregate still evaluates server-side, just in its
+            // decomposed (and exact) form.
             case _ => None
           }))
       case _ => None

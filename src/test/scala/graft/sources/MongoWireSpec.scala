@@ -68,14 +68,65 @@ class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
   }
 
   test("BSON decode refuses unmodeled types and corrupt framing loudly") {
-    // decimal128 (0x13) must not be silently coerced
-    val d128 = hex("15000000 13 6400" + "00" * 16 + "00")
+    // decimal128 (0x13) — the likeliest real-world unmodeled type in
+    // financial collections — must not be silently coerced: a correct
+    // 24-byte golden vector {d: <16-byte decimal128 zero>} whose ONLY
+    // defect is the unmodeled type byte, so the failure is attributable
+    // to the type contract and the message names 0x13 (r16 verdict #5).
+    val d128 = hex("18000000 13 6400" + "00" * 16 + "00")
     val e = intercept[BsonException](decode(d128))
     assert(e.getMessage.contains("0x13"))
     // truncated document
     intercept[Exception](decode(hex("16000000 02 68656c6c6f00")))
     // bad trailing byte
     intercept[BsonException](decode(hex("0500000001")))
+  }
+
+  test("BSON decoder bounds: corrupt extents fail as BsonException, not JVM errors") {
+    // element name missing its NUL: the cstring walk must stop at the
+    // document body end instead of walking off the array (r16 advice)
+    val noNul = hex("10000000 10 61616161616161616161 00")
+    val e1 = intercept[BsonException](decode(noNul))
+    assert(e1.getMessage.contains("NUL"))
+    // negative binary length (would be a negative-length copyOfRange)
+    val negBin = hex("0d000000 05 6200 ffffffff 00 00")
+    val e2 = intercept[BsonException](decode(negBin))
+    assert(e2.getMessage.contains("binary length"))
+    // oversized binary length (would zero-pad past the doc end)
+    val bigBin = hex("0d000000 05 6200 64000000 00 00")
+    val e3 = intercept[BsonException](decode(bigBin))
+    assert(e3.getMessage.contains("binary length"))
+    // oversized string length
+    val bigStr = hex("0c000000 02 7300 64000000 00")
+    val e4 = intercept[BsonException](decode(bigStr))
+    assert(e4.getMessage.contains("string length"))
+    // fixed-width value overrunning the body (int64 with 2 bytes left)
+    val shortI64 = hex("0a000000 12 6900 0000 00")
+    val e5 = intercept[BsonException](decode(shortI64))
+    assert(e5.getMessage.contains("overruns"))
+  }
+
+  test("reference-serializer doubles render in CPython repr form") {
+    def r(d: Double) = toReferenceJson(BDoc("d" -> BDouble(d)))
+    // positional inside Python's [1e-4, 1e16) window …
+    assert(r(5.0) == """{"d":5.0}""")
+    assert(r(123.45) == """{"d":123.45}""")
+    assert(r(12345678.0) == """{"d":12345678.0}""") // Java says 1.2345678E7
+    assert(r(1e15) == """{"d":1000000000000000.0}""")
+    assert(r(0.0001) == """{"d":0.0001}""")
+    assert(r(0.001) == """{"d":0.001}""")
+    assert(r(0.0) == """{"d":0.0}""")
+    assert(r(-0.0) == """{"d":-0.0}""")
+    // … scientific outside it, Python layout: lowercase e, explicit
+    // sign, ≥2-digit exponent, no trailing .0 on a bare mantissa
+    assert(r(1e23) == """{"d":1e+23}""")   // Java says 1.0E23
+    assert(r(-1.5e300) == """{"d":-1.5e+300}""")
+    assert(r(1e-5) == """{"d":1e-05}""")   // Java says 1.0E-5
+    assert(r(1e16) == """{"d":1e+16}""")
+    assert(r(Double.MaxValue) == """{"d":1.7976931348623157e+308}""")
+    // NaN/Inf → null: the documented valid-JSON divergence
+    assert(r(Double.NaN) == """{"d":null}""")
+    assert(r(Double.PositiveInfinity) == """{"d":null}""")
   }
 
   test("reference-serializer rendering: ObjectId→hex, datetime→naive isoformat") {
@@ -311,6 +362,25 @@ class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
         "127.0.0.1", server3.port, "db", "c", numPartitions = 4).count() == 5)
       finally server3.close()
     } finally server2.close()
+  }
+
+  test("ObjectId slicing clamps overshooting boundaries at the 32-bit timestamp limit") {
+    // Timestamps 0xfffffffc..0xffffffff with 3 partitions: the
+    // ceil-width stride (width 2) puts the i=2 boundary at 0x100000000,
+    // which unclamped renders 9 hex chars and trips BObjectId's
+    // 24-char require (r16 advice). Clamped to 0xffffffff the cover
+    // stays exhaustive and disjoint.
+    val docs = (0 until 4).map(i => BDoc(
+      "_id" -> BObjectId(f"${0xfffffffcL + i}%08x" + f"$i%016x"),
+      "n" -> BInt32(i))).toVector
+    val server = new FakeMongoServer(docs)
+    try {
+      val df = MongoSource.readRawWirePartitioned(spark,
+        "127.0.0.1", server.port, "db", "c", numPartitions = 3)
+      val raws = df.collect().map(_.getString(0))
+      assert(raws.length == 4, "every doc exactly once at the ts limit")
+      assert(raws.toSet.size == 4)
+    } finally server.close()
   }
 
   test("a silent peer fails the hello handshake within the deadline") {

@@ -200,29 +200,50 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     seed()
     import org.apache.spark.sql.functions._
 
-    // Single slice → AVG compiled server-side (complete pushdown).
+    // Single slice, non-decimal → AVG compiled server-side (complete
+    // pushdown): PG and Spark run the same IEEE double arithmetic.
     val single = reader.option("table", "graft_t.src").load()
       .filter("id is not null")
-      .groupBy(col("n")).agg(avg(col("id")).as("a"), avg(col("amt")).as("am"))
+      .groupBy(col("n")).agg(avg(col("id")).as("a"))
     val plan1 = single.queryExecution.executedPlan.toString
     assert(plan1.contains("avg(("), plan1) // our rendering: avg(("id")::float8)
-    val r0 = single.collect().map(r =>
-      (r.getInt(0), r.getDouble(1), r.getDecimal(2))).sortBy(_._1).head
-    // group n=0: ids 0,100,...,9900 → mean 4950; amt = id*1.5 → 7425
-    assert(r0._1 == 0 && r0._2 == 4950.0)
-    assert(r0._3 == new java.math.BigDecimal("7425.0000000")) // scale 3+4
-    // Spark's avg(decimal(12,3)) result type is decimal(16,7)
-    assert(single.schema("am").dataType ==
+    val r0 = single.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).head
+    // group n=0: ids 0,100,...,9900 → mean 4950
+    assert(r0 == ((0, 4950.0)))
+
+    // Decimal AVG: complete pushdown DECLINED even single-slice (r16
+    // advice — PG's internal-scale quotient + the ::numeric(p+4,s+4)
+    // cast rounds twice where Spark rounds once). Spark rewrites
+    // avg → sum+count, the scan pushes the EXACT numeric sum partial,
+    // and Spark's own single-rounded division produces the bit-exact
+    // decimal — server-side evaluation without the 1-ulp hazard.
+    val dec = reader.option("table", "graft_t.src").load()
+      .filter("id is not null")
+      .groupBy(col("n")).agg(avg(col("amt")).as("am"))
+    val planD = dec.queryExecution.executedPlan.toString
+    assert(!planD.contains("avg(("), planD)
+    assert(planD.contains("sum(\"amt\")::numeric(22,3)"), planD)
+    assert(planD.contains("count(\"amt\")::int8"), planD)
+    val d0 = dec.collect().map(r => (r.getInt(0), r.getDecimal(1)))
+      .sortBy(_._1).head
+    // amt = id*1.5 → mean 7425, at Spark's avg(decimal(12,3)) type (16,7)
+    assert(d0._1 == 0 && d0._2 == new java.math.BigDecimal("7425.0000000"))
+    assert(dec.schema("am").dataType ==
       org.apache.spark.sql.types.DecimalType(16, 7))
 
     // Partitioned → avg is NOT compiled (avg-of-avgs hazard); Spark
-    // re-plans it as pushed sum/count partials with identical values.
+    // re-plans it as sum/count and the PER-SLICE SQL carries the
+    // pushed partials (r16 verdict #4: the decomposition PG evaluates
+    // in every slice, recombined exactly by Spark's final merge).
     val part = reader.option("table", "graft_t.src")
       .option("partitionColumn", "id").option("numPartitions", "4").load()
       .filter("id is not null")
       .groupBy(col("n")).agg(avg(col("id")).as("a"))
     val plan2 = part.queryExecution.executedPlan.toString
     assert(!plan2.contains("avg(("), plan2) // no server-side avg partials
+    assert(plan2.contains("sum(\"id\")::int8"), plan2)
+    assert(plan2.contains("count(\"id\")::int8"), plan2)
     val p0 = part.collect().map(r => (r.getInt(0), r.getDouble(1)))
       .sortBy(_._1).head
     assert(p0 == ((0, 4950.0)))
