@@ -212,10 +212,43 @@ object MongoSource {
   def readRawWirePartitioned(spark: SparkSession, host: String, port: Int,
       database: String, collection: String,
       numPartitions: Int): DataFrame = {
-    import graft.sources.BsonCodec._
     HostGuard.requireLocal(host, "MongoDB") // F5, driver-side and early
     require(numPartitions >= 1, "numPartitions must be >= 1")
+    planIdSlices(host, port, database, collection, numPartitions) match {
+      case None =>
+        readRawWire(spark, host, port, database, collection)
+      case Some(slices) =>
+        import org.apache.spark.sql.Encoders
+        val rdd = spark.sparkContext
+          .parallelize(slices, slices.length)
+          .mapPartitions(_.flatMap { filter =>
+            val client = MongoWireClient.connect(host, port)
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ => client.close()))
+            client.find(database, collection, filter)
+              .map(BsonCodec.toReferenceJson)
+          })
+        spark.createDataset(rdd)(Encoders.STRING).toDF("raw")
+    }
+  }
 
+  /** Plan `numPartitions` disjoint `_id`-range filter docs covering the
+    * whole collection, or None when the key shape is unsliceable (then
+    * the caller falls back to the single cursor). Shared by the raw
+    * read above and the DSv2 scan ([[MongoWireSource]]).
+    *
+    * One driver-side min/max probe (`find` sorted by `_id`, limit 1,
+    * each way). Numeric `_id` (int32/int64) slices arithmetically;
+    * ObjectId `_id` slices on its leading 4 timestamp bytes. Bounds are
+    * the STRIDE, never a row filter (the r16 PgWireSource lesson: a
+    * capped edge slice silently drops keys outside the probed bounds) —
+    * the first slice is unbounded below, the last unbounded above.
+    */
+  private[sources] def planIdSlices(host: String, port: Int,
+      database: String, collection: String,
+      numPartitions: Int): Option[Vector[BsonCodec.BDoc]] = {
+    import graft.sources.BsonCodec._
+    if (numPartitions <= 1) return None
     val (loId, hiId) = {
       val c = MongoWireClient.connect(host, port)
       try {
@@ -250,38 +283,20 @@ object MongoSource {
             v => BObjectId(f"${math.min(v, 0xffffffffL)}%08x" + "0" * 16)))
         case _ => None
       }
-    val sliceable = coords.exists { case (a, b, _) =>
-      b - a + 1 >= numPartitions }
-    if (numPartitions == 1 || !sliceable)
-      return readRawWire(spark, host, port, database, collection)
-
-    val (a0, b0, mkBound) = coords.get
-    val width = (b0 - a0 + 1 + numPartitions - 1) / numPartitions
-    // (lower, upper): None = unbounded on that side — bounds are the
-    // STRIDE, never a row filter (the r16 PgWireSource lesson: a capped
-    // last slice silently drops keys past the probed/explicit bound).
-    val slices: Seq[(Option[Long], Option[Long])] =
-      (0 until numPartitions).map { i =>
-        val a = if (i == 0) None else Some(a0 + i * width)
-        val b = if (i == numPartitions - 1) None else Some(a0 + (i + 1) * width)
-        (a, b)
-      }
-    import org.apache.spark.sql.Encoders
-    val rdd = spark.sparkContext
-      .parallelize(slices, numPartitions)
-      .mapPartitions(_.flatMap { case (a, b) =>
-        val range = BDoc(Vector[(String, BsonValue)]() ++
-          a.map(v => "$gte" -> mkBound(v)) ++
-          b.map(v => "$lt" -> mkBound(v)))
-        val filter =
+    coords.filter { case (a, b, _) => b - a + 1 >= numPartitions }
+      .map { case (a0, b0, mkBound) =>
+        val width = (b0 - a0 + 1 + numPartitions - 1) / numPartitions
+        // (lower, upper): None = unbounded on that side — stride-only.
+        (0 until numPartitions).map { i =>
+          val a = if (i == 0) None else Some(a0 + i * width)
+          val b = if (i == numPartitions - 1) None
+                  else Some(a0 + (i + 1) * width)
+          val range = BDoc(Vector[(String, BsonValue)]() ++
+            a.map(v => "$gte" -> mkBound(v)) ++
+            b.map(v => "$lt" -> mkBound(v)))
           if (range.fields.isEmpty) BDoc() else BDoc("_id" -> range)
-        val client = MongoWireClient.connect(host, port)
-        Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => client.close()))
-        client.find(database, collection, filter)
-          .map(BsonCodec.toReferenceJson)
-      })
-    spark.createDataset(rdd)(Encoders.STRING).toDF("raw")
+        }.toVector
+      }
   }
 
   /** S3 — 1-document preview per collection for mapping inference. */

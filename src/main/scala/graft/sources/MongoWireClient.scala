@@ -73,12 +73,14 @@ final class MongoWireClient private (socket: Socket, in: DataInputStream,
     */
   def find(db: String, collection: String, filter: BDoc = BDoc(),
       batchSize: Int = 1000, limit: Long = 0L,
-      sort: Option[BDoc] = None): Iterator[BDoc] = {
+      sort: Option[BDoc] = None,
+      projection: Option[BDoc] = None): Iterator[BDoc] = {
     val findCmd = BDoc(Vector[(String, BsonValue)](
       "find" -> BString(collection),
       "filter" -> filter,
       "batchSize" -> BInt32(batchSize)) ++
       sort.map(s => "sort" -> (s: BsonValue)).toVector ++
+      projection.map(p => "projection" -> (p: BsonValue)).toVector ++
       (if (limit > 0) Vector("limit" -> BInt64(limit)) else Vector.empty))
     val first = runCommand(db, findCmd)
     new Iterator[BDoc] {

@@ -1,0 +1,565 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import BsonCodec._
+
+/** DSv2 table over the MongoDB wire protocol — the standard-surface
+  * promotion of [[MongoSource.readRawWire]]/`readRawWirePartitioned`
+  * (r16 verdict #1), symmetric with [[PgWireSource]]: Catalyst gets a
+  * real connector, not an RDD of pre-rendered JSON.
+  *
+  *  - schema comes TYPED from a sample probe (`find limit sampleSize`,
+  *    default 200): per-field BSON kinds vote into Catalyst types
+  *    (int32→Int, int64→Long, double→Double, string→String,
+  *    bool→Boolean, UTC datetime→Timestamp, ObjectId→String hex,
+  *    binary→Binary; documents/arrays/mixed kinds → String in the
+  *    reference-serializer JSON form). The read is homogeneous-or-loud:
+  *    a document whose field disagrees with the inferred type fails
+  *    with the field named, never a silent coercion — the BSON plane's
+  *    standing contract;
+  *  - column pruning becomes the find command's PROJECTION doc (a
+  *    2-column projection ships 2 fields per document over the wire,
+  *    `_id` excluded unless requested);
+  *  - filter pushdown renders the supported `sources.Filter` subset to
+  *    a find FILTER doc ($eq/$gt/$gte/$lt/$lte/$in/$and/$or/$nor,
+  *    null tests) evaluated BY the server; rejected filters stay in
+  *    Spark (the bpchar lesson applied to Mongo: no pushdown on
+  *    rendered doc/array columns, no sub-millisecond timestamp
+  *    literals, no ill-formed ObjectId hex — accepted ones are exact);
+  *  - `numPartitions` plans the shared stride-only `_id`-range slices
+  *    ([[MongoSource.planIdSlices]]) — one cursor per Spark partition,
+  *    each slice's range ANDed with the pushed filter;
+  *  - LIMIT pushes into the find command (partial when partitioned:
+  *    each slice returns at most N and Spark re-limits globally);
+  *  - planner statistics come from the server's `count` command times
+  *    the sample's average encoded document size, so a small Mongo
+  *    dimension can BROADCAST against a big fact scan instead of
+  *    shuffling both sides — the decision that matters most at
+  *    1000-executor scale.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.MongoWireSource")
+  *   .option("port", srv.port).option("database", "db")
+  *   .option("collection", "orders").option("numPartitions", 4)
+  *   .load()
+  * }}}
+  *
+  * Semantic alignment notes (why the accepted pushdowns are exact):
+  * the read maps a MISSING field to null, and Mongo's `{f: null}`
+  * matches missing too, so IsNull/IsNotNull translate — but only on
+  * non-rendered kinds (an array field `[null]` element-matches
+  * `{f: null}` where the rendered string "[null]" is non-null, so
+  * rendered columns keep their null tests in Spark). Range operators
+  * are type-bracketed server-side and never match missing/null, same
+  * as Spark's three-valued comparisons. String order is Mongo's
+  * simple binary collation == Spark's UTF-8 binary order.
+  */
+class MongoWireSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MongoWireSource.profileOf(MongoWireSource.connOf(options),
+      options.get("database"), options.get("collection"),
+      MongoWireSource.sampleSizeOf(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val conn = MongoWireSource.connOf(opts)
+    val db = opts.get("database")
+    val coll = opts.get("collection")
+    val profile = MongoWireSource.profileOf(conn, db, coll,
+      MongoWireSource.sampleSizeOf(opts))
+    new MongoWireTable(conn, db, coll, profile,
+      Option(opts.get("numPartitions")).map(_.toInt).getOrElse(1))
+  }
+
+  /** Schema is coupled to the sampled per-field BSON kinds (they drive
+    * both value conversion and pushdown legality), so a user-supplied
+    * schema has nothing to bind those kinds to — inference only.
+    */
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object MongoWireSource {
+
+  final class MongoSourceException(msg: String) extends RuntimeException(msg)
+
+  /** Serializable connection recipe (mirrors [[PgWireSource.Conn]]). */
+  final case class Conn(host: String, port: Int) extends Serializable {
+    def open(): MongoWireClient = MongoWireClient.connect(host, port)
+  }
+
+  private[sources] def connOf(o: CaseInsensitiveStringMap): Conn = {
+    val host = Option(o.get("host")).getOrElse("127.0.0.1")
+    graft.etl.HostGuard.requireLocal(host, "MongoDB") // F5
+    require(o.containsKey("port"), "option 'port' is required")
+    require(o.containsKey("database"), "option 'database' is required")
+    require(o.containsKey("collection"), "option 'collection' is required")
+    Conn(host, o.get("port").toInt)
+  }
+
+  private[sources] def sampleSizeOf(o: CaseInsensitiveStringMap): Int =
+    Option(o.get("sampleSize")).map(_.toInt).getOrElse(200)
+
+  // ---- per-field BSON kinds --------------------------------------------
+
+  /** The sampled BSON kind of a field — drives the Catalyst type, the
+    * value converter, and which filters may push down.
+    */
+  sealed trait FieldKind extends Serializable
+  case object KInt32 extends FieldKind
+  case object KInt64 extends FieldKind
+  case object KDouble extends FieldKind
+  case object KString extends FieldKind
+  case object KBool extends FieldKind
+  case object KDateTime extends FieldKind
+  case object KObjectId extends FieldKind
+  case object KBinary extends FieldKind
+  case object KTsRaw extends FieldKind
+  /** Documents, arrays, mixed kinds, all-null fields: read as the
+    * reference-serializer JSON string; never filter-pushable.
+    */
+  case object KRendered extends FieldKind
+
+  private def kindOf(v: BsonValue): Option[FieldKind] = v match {
+    case BNull => None
+    case _: BInt32 => Some(KInt32)
+    case _: BInt64 => Some(KInt64)
+    case _: BDouble => Some(KDouble)
+    case _: BString => Some(KString)
+    case _: BBool => Some(KBool)
+    case _: BDateTime => Some(KDateTime)
+    case _: BObjectId => Some(KObjectId)
+    case _: BBinary => Some(KBinary)
+    case _: BTimestamp => Some(KTsRaw)
+    case _: BDoc | _: BArray => Some(KRendered)
+  }
+
+  /** Kind vote across the sample: exact widenings only (int32 ⊔ int64
+    * → int64; int32 ⊔ double → double — every int32 is double-exact);
+    * anything else, int64 ⊔ double included (lossy past 2^53), falls
+    * to the rendered-JSON string.
+    */
+  private def resolve(kinds: Set[FieldKind]): FieldKind =
+    if (kinds.isEmpty) KRendered
+    else if (kinds.size == 1) kinds.head
+    else if (kinds == Set(KInt32, KInt64)) KInt64
+    else if (kinds == Set(KInt32, KDouble)) KDouble
+    else KRendered
+
+  private def dataTypeOf(kind: FieldKind): DataType = kind match {
+    case KInt32 => IntegerType
+    case KInt64 => LongType
+    case KDouble => DoubleType
+    case KString => StringType
+    case KBool => BooleanType
+    case KDateTime => TimestampType
+    case KObjectId => StringType
+    case KBinary => BinaryType
+    case KTsRaw => LongType
+    case KRendered => StringType
+  }
+
+  /** Sampled collection profile: the typed schema, the per-field kinds
+    * behind it, the server's `count`, and the sample's average encoded
+    * document size (the statistics the planner sizes broadcasts with).
+    */
+  final case class CollProfile(schema: StructType,
+      kinds: Map[String, FieldKind], count: Long,
+      avgDocBytes: Long) extends Serializable
+
+  /** Probed once per (conn, db, collection) per JVM — same caching
+    * discipline as [[PgWireSource.pgTypesOf]].
+    */
+  private val profileCache =
+    new java.util.concurrent.ConcurrentHashMap[(Conn, String, String), CollProfile]()
+
+  private[sources] def profileOf(conn: Conn, db: String, coll: String,
+      sampleSize: Int): CollProfile =
+    profileCache.computeIfAbsent((conn, db, coll), { _ =>
+      val c = conn.open()
+      try {
+        val sample = c.find(db, coll, batchSize = sampleSize,
+          limit = sampleSize.toLong).toVector
+        require(sample.nonEmpty,
+          s"collection $db.$coll is empty (or does not exist); " +
+            "cannot infer a schema from zero documents")
+        // field order: first-seen across the sample (the reference's
+        // attribute-union scan keeps encounter order the same way)
+        val order = scala.collection.mutable.LinkedHashSet[String]()
+        val seen = scala.collection.mutable.Map[String, Set[FieldKind]]()
+        sample.foreach(_.fields.foreach { case (name, v) =>
+          order += name
+          seen(name) = seen.getOrElse(name, Set.empty) ++ kindOf(v)
+        })
+        val kinds = order.toVector.map(n => n -> resolve(seen(n))).toMap
+        val fields = order.toVector.map(n =>
+          StructField(n, dataTypeOf(kinds(n)), nullable = true))
+        val avgBytes = sample.map(d => BsonCodec.encode(d).length.toLong)
+          .sum / sample.size
+        val count = c.runCommand(db, BDoc("count" -> BString(coll)))
+          .get("n") match {
+            case Some(BInt32(n)) => n.toLong
+            case Some(BInt64(n)) => n
+            case Some(BDouble(n)) => n.toLong
+            case _ => -1L
+          }
+        CollProfile(StructType(fields), kinds, count, math.max(avgBytes, 1L))
+      } finally c.close()
+    })
+
+  // ---- sources.Filter → find filter doc --------------------------------
+
+  /** Kinds whose literals render exactly into a query doc. */
+  private def pushableKind(k: FieldKind): Boolean = k match {
+    case KInt32 | KInt64 | KDouble | KString | KBool | KObjectId |
+         KDateTime => true
+    case _ => false
+  }
+
+  /** Exact BSON literal for a pushdown value under the column's kind,
+    * or None when the rendering cannot be guaranteed to round-trip
+    * (the filter then stays in Spark).
+    */
+  private def litOf(kind: FieldKind, v: Any): Option[BsonValue] =
+    (kind, v) match {
+      case (_, null) => None // comparisons to null are never true
+      case (KInt32 | KInt64, n: Byte) => Some(BInt64(n.toLong))
+      case (KInt32 | KInt64, n: Short) => Some(BInt64(n.toLong))
+      case (KInt32 | KInt64, n: Int) => Some(BInt64(n.toLong))
+      case (KInt32 | KInt64, n: Long) => Some(BInt64(n))
+      case (KDouble, d: Double) => Some(BDouble(d))
+      case (KDouble, f: Float) => Some(BDouble(f.toDouble))
+      case (KDouble, n: Int) => Some(BDouble(n.toDouble))
+      case (KDouble, n: Long) if math.abs(n) <= (1L << 53) =>
+        Some(BDouble(n.toDouble))
+      case (KString, s: String) => Some(BString(s))
+      case (KString, s: UTF8String) => Some(BString(s.toString))
+      case (KBool, b: Boolean) => Some(BBool(b))
+      case (KObjectId, s: String) => objectIdLit(s)
+      case (KObjectId, s: UTF8String) => objectIdLit(s.toString)
+      case (KDateTime, t: java.sql.Timestamp) =>
+        instantLit(t.toInstant)
+      case (KDateTime, t: java.time.Instant) => instantLit(t)
+      case _ => None
+    }
+
+  private def objectIdLit(s: String): Option[BsonValue] =
+    if (s.length == 24 && s.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
+      Some(BObjectId(s))
+    else None // ill-formed hex can never equal a real ObjectId anyway
+
+  /** BSON datetime is millisecond-grained; a literal with a live
+    * sub-millisecond part has no exact rendering — decline (Spark
+    * keeps the filter) rather than push a truncated, inexact bound.
+    */
+  private def instantLit(i: java.time.Instant): Option[BsonValue] =
+    if (i.getNano % 1000000 == 0)
+      Some(BDateTime(i.toEpochMilli))
+    else None
+
+  /** Render a filter to a find-command condition doc, or None if any
+    * piece is not exactly expressible.
+    */
+  private[sources] def filterToBson(f: Filter,
+      kinds: Map[String, FieldKind]): Option[BDoc] = {
+    def kindFor(a: String): Option[FieldKind] =
+      kinds.get(a).filter(pushableKind)
+    def rangeOp(a: String, op: String, v: Any): Option[BDoc] =
+      kindFor(a).filter(_ != KBool) // bool ordering stays in Spark
+        .flatMap(k => litOf(k, v))
+        .map(lit => BDoc(a -> BDoc(op -> lit)))
+    f match {
+      case EqualTo(a, v) =>
+        kindFor(a).flatMap(k => litOf(k, v)).map(lit => BDoc(a -> lit))
+      case GreaterThan(a, v) => rangeOp(a, "$gt", v)
+      case GreaterThanOrEqual(a, v) => rangeOp(a, "$gte", v)
+      case LessThan(a, v) => rangeOp(a, "$lt", v)
+      case LessThanOrEqual(a, v) => rangeOp(a, "$lte", v)
+      case In(a, vs) if vs.nonEmpty =>
+        kindFor(a).flatMap { k =>
+          val lits = vs.toVector.map(litOf(k, _))
+          if (lits.forall(_.isDefined))
+            Some(BDoc(a -> BDoc("$in" -> BArray(lits.flatten))))
+          else None
+        }
+      // null tests translate only on non-rendered kinds: missing→null
+      // at read aligns with Mongo's {f: null}, but an ARRAY field
+      // containing null element-matches {f: null} while its rendered
+      // string "[null]" is non-null — so rendered columns keep their
+      // null tests in Spark.
+      case IsNull(a) =>
+        kinds.get(a).filter(pushableKind).map(_ => BDoc(a -> BNull))
+      case IsNotNull(a) =>
+        kinds.get(a).filter(pushableKind)
+          .map(_ => BDoc(a -> BDoc("$ne" -> BNull)))
+      case And(l, r) =>
+        for (ls <- filterToBson(l, kinds); rs <- filterToBson(r, kinds))
+          yield BDoc("$and" -> BArray(Vector(ls, rs)))
+      case Or(l, r) =>
+        for (ls <- filterToBson(l, kinds); rs <- filterToBson(r, kinds))
+          yield BDoc("$or" -> BArray(Vector(ls, rs)))
+      case Not(child) =>
+        filterToBson(child, kinds).map(c =>
+          BDoc("$nor" -> BArray(Vector(c))))
+      case _ => None
+    }
+  }
+
+  // ---- BsonValue → Catalyst --------------------------------------------
+
+  /** One converter per output column, chosen once from (type, kind) —
+    * no per-row dispatch. Missing and BSON-null both read as null;
+    * a value outside the inferred kind fails LOUDLY with the field
+    * named (exact widenings excepted: int32 into long/double columns,
+    * int64 into long, |int64| ≤ 2^53 into double).
+    */
+  private[sources] def converter(name: String, dt: DataType,
+      kind: FieldKind): Option[BsonValue] => Any = {
+    def bad(v: BsonValue): Nothing = throw new MongoSourceException(
+      s"field '$name': the sampled schema says ${dt.catalogString} " +
+        s"($kind) but a document carries $v — the collection is not " +
+        "homogeneous on this field; refusing to coerce silently")
+    val conv: BsonValue => Any = (dt, kind) match {
+      case (IntegerType, _) => {
+        case BInt32(i) => i
+        case BInt64(l) if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+        case v => bad(v)
+      }
+      case (LongType, KTsRaw) => {
+        case BTimestamp(raw) => raw
+        case v => bad(v)
+      }
+      case (LongType, _) => {
+        case BInt64(l) => l
+        case BInt32(i) => i.toLong
+        case v => bad(v)
+      }
+      case (DoubleType, _) => {
+        case BDouble(d) => d
+        case BInt32(i) => i.toDouble
+        case BInt64(l) if math.abs(l) <= (1L << 53) => l.toDouble
+        case v => bad(v)
+      }
+      case (BooleanType, _) => {
+        case BBool(b) => b
+        case v => bad(v)
+      }
+      case (TimestampType, _) => {
+        case BDateTime(ms) => ms * 1000L // micros
+        case v => bad(v)
+      }
+      case (BinaryType, _) => {
+        case BBinary(_, bytes) => bytes
+        case v => bad(v)
+      }
+      case (StringType, KObjectId) => {
+        case BObjectId(hex) => UTF8String.fromString(hex)
+        case v => bad(v)
+      }
+      case (StringType, KString) => {
+        case BString(s) => UTF8String.fromString(s)
+        case v => bad(v)
+      }
+      case (StringType, KRendered) => {
+        // mixed/doc/array: strings stay raw, everything else renders
+        // in the reference-serializer JSON form
+        case BString(s) => UTF8String.fromString(s)
+        case v => UTF8String.fromString(BsonCodec.toReferenceJson(v))
+      }
+      case (other, k) => throw new MongoSourceException(
+        s"field '$name': no reader for ${other.catalogString} / $k")
+    }
+    {
+      case None | Some(BNull) => null
+      case Some(v) => conv(v)
+    }
+  }
+}
+
+final class MongoWireTable(conn: MongoWireSource.Conn, db: String,
+    coll: String, profile: MongoWireSource.CollProfile, numParts: Int)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft_mongo[$db.$coll]"
+  override def schema(): StructType = profile.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MongoScanBuilder(conn, db, coll, profile, numParts)
+}
+
+final class MongoScanBuilder(conn: MongoWireSource.Conn, db: String,
+    coll: String, profile: MongoWireSource.CollProfile, numParts: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private var out: StructType = profile.schema
+  private var accepted: Array[Filter] = Array.empty
+  private var conds: Seq[BDoc] = Nil
+  private var limit: Option[Int] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(f =>
+      MongoWireSource.filterToBson(f, profile.kinds).isDefined)
+    accepted = ok
+    conds = ok.toSeq.flatMap(MongoWireSource.filterToBson(_, profile.kinds))
+    rest // unsupported filters stay in Spark
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    out =
+      if (requiredSchema.fields.nonEmpty) requiredSchema
+      else StructType(profile.schema.fields.take(1)) // count(*): one narrow field
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  /** Each slice limits locally; Spark re-limits globally. */
+  override def isPartiallyPushed(): Boolean = numParts > 1
+
+  override def build(): Scan =
+    new MongoScan(conn, db, coll, profile, out, conds, limit, numParts)
+}
+
+final class MongoScan(conn: MongoWireSource.Conn, db: String, coll: String,
+    profile: MongoWireSource.CollProfile, out: StructType,
+    conds: Seq[BDoc], limit: Option[Int], numParts: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val f = if (conds.isEmpty) ""
+            else s" filter=${conds.map(BsonCodec.toReferenceJson).mkString(",")}"
+    val l = limit.map(n => s" limit=$n").getOrElse("")
+    s"GraftMongoScan[$db.$coll] cols=${out.fieldNames.mkString(",")}$f$l"
+  }
+
+  /** `count`-command row estimate × the sample's average encoded doc
+    * size, scaled to the projection's field share and capped by a
+    * pushed LIMIT — table-level when a filter is pushed (the safe
+    * over-estimate, erring away from a wrong broadcast).
+    */
+  override def estimateStatistics(): Statistics = {
+    val rows = profile.count
+    val share =
+      if (profile.schema.fields.isEmpty) 1.0
+      else math.min(1.0,
+        out.fields.length.toDouble / profile.schema.fields.length)
+    new Statistics {
+      override def numRows(): java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(
+          limit.map(l => math.min(l.toLong, rows)).getOrElse(rows))
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (rows < 0) java.util.OptionalLong.empty()
+        else {
+          val full = rows * profile.avgDocBytes
+          val pruned = (full * share).toLong max 1L
+          val capped = limit match {
+            case Some(l) if rows > 0 =>
+              math.min(pruned, (pruned.toDouble * l / rows).toLong max 1L)
+            case _ => pruned
+          }
+          java.util.OptionalLong.of(capped)
+        }
+    }
+  }
+
+  /** The find projection doc for the pruned output: inclusion list,
+    * `_id` excluded explicitly unless requested (Mongo includes it by
+    * default).
+    */
+  private def projectionDoc: BDoc = {
+    val incl = out.fieldNames.toVector
+      .map(n => n -> (BInt32(1): BsonValue))
+    val exclId =
+      if (out.fieldNames.contains("_id")) Vector.empty
+      else Vector("_id" -> (BInt32(0): BsonValue))
+    BDoc(incl ++ exclId)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val slices: Vector[BDoc] =
+      if (numParts > 1)
+        MongoSource.planIdSlices(conn.host, conn.port, db, coll, numParts)
+          .getOrElse(Vector(BDoc())) // unsliceable key → single cursor
+      else Vector(BDoc())
+    val proj = projectionDoc
+    slices.map { range =>
+      val all = conds ++ (if (range.fields.nonEmpty) Seq(range) else Nil)
+      val filter = all match {
+        case Seq() => BDoc()
+        case Seq(one) => one
+        case many =>
+          BDoc("$and" -> BArray(many.toVector.map(d => d: BsonValue)))
+      }
+      MongoInputPartition(filter, proj,
+        limit.map(_.toLong).getOrElse(0L)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MongoReaderFactory(conn, db, coll, out, profile.kinds)
+}
+
+final case class MongoInputPartition(filter: BDoc, projection: BDoc,
+    limit: Long) extends InputPartition
+
+final class MongoReaderFactory(conn: MongoWireSource.Conn, db: String,
+    coll: String, out: StructType,
+    kinds: Map[String, MongoWireSource.FieldKind])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[MongoInputPartition]
+    new PartitionReader[InternalRow] {
+      private val convs = out.fields.map(f =>
+        (f.name, MongoWireSource.converter(f.name, f.dataType,
+          kinds.getOrElse(f.name, MongoWireSource.KRendered))))
+      private val client = conn.open()
+      // Streaming read: memory stays bounded by one server batch
+      // regardless of collection size (getMore-driven cursor).
+      private val docs =
+        try client.find(db, coll, part.filter, batchSize = 1000,
+          limit = part.limit, projection = Some(part.projection))
+        catch { case e: Throwable => client.close(); throw e }
+      private var row: InternalRow = _
+
+      override def next(): Boolean =
+        if (!docs.hasNext) false
+        else {
+          val d = docs.next()
+          val arr = new Array[Any](convs.length)
+          var i = 0
+          while (i < convs.length) {
+            arr(i) = convs(i)._2(d.get(convs(i)._1))
+            i += 1
+          }
+          row = new GenericInternalRow(arr)
+          true
+        }
+
+      override def get(): InternalRow = row
+      override def close(): Unit = client.close()
+    }
+  }
+}

@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import BsonCodec._
+
+/** The DSv2 Mongo scan (r16 verdict #1) against the promoted fake
+  * server: typed schema from the sample probe, projection/filter/limit
+  * pushdown asserted IN THE FIND COMMANDS the server actually received
+  * (not just by result values), stride-only `_id` slices, statistics
+  * driving a broadcast, and the homogeneous-or-loud read contract.
+  */
+class MongoWireSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  /** 60 typed docs: int64 _id 10..69, int32 k32, double price, string
+    * pri (3 values), bool even, datetime at, a nested doc meta and an
+    * array tags (rendered kinds), comment present only on k%5 != 0,
+    * maybe_null null on k%3 == 0 (else int32).
+    */
+  private def docs: Vector[BDoc] = (10 until 70).map { k =>
+    val base = Vector[(String, BsonValue)](
+      "_id" -> BInt64(k.toLong),
+      "k32" -> BInt32(k * 3),
+      "price" -> BDouble(k * 1.5),
+      "pri" -> BString(s"P${k % 3}"),
+      "even" -> BBool(k % 2 == 0),
+      "at" -> BDateTime(1704067200000L + k * 1000L),
+      "meta" -> BDoc("ok" -> BInt32(k % 7)),
+      "tags" -> BArray(Vector(BString(s"t${k % 5}"), BInt32(k))),
+      "maybe_null" -> (if (k % 3 == 0) BNull else BInt32(k)))
+    BDoc(base ++
+      (if (k % 5 != 0) Vector[(String, BsonValue)](
+        "comment" -> BString(s"note $k")) else Vector.empty))
+  }.toVector
+
+  private def reader(srv: FakeMongoServer) =
+    spark.read.format("graft.sources.MongoWireSource")
+      .option("host", "127.0.0.1").option("port", srv.port)
+      .option("database", "db").option("collection", "c")
+
+  test("typed schema from the sample probe; missing fields read as null") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      val df = reader(srv).load()
+      import org.apache.spark.sql.types._
+      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      assert(byName("_id") == LongType && byName("k32") == IntegerType)
+      assert(byName("price") == DoubleType && byName("pri") == StringType)
+      assert(byName("even") == BooleanType && byName("at") == TimestampType)
+      assert(byName("meta") == StringType) // rendered doc
+      assert(byName("tags") == StringType) // rendered array
+      assert(byName("comment") == StringType)
+      assert(byName("maybe_null") == IntegerType) // nulls don't poison the vote
+
+      assert(df.count() == 60)
+      val r = df.filter("_id = 13").collect().head
+      assert(r.getAs[Long]("_id") == 13L)
+      assert(r.getAs[Int]("k32") == 39)
+      assert(r.getAs[Double]("price") == 19.5)
+      assert(r.getAs[String]("pri") == "P1")
+      assert(!r.getAs[Boolean]("even"))
+      assert(r.getAs[java.sql.Timestamp]("at").toInstant.toString ==
+        "2024-01-01T00:00:13Z")
+      assert(r.getAs[String]("meta") == """{"ok":6}""")
+      assert(r.getAs[String]("tags") == """["t3",13]""")
+      assert(r.getAs[String]("comment") == "note 13")
+      // k=15: comment missing, maybe_null null — both read as null
+      val r15 = df.filter("_id = 15").collect().head
+      assert(r15.getAs[String]("comment") == null)
+      assert(r15.isNullAt(r15.fieldIndex("maybe_null")))
+    } finally srv.close()
+  }
+
+  test("projection pushdown: the find command carries the inclusion doc") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      val df = reader(srv).load()
+      srv.clearLog()
+      val got = df.select("pri", "price").collect()
+      assert(got.length == 60)
+      val finds = srv.findCommands.filter(_.get("projection").isDefined)
+      assert(finds.nonEmpty, "no projected find reached the server")
+      val proj = finds.last.get("projection").collect { case d: BDoc => d }.get
+      // exactly the pruned fields, _id explicitly excluded
+      assert(proj.fields.toMap.keySet == Set("pri", "price", "_id"))
+      assert(proj.get("pri").contains(BInt32(1)))
+      assert(proj.get("price").contains(BInt32(1)))
+      assert(proj.get("_id").contains(BInt32(0)))
+    } finally srv.close()
+  }
+
+  test("filter pushdown: supported subset in the find filter, rest stays in Spark") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      import org.apache.spark.sql.functions._
+      val df = reader(srv).load()
+
+      srv.clearLog()
+      val q = df.filter(col("pri") === "P1" && col("k32") >= 60 &&
+        col("comment").isNotNull)
+      val rows = q.collect()
+      // oracle by hand: k in 10..69, k%3==1, k*3>=60, k%5!=0
+      val want = (10 until 70).filter(k =>
+        k % 3 == 1 && k * 3 >= 60 && k % 5 != 0)
+      assert(rows.map(_.getAs[Long]("_id")).sorted.toSeq ==
+        want.map(_.toLong))
+      val f = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson).mkString(" ")
+      assert(f.contains(""""pri":"P1""""), f)
+      assert(f.contains(""""k32":{"$gte":60}"""), f)
+      assert(f.contains(""""comment":{"$ne":null}"""), f)
+
+      // a filter on a RENDERED column must NOT reach the server …
+      srv.clearLog()
+      val q2 = df.filter(col("meta") === """{"ok":6}""")
+      assert(q2.count() == (10 until 70).count(_ % 7 == 6))
+      val f2 = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson).mkString(" ")
+      assert(!f2.contains("meta"), f2)
+      // … and neither must a sub-millisecond timestamp literal (BSON
+      // datetime is millis; 500 µs has no exact rendering)
+      srv.clearLog()
+      val q3 = df.filter(col("at") ===
+        java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:13.000500Z")))
+      assert(q3.count() == 0)
+      val f3 = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson).mkString(" ")
+      // the equality's implicit IsNotNull(at) legitimately pushes; the
+      // datetime LITERAL itself must not appear in any wire filter
+      assert(!f3.contains("2024"), f3)
+      // IN and null-equality semantics: IsNull pushes on non-rendered
+      srv.clearLog()
+      val q4 = df.filter(col("maybe_null").isNull &&
+        col("_id").isin(12L, 15L, 17L, 18L))
+      assert(q4.collect().map(_.getAs[Long]("_id")).sorted.toSeq ==
+        Seq(12L, 15L, 18L))
+      val f4 = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson).mkString(" ")
+      assert(f4.contains(""""maybe_null":null"""), f4)
+      assert(f4.contains("$in"), f4)
+    } finally srv.close()
+  }
+
+  test("limit pushdown reaches the find command") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      srv.clearLog()
+      assert(reader(srv).load().limit(7).collect().length == 7)
+      val lims = srv.findCommands.flatMap(_.get("limit"))
+      assert(lims.contains(BInt64(7L)), srv.findCommands.mkString("; "))
+    } finally srv.close()
+  }
+
+  test("partitioned scan: stride-only _id slices ANDed with the pushed filter") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      import org.apache.spark.sql.functions._
+      val df = reader(srv).option("numPartitions", "4").load()
+      assert(df.rdd.getNumPartitions == 4)
+      assert(df.count() == 60)
+      assert(df.select("_id").distinct().count() == 60) // disjoint slices
+
+      srv.clearLog()
+      val q = df.filter(col("even") === true)
+      assert(q.count() == 30)
+      val filters = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson)
+        .filter(_.contains("$and"))
+      assert(filters.size == 4, filters.mkString("; "))
+      assert(filters.forall(_.contains(""""even":true""")), filters)
+      // stride-only: exactly one slice unbounded below, one above
+      assert(filters.count(!_.contains("$gte")) == 1, filters)
+      assert(filters.count(!_.contains("$lt")) == 1, filters)
+    } finally srv.close()
+  }
+
+  test("count statistics size the scan so a small Mongo dim broadcasts") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      import org.apache.spark.sql.functions._
+      val dim = reader(srv).load().select(col("_id").as("k"), col("pri"))
+      val fact = spark.range(0, 100000)
+        .withColumn("k", col("id") % 100)
+      val joined = fact.join(dim, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(joined.count() == 60000) // keys 10..69 × 1000 each
+    } finally srv.close()
+  }
+
+  test("a document outside the sampled kind fails loudly, never coerces") {
+    // 201 int32-valued docs, then one string in the same field: the
+    // default 200-doc sample sees only int32, the read meets the string
+    val bad = (0 until 201).map(i =>
+      BDoc("_id" -> BInt64(i.toLong), "v" -> BInt32(i))).toVector :+
+      BDoc("_id" -> BInt64(201L), "v" -> BString("surprise"))
+    val srv = new FakeMongoServer(bad)
+    try {
+      val df = reader(srv).load()
+      assert(df.schema("v").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      // count() would prune to the first column and never touch 'v'
+      val e = intercept[org.apache.spark.SparkException](
+        df.select("v").collect())
+      val msg = e.getCause match {
+        case null => e.getMessage
+        case c => c.getMessage + e.getMessage
+      }
+      assert(msg.contains("'v'") && msg.contains("not homogeneous"),
+        msg.take(500))
+    } finally srv.close()
+  }
+}

@@ -164,134 +164,9 @@ class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
     assert(frame.toSeq == expected.toSeq)
   }
 
-  /** In-memory fake mongod: real sockets, one handler thread per
-    * connection (the partitioned read opens several concurrently),
-    * find with `_id` `$gte`/`$lt` range filters, `sort {_id: ±1}` and
-    * `limit` (the min/max probe shape), getMore-driven batching.
-    */
-  private final class FakeMongoServer(docs: Vector[BDoc]) {
-    import java.util.concurrent.ConcurrentHashMap
-    import java.util.concurrent.atomic.AtomicLong
-
-    private val server = new java.net.ServerSocket(0, 16,
-      java.net.InetAddress.getLoopbackAddress)
-    def port: Int = server.getLocalPort
-    private val cursors = new ConcurrentHashMap[Long, Vector[BDoc]]()
-    private val nextCursor = new AtomicLong(100L)
-
-    // BSON key ordering for the _id kinds the specs use: numerics by
-    // value, ObjectIds bytewise (== lowercase-hex lexicographic).
-    private def cmpIds(a: BsonValue, b: BsonValue): Int = (a, b) match {
-      case (BObjectId(x), BObjectId(y)) => x.compareTo(y)
-      case _ =>
-        def n(v: BsonValue): Long = v match {
-          case BInt32(i) => i.toLong
-          case BInt64(i) => i
-          case _ => Long.MinValue
-        }
-        java.lang.Long.compare(n(a), n(b))
-    }
-
-    private def idOf(d: BDoc): BsonValue = d.get("_id").getOrElse(BNull)
-
-    private def runFind(body: BDoc): BDoc = {
-      var selected = body.get("filter") match {
-        case Some(f: BDoc) => f.get("_id") match {
-          case Some(range: BDoc) =>
-            val lo = range.get("$gte")
-            val hi = range.get("$lt")
-            docs.filter(d => lo.forall(cmpIds(idOf(d), _) >= 0) &&
-              hi.forall(cmpIds(idOf(d), _) < 0))
-          case _ => docs
-        }
-        case _ => docs
-      }
-      body.get("sort").foreach {
-        case s: BDoc => s.get("_id") match {
-          case Some(BInt32(1)) =>
-            selected = selected.sortWith((x, y) => cmpIds(idOf(x), idOf(y)) < 0)
-          case Some(BInt32(-1)) =>
-            selected = selected.sortWith((x, y) => cmpIds(idOf(x), idOf(y)) > 0)
-          case _ => ()
-        }
-        case _ => ()
-      }
-      body.get("limit").foreach {
-        case BInt64(n) => selected = selected.take(n.toInt)
-        case BInt32(n) => selected = selected.take(n)
-        case _ => ()
-      }
-      val batchSize = body.get("batchSize")
-        .collect { case BInt32(n) => n }.getOrElse(101)
-      val (first, rest) = selected.splitAt(batchSize)
-      val cid = if (rest.isEmpty) 0L else {
-        val id = nextCursor.getAndIncrement()
-        cursors.put(id, rest); id
-      }
-      cursorReply("firstBatch", first, cid)
-    }
-
-    private def runGetMore(body: BDoc): BDoc = {
-      val cid = body.get("getMore").collect { case BInt64(v) => v }.get
-      val remaining = Option(cursors.remove(cid)).getOrElse(Vector.empty)
-      val batchSize = body.get("batchSize")
-        .collect { case BInt32(n) => n }.getOrElse(101)
-      val (batch, rest) = remaining.splitAt(batchSize)
-      val next = if (rest.isEmpty) 0L else { cursors.put(cid, rest); cid }
-      cursorReply("nextBatch", batch, next)
-    }
-
-    private def cursorReply(key: String, batch: Vector[BDoc], id: Long) = BDoc(
-      "cursor" -> BDoc(
-        (if (key == "firstBatch")
-          Vector[(String, BsonValue)]("ns" -> BString("db.c")) else Vector.empty) ++
-          Vector[(String, BsonValue)](
-            key -> BArray(batch.map(d => d: BsonValue)),
-            "id" -> BInt64(id)): _*),
-      "ok" -> BDouble(1.0))
-
-    private val acceptor = new Thread(() => {
-      try {
-        while (true) {
-          val s = server.accept()
-          val h = new Thread(() => handle(s))
-          h.setDaemon(true); h.start()
-        }
-      } catch { case _: Throwable => () } // server closed
-    })
-    acceptor.setDaemon(true)
-    acceptor.start()
-
-    private def handle(s: java.net.Socket): Unit = {
-      val in = new java.io.DataInputStream(s.getInputStream)
-      val out = s.getOutputStream
-      try {
-        while (true) {
-          val lenB = new Array[Byte](4); in.readFully(lenB)
-          val len = (lenB(0) & 0xff) | ((lenB(1) & 0xff) << 8) |
-            ((lenB(2) & 0xff) << 16) | ((lenB(3) & 0xff) << 24)
-          val rest = new Array[Byte](len - 4); in.readFully(rest)
-          val reqId = (rest(0) & 0xff) | ((rest(1) & 0xff) << 8) |
-            ((rest(2) & 0xff) << 16) | ((rest(3) & 0xff) << 24)
-          val (body, _) = BsonCodec.readDoc(rest, 17) // hdr-rest 12 + flags 4 + kind 1
-          val reply = body.fields.head._1 match {
-            case "hello" => BDoc("ok" -> BDouble(1.0),
-              "maxWireVersion" -> BInt32(17))
-            case "find" => runFind(body)
-            case "getMore" => runGetMore(body)
-            case other => BDoc("ok" -> BDouble(0.0),
-              "errmsg" -> BString(s"unknown command $other"))
-          }
-          out.write(MongoWireClient.buildMessage(1000 + reqId, reply,
-            responseTo = reqId))
-          out.flush()
-        }
-      } catch { case _: Throwable => () } // client closed
-      finally s.close()
-    }
-
-    def close(): Unit = server.close()
-  }
+  // The fake mongod lives in main ([[graft.sources.FakeMongoServer]],
+  // promoted r17) so oracle gates can drive the wire path too; these
+  // legs keep pinning the protocol cycle against it.
 
   test("fake server over a real socket: hello → find → getMore cursor cycle") {
     import MongoWireClient._
