@@ -12,6 +12,26 @@ import graft.sources.ChecksumSink
   */
 object ConnectorQueries {
 
+  /** Expected typed output of the full reference pipeline over the
+    * orders fixture — shared by q312 (library-sink round trip) and
+    * q315 (Mongo-wire read → T1–T11 transform → DSv2 write): both
+    * landings must re-read to the same rows, computed here from the
+    * base columns with the fixture's own arithmetic.
+    */
+  private[queries] val roundTripOracle: String = EtlQueries.docSql + """
+         SELECT CAST(k AS INTEGER) AS order_id,
+                strftime(d,'%Y-%m-%d') AS order_date,
+                et AS event_ts,
+                CAST(amt_dec AS DOUBLE) AS amount,
+                CASE WHEN k%7=0 THEN NULL ELSE CAST(amt_dec AS DOUBLE) END AS amount2,
+                (k%2=0) AS is_priority,
+                pri AS priority_label,
+                CASE WHEN k%5=0 THEN NULL ELSE 'note '||CAST(k AS VARCHAR) END AS comment,
+                CAST(k AS INTEGER) AS raw_id,
+                CASE WHEN k%7=0 THEN 'error' ELSE 'success' END AS status,
+                CAST(CASE WHEN k%5=0 THEN 2 ELSE 1 END AS BIGINT) AS n_missing
+         FROM doc ORDER BY order_id"""
+
   val specs: Map[String, QuerySpec] = Map(
 
     // Q260: aggregate PUSHDOWN through the V2 connector
@@ -509,19 +529,7 @@ object ConnectorQueries {
             col("n_missing").cast("long").as("n_missing"))
           .orderBy("order_id")
       },
-      EtlQueries.docSql + """
-         SELECT CAST(k AS INTEGER) AS order_id,
-                strftime(d,'%Y-%m-%d') AS order_date,
-                et AS event_ts,
-                CAST(amt_dec AS DOUBLE) AS amount,
-                CASE WHEN k%7=0 THEN NULL ELSE CAST(amt_dec AS DOUBLE) END AS amount2,
-                (k%2=0) AS is_priority,
-                pri AS priority_label,
-                CASE WHEN k%5=0 THEN NULL ELSE 'note '||CAST(k AS VARCHAR) END AS comment,
-                CAST(k AS INTEGER) AS raw_id,
-                CASE WHEN k%7=0 THEN 'error' ELSE 'success' END AS status,
-                CAST(CASE WHEN k%5=0 THEN 2 ELSE 1 END AS BIGINT) AS n_missing
-         FROM doc ORDER BY order_id"""),
+      ConnectorQueries.roundTripOracle),
 
     // Q313 (round-16, r15 verdict #2): the DSv2 WRITE half of the wire
     // connector — `df.write.format(...).mode("append").save()` drives
@@ -600,7 +608,142 @@ object ConnectorQueries {
                 o_orderpriority,
                 (o_orderkey % 2 = 0) AS is_even,
                 CAST(o_orderkey % 3 AS BIGINT) AS flag0
-         FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""")
+         FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""),
+
+    // Q314 (round-17, r16 verdict #1): the Mongo wire read through the
+    // STANDARD DSv2 surface — `spark.read.format(...)` against the
+    // promoted fake mongod (MongoFixtures: a per-JVM server seeded
+    // from the deterministic orders table; the wire path from connect
+    // to BSON decode is the real one, on executors). The scan infers
+    // the typed schema from a 200-doc sample (every kind family:
+    // int64 _id, int32, double, string, bool, datetime, rendered
+    // doc/array, sometimes-missing field), pushes the pri/even
+    // equality filters and the 7-column projection into the find
+    // command (MongoWireSourceSpec asserts both in the server's
+    // command log), and plans 4 stride-only _id-range slices. The
+    // oracle recomputes every column — including the rendered-JSON
+    // forms of the nested doc and array — from the base table.
+    "q314_mongo_dsv2_read" -> QuerySpec(
+      (s, dir) => {
+        val srv = MongoFixtures.ordersTyped(s, dir)
+        s.read.format("graft.sources.MongoWireSource")
+          .option("host", "127.0.0.1").option("port", srv.port)
+          .option("database", "db").option("collection", "orders_typed")
+          .option("numPartitions", "4")
+          .load()
+          .filter(col("pri") === "1-URGENT" && col("even") === true)
+          .select(
+            col("_id").as("order_id"),
+            col("cust"),
+            col("price"),
+            date_format(col("odate"), "yyyy-MM-dd'T'HH:mm:ss").as("odate_s"),
+            col("meta"),
+            col("tags"),
+            col("comment"))
+          .orderBy("order_id")
+      },
+      """SELECT o_orderkey AS order_id,
+                CAST(o_custkey AS INTEGER) AS cust,
+                o_totalprice AS price,
+                strftime(CAST(o_orderdate AS TIMESTAMP),'%Y-%m-%dT%H:%M:%S') AS odate_s,
+                '{"m":'||CAST(o_orderkey%7 AS VARCHAR)||'}' AS meta,
+                '["t'||CAST(o_orderkey%5 AS VARCHAR)||'"]' AS tags,
+                CASE WHEN o_orderkey%5=0 THEN NULL
+                     ELSE 'note '||CAST(o_orderkey AS VARCHAR) END AS comment
+         FROM orders
+         WHERE o_orderpriority='1-URGENT' AND o_orderkey%2=0
+         ORDER BY order_id"""),
+
+    // Q315 (round-17, r16 verdict #2): the BASELINE north-star sentence
+    // — "DataFrame read from MongoDB + write to PostgreSQL" — as ONE
+    // dataflow across both wire planes. A Mongo-shaped corpus (the
+    // q11/q312 fixture semantics re-expressed as real BSON documents)
+    // is read over the wire protocol partition-parallel
+    // (MongoWireClient.find, 4 _id slices), run through the full
+    // T1–T11 transform, and the target plane lands in live Postgres
+    // through the DSv2 ledger-arbitrated COPY write
+    // (PgDataWriter.commit under Spark's commit coordinator) — the
+    // write action's lineage touches both wire clients in one job.
+    // Read-back joins the DSv2 scans of both landed planes (target
+    // range-partitioned on order_id) and the row-level oracle is
+    // q312's, so the library-sink and DSv2 compositions must agree
+    // with each other and with the base columns.
+    "q315_wire_e2e" -> QuerySpec(
+      (s, dir) => {
+        import graft.etl._
+        import graft.sources.LivePostgres
+        val h = LivePostgres.get()
+        val conn = PgConn(h.host, h.port, h.user, h.database)
+        val sink = new PgWireSink(conn)
+        val cm = EtlQueries.ordersMapping.copy(
+          targetTable = "public.orders_e2e")
+        val audit = EtlDefaults.audit.copy(
+          auditTable = "doc_audit.ingestion_audit_e2e")
+
+        sink.execute("DROP TABLE IF EXISTS \"public\".\"orders_e2e\"")
+        sink.execute(
+          "DROP TABLE IF EXISTS \"doc_audit\".\"ingestion_audit_e2e\"")
+        sink.createSchema(audit.auditSchema)
+        sink.createTable(cm.targetTable, SchemaManager.buildTableColumns(
+          cm, EtlDefaults.runtime.typeMappings,
+          audit.businessColumns.toSeq, audit.businessColumnTypes))
+        sink.createTable(audit.auditTable,
+          SchemaManager.buildAuditTableColumns(audit))
+        // re-runnable per JVM: the table was just dropped, so retire
+        // this gate's ledger claims too (the q313 convention)
+        if (sink.tableExists("graft_meta.copy_ledger"))
+          sink.execute(
+            "DELETE FROM graft_meta.copy_ledger WHERE batch_id = 'q315-e2e'")
+
+        val srv = MongoFixtures.ordersRaw(s, dir)
+        val raw = graft.sources.MongoSource.readRawWirePartitioned(
+          s, "127.0.0.1", srv.port, "db", "orders_raw", numPartitions = 4)
+        val tc = Transform.transformCollection(raw, "raw", "orders", cm,
+          EtlDefaults.runtime, audit,
+          clock = to_timestamp(lit("2024-01-01 00:00:00")))
+        // one parse+cast pass feeds both plane writes (the Pipeline.run
+        // persist contract)
+        tc.shared.persist()
+        try {
+          tc.target.write.format("graft.sources.PgWireSource")
+            .option("host", h.host).option("port", h.port)
+            .option("user", h.user).option("database", h.database)
+            .option("table", cm.targetTable)
+            .option("batchId", "q315-e2e")
+            .mode("append").save()
+          sink.append(tc.audit, audit.auditTable)
+        } finally tc.shared.unpersist(blocking = false)
+
+        def rd(table: String) = s.read.format("graft.sources.PgWireSource")
+          .option("host", h.host).option("port", h.port)
+          .option("user", h.user).option("database", h.database)
+          .option("table", table)
+        val t = rd(cm.targetTable)
+          .option("partitionColumn", "order_id")
+          .option("numPartitions", "4")
+          .load()
+        val a = rd(audit.auditTable).load()
+          .select(col("object_id"), col("missing_columns"))
+        t.join(a, a("object_id") === t("order_id").cast("string"))
+          .select(
+            t("order_id"),
+            date_format(t("order_date"), "yyyy-MM-dd").as("order_date"),
+            date_format(t("event_ts"), "yyyy-MM-dd'T'HH:mm:ss")
+              .as("event_ts"),
+            t("amount").cast("double").as("amount"),
+            t("amount2").cast("double").as("amount2"),
+            t("is_priority"),
+            t("priority_label"),
+            t("comment"),
+            get_json_object(t("raw_json"), "$._id").cast("int").as("raw_id"),
+            t("status"),
+            size(from_json(col("missing_columns"),
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType)))
+              .cast("long").as("n_missing"))
+          .orderBy("order_id")
+      },
+      ConnectorQueries.roundTripOracle)
   )
 
   /** `schema.table` → `"schema"."table"` for gate-side DROPs. */
