@@ -143,6 +143,46 @@ class MongoWireSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally srv.close()
   }
 
+  test("TopN on _id pushes as find sort+limit; other keys stay in Spark") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      import org.apache.spark.sql.functions._
+      val df = reader(srv).load()
+
+      srv.clearLog()
+      val top = df.orderBy(col("_id").desc).limit(3)
+        .select("_id", "pri").collect()
+      assert(top.map(_.getAs[Long]("_id")).toSeq == Seq(69L, 68L, 67L))
+      val cmds = srv.findCommands
+      val sorted = cmds.filter(_.get("sort").isDefined)
+      assert(sorted.nonEmpty, cmds.mkString("; "))
+      assert(sorted.last.get("sort").contains(BDoc("_id" -> BInt32(-1))))
+      assert(sorted.last.get("limit").contains(BInt64(3L)))
+
+      // ascending too, and partitioned: per-slice top-k, Spark re-sorts
+      val dfp = reader(srv).option("numPartitions", "4").load()
+      srv.clearLog()
+      val asc = dfp.orderBy(col("_id")).limit(5)
+        .select("_id").collect()
+      assert(asc.map(_.getLong(0)).toSeq == (10L to 14L))
+      // slice finds only: the min/max bound probes also sort+limit but
+      // carry an EMPTY filter doc
+      val sortedP = srv.findCommands.filter(c => c.get("sort").isDefined &&
+        c.get("filter").exists { case d: BDoc => d.fields.nonEmpty
+                                 case _ => false })
+      assert(sortedP.size == 4, srv.findCommands.mkString("; "))
+      assert(sortedP.forall(_.get("limit").contains(BInt64(5L))))
+
+      // a non-_id sort key must NOT reach the wire
+      srv.clearLog()
+      val byPrice = df.orderBy(col("price").desc).limit(2)
+        .select("_id").collect()
+      assert(byPrice.map(_.getLong(0)).toSeq == Seq(69L, 68L))
+      assert(srv.findCommands.forall(_.get("sort").isEmpty),
+        srv.findCommands.mkString("; "))
+    } finally srv.close()
+  }
+
   test("limit pushdown reaches the find command") {
     val srv = new FakeMongoServer(docs)
     try {
