@@ -47,6 +47,15 @@ import BsonCodec._
   *    each slice's range ANDed with the pushed filter;
   *  - LIMIT pushes into the find command (partial when partitioned:
   *    each slice returns at most N and Spark re-limits globally);
+  *  - runtime (DPP-style) filtering: a broadcast join's key IN-set
+  *    re-plans into the find filter, so only matching documents ever
+  *    cross the wire (best-effort; see [[MongoScan.filter]]);
+  *  - aggregate pushdown is DELIBERATELY not modeled: Mongo's `$sum`
+  *    silently promotes int64 overflow to double (the server offers
+  *    no loud-overflow mode), which breaks the exactness contract the
+  *    Postgres plane keeps with `::int8`'s error-on-overflow —
+  *    aggregation runs in Spark over the pruned, filtered wire
+  *    stream, which is exact;
   *  - planner statistics come from the server's `count` command times
   *    the sample's average encoded document size, so a small Mongo
   *    dimension can BROADCAST against a big fact scan instead of
@@ -228,7 +237,7 @@ object MongoWireSource {
   // ---- sources.Filter → find filter doc --------------------------------
 
   /** Kinds whose literals render exactly into a query doc. */
-  private def pushableKind(k: FieldKind): Boolean = k match {
+  private[sources] def pushableKind(k: FieldKind): Boolean = k match {
     case KInt32 | KInt64 | KDouble | KString | KBool | KObjectId |
          KDateTime => true
     case _ => false
@@ -488,7 +497,35 @@ final class MongoScan(conn: MongoWireSource.Conn, db: String, coll: String,
     profile: MongoWireSource.CollProfile, out: StructType,
     conds: Seq[BDoc], limit: Option[Int], numParts: Int,
     sortDir: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filtering, the [[PgScan]] contract mirrored:
+    * after a broadcast build side materializes, Spark hands this scan
+    * the join keys' IN-set and the scan re-plans — the set renders
+    * into the find filter, so the SERVER evaluates the join-key
+    * predicate and only matching documents cross the wire. Best-effort
+    * by contract: a filter the kind map cannot render exactly (or an
+    * IN-set past 10k keys, where the query doc itself becomes the
+    * bottleneck) is simply not applied — the join still filters
+    * row-level.
+    */
+  private var runtimeConds: Seq[BDoc] = Nil
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    out.fields.collect {
+      case f if profile.kinds.get(f.name).exists(MongoWireSource.pushableKind) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeConds = filters.toSeq
+      .filter {
+        case In(_, vs) => vs.length <= 10000
+        case _ => true
+      }
+      .flatMap(MongoWireSource.filterToBson(_, profile.kinds))
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
@@ -553,7 +590,8 @@ final class MongoScan(conn: MongoWireSource.Conn, db: String, coll: String,
       else Vector(BDoc())
     val proj = projectionDoc
     slices.map { range =>
-      val all = conds ++ (if (range.fields.nonEmpty) Seq(range) else Nil)
+      val all = conds ++ runtimeConds ++
+        (if (range.fields.nonEmpty) Seq(range) else Nil)
       val filter = all match {
         case Seq() => BDoc()
         case Seq(one) => one

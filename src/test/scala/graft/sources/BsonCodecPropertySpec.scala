@@ -82,4 +82,42 @@ object BsonCodecPropertySpec extends Properties("BsonCodec") {
       val s = toReferenceJson(doc)
       s.startsWith("{") && s.endsWith("}")
     }
+
+  /** The CPython-repr double rendering (r17): round-trip exactness and
+    * Python's layout invariants, over random finite bit patterns (a
+    * 5005-value sweep against CPython itself read 0 mismatches when
+    * the implementation landed; this keeps the invariants pinned
+    * without a python binary).
+    */
+  private val genFiniteDouble: Gen[Double] =
+    Arbitrary.arbitrary[Long].map(java.lang.Double.longBitsToDouble)
+      .retryUntil(d => !d.isNaN && !d.isInfinite)
+
+  property("repr doubles re-parse to identical bits (shortest round-trip)") =
+    forAll(genFiniteDouble) { d =>
+      val s = toReferenceJson(BDoc("d" -> BDouble(d)))
+        .stripPrefix("""{"d":""").stripSuffix("}")
+      // raw-bits compare: ±0.0 sign must survive the text form too
+      java.lang.Double.doubleToRawLongBits(s.toDouble) ==
+        java.lang.Double.doubleToRawLongBits(d)
+    }
+
+  property("repr doubles follow Python's layout rules") =
+    forAll(genFiniteDouble) { d =>
+      val s = toReferenceJson(BDoc("d" -> BDouble(d)))
+        .stripPrefix("""{"d":""").stripSuffix("}")
+      val body = s.stripPrefix("-")
+      if (body.contains("e")) {
+        // scientific: bare or dotted mantissa, signed >=2-digit exponent
+        val Array(m, e) = body.split("e")
+        (e.startsWith("+") || e.startsWith("-")) && e.length >= 3 &&
+          !m.endsWith(".0") && m.takeWhile(_ != '.').length == 1 &&
+          // Python uses scientific only outside [1e-4, 1e16)
+          (math.abs(d) < 1e-4 || math.abs(d) >= 1e16)
+      } else {
+        // positional: always carries a decimal point
+        body.contains(".") &&
+          (d == 0.0 || (math.abs(d) >= 1e-4 && math.abs(d) < 1e16))
+      }
+    }
 }

@@ -230,6 +230,48 @@ class MongoWireSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally srv.close()
   }
 
+  test("runtime filtering ships the broadcast join keys into the find command") {
+    // 1000 docs so the key-set (20) is a real reduction
+    val many = (0 until 1000).map(i => BDoc(
+      "_id" -> BInt64(i.toLong), "txt" -> BString(s"row $i"))).toVector
+    val srv = new FakeMongoServer(many)
+    try {
+      import org.apache.spark.sql.functions._
+      val big = reader(srv).load()
+      val dim = spark.range(100, 140).select(col("id").as("_id"))
+        .filter(col("_id") % 2 === 0)
+      srv.clearLog()
+      val joined = big.join(broadcast(dim), "_id").select("_id", "txt")
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq ==
+        (100L until 140L by 2).toSeq)
+
+      def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+          : Option[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            findScan(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            findScan(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Some(b)
+          case other => other.children.view.flatMap(findScan).headOption
+        }
+      val scan = findScan(joined.queryExecution.executedPlan)
+        .getOrElse(fail("no BatchScanExec in plan"))
+      assert(scan.toString.toLowerCase.contains("runtimefilters"),
+        s"no runtime filter attached:\n$scan")
+      // the IN-set was rendered into the find filter: the server
+      // returned exactly the 20 matching docs, not the collection
+      assert(scan.metrics("numOutputRows").value == 20L,
+        s"server did not evaluate the join keys: " +
+          s"${scan.metrics("numOutputRows").value} docs crossed")
+      val f = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson).mkString(" ")
+      assert(f.contains("$in"), f)
+    } finally srv.close()
+  }
+
   test("a document outside the sampled kind fails loudly, never coerces") {
     // 201 int32-valued docs, then one string in the same field: the
     // default 200-doc sample sees only int32, the read meets the string
