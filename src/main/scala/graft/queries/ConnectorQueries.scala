@@ -713,6 +713,13 @@ object ConnectorQueries {
             .mode("append").save()
           sink.append(tc.audit, audit.auditTable)
         } finally tc.shared.unpersist(blocking = false)
+        // ANALYZE the landed tables so the DSv2 read-back below gets
+        // pg_class statistics at PLAN time (reltuples is -1 until the
+        // first analyze → the scans would size as "huge" and the join
+        // could never broadcast at plan time) — the 100 TB-shaped plan,
+        // priced at one metadata statement each.
+        sink.execute("ANALYZE public.orders_e2e")
+        sink.execute("ANALYZE doc_audit.ingestion_audit_e2e")
 
         def rd(table: String) = s.read.format("graft.sources.PgWireSource")
           .option("host", h.host).option("port", h.port)

@@ -238,23 +238,29 @@ object MongoSource {
     * read above and the DSv2 scan ([[MongoWireSource]]).
     *
     * One driver-side min/max probe (`find` sorted by `_id`, limit 1,
-    * each way). Numeric `_id` (int32/int64) slices arithmetically;
-    * ObjectId `_id` slices on its leading 4 timestamp bytes. Bounds are
-    * the STRIDE, never a row filter (the r16 PgWireSource lesson: a
-    * capped edge slice silently drops keys outside the probed bounds) —
-    * the first slice is unbounded below, the last unbounded above.
+    * each way; `probeFilter` narrows the probe the way [[PgScan]]'s
+    * bounds query reuses the pushed WHERE, so a selective pushed
+    * filter concentrates the slices on the surviving key range —
+    * stride-only edges keep that sound). Numeric `_id` (int32/int64)
+    * slices arithmetically; ObjectId `_id` slices on its leading 4
+    * timestamp bytes. Bounds are the STRIDE, never a row filter (the
+    * r16 PgWireSource lesson: a capped edge slice silently drops keys
+    * outside the probed bounds) — the first slice is unbounded below,
+    * the last unbounded above.
     */
   private[sources] def planIdSlices(host: String, port: Int,
-      database: String, collection: String,
-      numPartitions: Int): Option[Vector[BsonCodec.BDoc]] = {
+      database: String, collection: String, numPartitions: Int,
+      probeFilter: BsonCodec.BDoc = BsonCodec.BDoc())
+      : Option[Vector[BsonCodec.BDoc]] = {
     import graft.sources.BsonCodec._
     if (numPartitions <= 1) return None
     val (loId, hiId) = {
       val c = MongoWireClient.connect(host, port)
       try {
         def probe(dir: Int): Option[BsonValue] =
-          c.find(database, collection, batchSize = 1, limit = 1L,
-            sort = Some(BDoc("_id" -> BInt32(dir)))).take(1).toSeq
+          c.find(database, collection, probeFilter, batchSize = 1,
+            limit = 1L, sort = Some(BDoc("_id" -> BInt32(dir))))
+            .take(1).toSeq
             .headOption.flatMap(_.get("_id"))
         (probe(1), probe(-1))
       } finally c.close()

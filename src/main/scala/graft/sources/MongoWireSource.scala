@@ -582,22 +582,29 @@ final class MongoScan(conn: MongoWireSource.Conn, db: String, coll: String,
     BDoc(incl ++ exclId)
   }
 
+  /** The pushed + runtime conditions as one find filter doc. */
+  private def mergedConds(extra: Seq[BDoc]): BDoc = {
+    val all = conds ++ runtimeConds ++ extra
+    all match {
+      case Seq() => BDoc()
+      case Seq(one) => one
+      case many => BDoc("$and" -> BArray(many.toVector.map(d => d: BsonValue)))
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val slices: Vector[BDoc] =
       if (numParts > 1)
-        MongoSource.planIdSlices(conn.host, conn.port, db, coll, numParts)
+        // the probe reuses the pushed filter, so pruning narrows the
+        // planned key range too (the PgScan.bounds contract)
+        MongoSource.planIdSlices(conn.host, conn.port, db, coll, numParts,
+          probeFilter = mergedConds(Nil))
           .getOrElse(Vector(BDoc())) // unsliceable key → single cursor
       else Vector(BDoc())
     val proj = projectionDoc
     slices.map { range =>
-      val all = conds ++ runtimeConds ++
-        (if (range.fields.nonEmpty) Seq(range) else Nil)
-      val filter = all match {
-        case Seq() => BDoc()
-        case Seq(one) => one
-        case many =>
-          BDoc("$and" -> BArray(many.toVector.map(d => d: BsonValue)))
-      }
+      val filter =
+        mergedConds(if (range.fields.nonEmpty) Seq(range) else Nil)
       MongoInputPartition(filter, proj,
         limit.map(_.toLong).getOrElse(0L),
         sortDir): InputPartition

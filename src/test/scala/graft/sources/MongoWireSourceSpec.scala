@@ -205,14 +205,24 @@ class MongoWireSourceSpec extends AnyFunSuite with SparkTestSession {
       srv.clearLog()
       val q = df.filter(col("even") === true)
       assert(q.count() == 30)
+      // slice finds: the pushed filter ANDed with an _id range (the
+      // bound probes also carry the filter but never an _id range)
       val filters = srv.findCommands.flatMap(_.get("filter"))
         .map(BsonCodec.toReferenceJson)
-        .filter(_.contains("$and"))
+        .filter(f => f.contains("$and") && f.contains(""""_id":{"""))
       assert(filters.size == 4, filters.mkString("; "))
       assert(filters.forall(_.contains(""""even":true""")), filters)
       // stride-only: exactly one slice unbounded below, one above
       assert(filters.count(!_.contains("$gte")) == 1, filters)
       assert(filters.count(!_.contains("$lt")) == 1, filters)
+      // the min/max bound probes reuse the pushed filter, so pruning
+      // narrows the planned key range too (the PgScan.bounds contract)
+      val probes = srv.findCommands.filter(c => c.get("sort").isDefined &&
+        c.get("limit").contains(BInt64(1L)))
+      assert(probes.nonEmpty, srv.findCommands.mkString("; "))
+      assert(probes.forall(_.get("filter").exists(f =>
+        BsonCodec.toReferenceJson(f).contains(""""even":true"""))),
+        probes.mkString("; "))
     } finally srv.close()
   }
 
