@@ -152,9 +152,11 @@ object BsonCodec {
     if (off < 0 || off + 4 > b.length) throw new BsonException(
       s"document header overruns buffer at offset $off")
     val len = readInt32(b, off)
-    val end = off + len
-    if (len < 5 || end > b.length) throw new BsonException(
+    // long arithmetic: a hostile length near 2^31 must not wrap the
+    // bound check negative and slip past it
+    if (len < 5 || off.toLong + len > b.length) throw new BsonException(
       s"implausible document length $len at offset $off")
+    val end = off + len
     if (b(end - 1) != 0) throw new BsonException(
       s"document at $off lacks the trailing 0x00")
     var pos = off + 4
@@ -189,7 +191,8 @@ object BsonCodec {
       case 0x02 =>
         need(4)
         val len = readInt32(b, pos)
-        if (len < 1 || pos + 4 + len > limit || b(pos + 4 + len - 1) != 0)
+        // long arithmetic: len near 2^31 must not wrap the check
+        if (len < 1 || pos + 4L + len > limit || b(pos + 4 + len - 1) != 0)
           throw new BsonException(s"bad string length $len at $pos")
         (BString(new String(b, pos + 4, len - 1, UTF_8)), pos + 4 + len)
       case 0x03 =>
@@ -205,7 +208,8 @@ object BsonCodec {
       case 0x05 =>
         need(5)
         val len = readInt32(b, pos)
-        if (len < 0 || pos + 5 + len > limit) throw new BsonException(
+        // long arithmetic: len near 2^31 must not wrap the check
+        if (len < 0 || pos + 5L + len > limit) throw new BsonException(
           s"bad binary length $len at $pos (body end $limit)")
         val sub = b(pos + 4)
         val bytes = java.util.Arrays.copyOfRange(b, pos + 5, pos + 5 + len)

@@ -104,6 +104,15 @@ class MongoWireSpec extends AnyFunSuite with graft.SparkTestSession {
     val shortI64 = hex("0a000000 12 6900 0000 00")
     val e5 = intercept[BsonException](decode(shortI64))
     assert(e5.getMessage.contains("overruns"))
+    // hostile lengths near 2^31: int arithmetic would wrap the bound
+    // check negative and slip past it — the long-arithmetic guard must
+    // still fail loudly
+    val hugeBin = hex("0d000000 05 6200 fbffff7f 00 00") // len 2^31-5
+    val e6 = intercept[BsonException](decode(hugeBin))
+    assert(e6.getMessage.contains("binary length"))
+    val hugeStr = hex("0c000000 02 7300 fdffff7f 00") // len 2^31-3
+    val e7 = intercept[BsonException](decode(hugeStr))
+    assert(e7.getMessage.contains("string length"))
   }
 
   test("reference-serializer doubles render in CPython repr form") {
