@@ -70,9 +70,15 @@ final class FakeMongoServer(initial: Vector[BDoc]) extends AutoCloseable {
       Some(java.util.Arrays.compareUnsigned(xb, yb))
     case (BBool(x), BBool(y)) => Some(java.lang.Boolean.compare(x, y))
     case (BDateTime(x), BDateTime(y)) => Some(java.lang.Long.compare(x, y))
+    // numeric bracket: integral pairs compare directly (the hot path —
+    // every _id-range slice filter evaluates this per document) …
+    case (BInt32(x), BInt32(y)) => Some(Integer.compare(x, y))
+    case (BInt64(x), BInt64(y)) => Some(java.lang.Long.compare(x, y))
+    case (BInt32(x), BInt64(y)) => Some(java.lang.Long.compare(x.toLong, y))
+    case (BInt64(x), BInt32(y)) => Some(java.lang.Long.compare(x, y.toLong))
     case _ =>
-      // numeric bracket: int32/int64/double compare cross-width,
-      // exactly (BigDecimal avoids 2^53 truncation surprises)
+      // … double-involved pairs compare exactly via BigDecimal
+      // (avoids 2^53 truncation surprises on long↔double)
       def num(v: BsonValue): Option[java.math.BigDecimal] = v match {
         case BInt32(i) => Some(java.math.BigDecimal.valueOf(i.toLong))
         case BInt64(i) => Some(java.math.BigDecimal.valueOf(i))
@@ -159,23 +165,30 @@ final class FakeMongoServer(initial: Vector[BDoc]) extends AutoCloseable {
       case Some(f: BDoc) if f.fields.nonEmpty => docs.filter(matches(_, f))
       case _ => docs
     }
-    body.get("sort").foreach {
-      case s: BDoc => s.get("_id") match {
-        case Some(BInt32(1)) =>
-          selected = selected.sortWith((x, y) =>
-            cmp(idOf(x), idOf(y)).exists(_ < 0))
-        case Some(BInt32(-1)) =>
-          selected = selected.sortWith((x, y) =>
-            cmp(idOf(x), idOf(y)).exists(_ > 0))
-        case _ => ()
+    val sortDir: Option[Int] = body.get("sort").flatMap {
+      case s: BDoc => s.get("_id").collect {
+        case BInt32(d) if d == 1 || d == -1 => d
       }
+      case _ => None
+    }
+    val limitN: Option[Int] = body.get("limit").collect {
+      case BInt64(n) => n.toInt
+      case BInt32(n) => n
+    }
+    (sortDir, limitN) match {
+      case (Some(d), Some(n)) if n < 1000 =>
+        // partial selection instead of a full sort: the bound probes
+        // (`sort {_id}, limit 1`) would otherwise fully sort the
+        // collection twice per partitioned-read planning — at 1.5M
+        // docs that harness cost dominated the client plane the
+        // scale probe exists to measure
+        selected = topK(selected, n, d)
+      case (Some(d), _) =>
+        selected = selected.sortWith((x, y) =>
+          cmp(idOf(x), idOf(y)).exists(c => if (d == 1) c < 0 else c > 0))
       case _ => ()
     }
-    body.get("limit").foreach {
-      case BInt64(n) => selected = selected.take(n.toInt)
-      case BInt32(n) => selected = selected.take(n)
-      case _ => ()
-    }
+    limitN.foreach(n => selected = selected.take(n))
     val projection = body.get("projection").collect { case p: BDoc => p }
     selected = selected.map(project(_, projection))
     val batchSize = body.get("batchSize")
@@ -189,6 +202,26 @@ final class FakeMongoServer(initial: Vector[BDoc]) extends AutoCloseable {
   }
 
   private def idOf(d: BDoc): BsonValue = d.get("_id").getOrElse(BNull)
+
+  /** First k docs by `_id` in direction `d` (1 asc, -1 desc): one
+    * O(n·log k) pass with a bounded heap instead of a full sort.
+    */
+  private def topK(docs: Vector[BDoc], k: Int, d: Int): Vector[BDoc] = {
+    if (k <= 0 || docs.isEmpty) return Vector.empty
+    // heap keeps the WORST of the current best-k on top, to evict
+    val worstFirst = new java.util.PriorityQueue[BDoc](k + 1,
+      (x: BDoc, y: BDoc) => {
+        val c = cmp(idOf(x), idOf(y)).getOrElse(0)
+        if (d == 1) -c else c // asc: largest first = worst first
+      })
+    docs.foreach { doc =>
+      worstFirst.add(doc)
+      if (worstFirst.size > k) { val _ = worstFirst.poll() }
+    }
+    val buf = Vector.newBuilder[BDoc]
+    while (!worstFirst.isEmpty) buf += worstFirst.poll()
+    buf.result().reverse
+  }
 
   private def runGetMore(body: BDoc): BDoc = {
     val cid = body.get("getMore").collect { case BInt64(v) => v }.get
