@@ -98,6 +98,11 @@ final class FakeMongoServer(initial: Vector[BDoc]) extends AutoCloseable {
       case (None, BNull) => true // {f: null} matches a missing field
       case (None, _) => false
       case (Some(BNull), BNull) => true
+      // real Mongo matches {f: NaN} to a NaN value (NaN equals itself
+      // in BSON equality, unlike IEEE) — model it, even though the
+      // connector declines NaN literals, so the fake never diverges
+      // from a real server a spec might one day swap in
+      case (Some(BDouble(x)), BDouble(y)) if x.isNaN && y.isNaN => true
       case (Some(a), b) => cmp(a, b).contains(0) || a == b
     }
 

@@ -289,14 +289,27 @@ object MongoSource {
             v => BObjectId(f"${math.min(v, 0xffffffffL)}%08x" + "0" * 16)))
         case _ => None
       }
-    coords.filter { case (a, b, _) => b - a + 1 >= numPartitions }
+    // Span/boundary arithmetic in BigInt: an extreme int64 _id range
+    // (span near 2^64) overflows Long subtraction into a NEGATIVE
+    // width, and the ceil-width stride can carry an intermediate
+    // boundary past Long.MaxValue — either way wrapped boundaries
+    // make slices overlap and a partitioned read DUPLICATES rows
+    // (r17 advice). Boundaries clamp at Long.MaxValue: a clamped
+    // sequence stays monotone, so the cover stays disjoint and
+    // exhaustive (slices between clamped boundaries are empty and the
+    // last slice is unbounded above) — the ObjectId clamp's argument.
+    coords.filter { case (a, b, _) =>
+      BigInt(b) - BigInt(a) + 1 >= numPartitions }
       .map { case (a0, b0, mkBound) =>
-        val width = (b0 - a0 + 1 + numPartitions - 1) / numPartitions
+        val span = BigInt(b0) - BigInt(a0) + 1
+        val width = (span + numPartitions - 1) / numPartitions
+        def boundAt(i: Int): Long =
+          (BigInt(a0) + i * width).min(BigInt(Long.MaxValue)).toLong
         // (lower, upper): None = unbounded on that side — stride-only.
         (0 until numPartitions).map { i =>
-          val a = if (i == 0) None else Some(a0 + i * width)
+          val a = if (i == 0) None else Some(boundAt(i))
           val b = if (i == numPartitions - 1) None
-                  else Some(a0 + (i + 1) * width)
+                  else Some(boundAt(i + 1))
           val range = BDoc(Vector[(String, BsonValue)]() ++
             a.map(v => "$gte" -> mkBound(v)) ++
             b.map(v => "$lt" -> mkBound(v)))

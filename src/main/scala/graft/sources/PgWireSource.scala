@@ -217,15 +217,36 @@ object PgWireSource {
   // ---- sources.Filter → SQL ------------------------------------------
 
   /** Render a filter to a WHERE fragment, or None if any piece is not
-    * exactly expressible (the filter then stays in Spark).
+    * exactly expressible (the filter then stays in Spark). SQL WHERE
+    * keeps only TRUE under the same three-valued logic Spark uses, so
+    * `NOT (...)` composes exactly — unlike the Mongo plane's `$nor`
+    * (see [[MongoWireSource.notToBson]]).
+    *
+    * `utf8Strings` is whether the server encoding is UTF-8: string
+    * RANGE comparisons ride `COLLATE "C"` (byte order of the server
+    * encoding), which equals Spark's binary UTF-8 order only then —
+    * the same guard [[PgScanBuilder.stringOrderPushable]] applies to
+    * sort/min-max pushdown. Without it a database collation like
+    * en_US would server-evaluate 'B' < 'a' as TRUE where Spark says
+    * FALSE. Equality/IN/LIKE are bytewise under any deterministic
+    * collation and carry no collate clause.
     */
-  private[sources] def filterToSql(f: Filter): Option[String] = f match {
-    case EqualTo(a, v) => binOp(a, "=", v)
-    case GreaterThan(a, v) => binOp(a, ">", v)
-    case GreaterThanOrEqual(a, v) => binOp(a, ">=", v)
-    case LessThan(a, v) => binOp(a, "<", v)
-    case LessThanOrEqual(a, v) => binOp(a, "<=", v)
-    case In(a, vs) if vs.nonEmpty =>
+  private[sources] def filterToSql(f: Filter,
+      utf8Strings: Boolean = true): Option[String] = f match {
+    case EqualTo(a, v) => binOp(a, "=", v, utf8Strings)
+    // null-safe equality is SQL's IS NOT DISTINCT FROM, exactly
+    case EqualNullSafe(a, null) => Some(s"${quoteIdent(a)} IS NULL")
+    case EqualNullSafe(a, v) =>
+      valueLit(v).map(lit =>
+        s"${quoteIdent(a)} IS NOT DISTINCT FROM $lit")
+    case GreaterThan(a, v) => binOp(a, ">", v, utf8Strings)
+    case GreaterThanOrEqual(a, v) => binOp(a, ">=", v, utf8Strings)
+    case LessThan(a, v) => binOp(a, "<", v, utf8Strings)
+    case LessThanOrEqual(a, v) => binOp(a, "<=", v, utf8Strings)
+    // the 10k cap mirrors the runtime (DPP) filter path's: a larger
+    // literal IN-list bloats the query text past any planning benefit
+    // — it stays in Spark instead
+    case In(a, vs) if vs.nonEmpty && vs.length <= 10000 =>
       val lits = vs.toSeq.map(valueLit)
       if (lits.forall(_.isDefined))
         Some(s"${quoteIdent(a)} IN (${lits.flatten.mkString(", ")})")
@@ -239,15 +260,29 @@ object PgWireSource {
     case StringContains(a, v) =>
       Some(s"${quoteIdent(a)} LIKE ${sqlLit("%" + likeEscape(v) + "%")} ESCAPE '\\'")
     case And(l, r) =>
-      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls AND $rs)"
+      for (ls <- filterToSql(l, utf8Strings);
+           rs <- filterToSql(r, utf8Strings)) yield s"($ls AND $rs)"
     case Or(l, r) =>
-      for (ls <- filterToSql(l); rs <- filterToSql(r)) yield s"($ls OR $rs)"
-    case Not(child) => filterToSql(child).map(s => s"(NOT $s)")
+      for (ls <- filterToSql(l, utf8Strings);
+           rs <- filterToSql(r, utf8Strings)) yield s"($ls OR $rs)"
+    case Not(child) =>
+      filterToSql(child, utf8Strings).map(s => s"(NOT $s)")
     case _ => None
   }
 
-  private def binOp(attr: String, op: String, v: Any): Option[String] =
-    valueLit(v).map(lit => s"${quoteIdent(attr)} $op $lit")
+  private def isStringValue(v: Any): Boolean = v match {
+    case _: String | _: UTF8String => true
+    case _ => false
+  }
+
+  private def binOp(attr: String, op: String, v: Any,
+      utf8Strings: Boolean): Option[String] =
+    if (op != "=" && isStringValue(v)) {
+      if (utf8Strings)
+        valueLit(v).map(lit =>
+          s"${quoteIdent(attr)} COLLATE \"C\" $op $lit")
+      else None // non-UTF-8 byte order ≠ Spark's string order
+    } else valueLit(v).map(lit => s"${quoteIdent(attr)} $op $lit")
 
   private def likeEscape(s: String): String =
     s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
@@ -268,13 +303,31 @@ object PgWireSource {
     case d: Double => Some(s"'${d.toString}'::float8")
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal => Some(d.bigDecimal.toPlainString)
-    case d: java.sql.Date => Some(s"DATE '${d.toString}'")
+    // java.sql.Date/Timestamp pushdown values arrive CALENDAR-REBASED
+    // (hybrid Julian) from Spark's internal proleptic-Gregorian
+    // days/micros, while Postgres stores and compares proleptic
+    // Gregorian — the rebase is the identity only from 1582-10-15
+    // (dates) / 1900-01-01T00:00:00Z (timestamps; LMT zone offsets
+    // diverge at second precision before that, Spark's own
+    // parquet-rebase boundary). Earlier literals stay in Spark:
+    // "exact" pushdown of a rebased value would compare the wrong
+    // day/instant (the Mongo-plane divergence
+    // MongoPushdownPropertySpec found, closed on both planes).
+    // java.time.LocalDate/Instant (java8 datetime API) are exact at
+    // any epoch — no rebase on those paths.
+    case d: java.sql.Date =>
+      Some(d.toLocalDate).filter(!_.isBefore(gregorianDateFloor))
+        .map(ld => s"DATE '${ld.toString}'")
     case d: java.time.LocalDate => Some(s"DATE '${d.toString}'")
     case t: java.sql.Timestamp =>
-      Some(s"TIMESTAMPTZ '${t.toInstant.toString}'")
+      Some(t.toInstant).filter(!_.isBefore(rebaseSafeFloor))
+        .map(i => s"TIMESTAMPTZ '${i.toString}'")
     case t: java.time.Instant => Some(s"TIMESTAMPTZ '${t.toString}'")
     case _ => None
   }
+
+  private val gregorianDateFloor = java.time.LocalDate.of(1582, 10, 15)
+  private val rebaseSafeFloor = java.time.Instant.parse("1900-01-01T00:00:00Z")
 
   // ---- COPY text → Catalyst value ------------------------------------
 
@@ -393,12 +446,15 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
     !isBpchar(col) &&
       PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8")
 
+  private lazy val utf8Server =
+    PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8")
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f =>
-      PgWireSource.filterToSql(f).isDefined &&
+      PgWireSource.filterToSql(f, utf8Server).isDefined &&
         !f.references.exists(isBpchar))
     accepted = ok
-    whereSqls = ok.toSeq.flatMap(PgWireSource.filterToSql)
+    whereSqls = ok.toSeq.flatMap(PgWireSource.filterToSql(_, utf8Server))
     rest // unsupported filters stay in Spark
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -634,7 +690,8 @@ final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
         case org.apache.spark.sql.sources.In(_, vs) => vs.length <= 10000
         case _ => true
       }
-      .flatMap(PgWireSource.filterToSql)
+      .flatMap(PgWireSource.filterToSql(_,
+        PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8")))
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this

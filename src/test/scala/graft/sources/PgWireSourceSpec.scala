@@ -374,9 +374,36 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(filterToSql(Not(EqualTo("a", true))).contains(
       "(NOT \"a\" = TRUE)"))
     assert(filterToSql(EqualTo("a", null)).isEmpty)
-    assert(filterToSql(EqualNullSafe("a", 1)).isEmpty) // not in the subset
+    // null-safe equality is SQL's IS NOT DISTINCT FROM (r18)
+    assert(filterToSql(EqualNullSafe("a", 1)).contains(
+      "\"a\" IS NOT DISTINCT FROM 1"))
+    assert(filterToSql(EqualNullSafe("a", null)).contains("\"a\" IS NULL"))
+    // string RANGES ride COLLATE "C" (binary order == Spark's) and are
+    // declined outright on a non-UTF-8 server encoding; equality and
+    // IN are bytewise under any deterministic collation and stay bare
+    assert(filterToSql(GreaterThan("t", "abc")).contains(
+      """"t" COLLATE "C" > 'abc'"""))
+    assert(filterToSql(GreaterThan("t", "abc"), utf8Strings = false).isEmpty)
+    assert(filterToSql(EqualTo("t", "abc"), utf8Strings = false).contains(
+      """"t" = 'abc'"""))
+    // pre-Gregorian/pre-1900 java.sql literals arrive calendar-rebased
+    // from Spark's proleptic internal form — declined, never inexact
+    assert(filterToSql(EqualTo("ts", java.sql.Timestamp.from(
+      java.time.Instant.parse("0001-01-01T00:00:00Z")))).isEmpty)
+    assert(filterToSql(EqualTo("d",
+      java.sql.Date.valueOf("1500-01-01"))).isEmpty)
+    assert(filterToSql(EqualTo("d",
+      java.sql.Date.valueOf("1990-06-15"))).contains(
+      "\"d\" = DATE '1990-06-15'"))
+    // the java8-API forms are exact at any epoch
+    assert(filterToSql(EqualTo("ts",
+      java.time.Instant.parse("0001-01-01T00:00:00Z"))).contains(
+      "\"ts\" = TIMESTAMPTZ '0001-01-01T00:00:00Z'"))
+    // an IN-list past the 10k cap stays in Spark
+    assert(filterToSql(In("a", Array.tabulate(10050)(i =>
+      java.lang.Long.valueOf(i.toLong)))).isEmpty)
     // one unsupported leg poisons the conjunction (exactness contract)
-    assert(filterToSql(And(EqualTo("a", 1), EqualNullSafe("b", 2))).isEmpty)
+    assert(filterToSql(And(EqualTo("a", 1), EqualTo("b", null))).isEmpty)
   }
 
   test("a silent peer fails the handshake within the deadline (no server)") {
