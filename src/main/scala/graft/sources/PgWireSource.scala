@@ -504,6 +504,14 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
     * ride COLLATE "C" via [[minMaxArg]] or stay in Spark. DISTINCT
     * aggregates are not pushed — per-slice DISTINCT partials do not
     * merge.
+    *
+    * Zero-sign note: float MIN/MAX over a group holding both 0.0 and
+    * -0.0 may return either sign from the server — but that is inside
+    * Spark's OWN envelope (Spark's Min/Max keep the first-seen zero
+    * representation, so the answer is row-order-dependent there too);
+    * float SUM/AVG are different — Spark's zero-initialized
+    * accumulators make +0.0 deterministic, which the `+ '0'` rendering
+    * in the Sum case replays (PG's bare sum(float8) preserves -0.0).
     */
   private def compileAgg(agg: Aggregation): Option[PushedPgAgg] = {
     val groups = agg.groupByExpressions.toSeq.map(fieldName)
@@ -535,7 +543,15 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
               Some((s"sum(${quoteIdent(col)})::int8",
                 StructField(s"agg_$i", LongType)))
             case FloatType | DoubleType =>
-              Some((s"sum(${quoteIdent(col)})::float8",
+              // two exactness points (PgPushdownPropertySpec found the
+              // second): the cast sits INSIDE the sum — PG's sum(real)
+              // accumulates in float4 where Spark casts each float to
+              // double and accumulates in double; and `+ '0'` replays
+              // Spark's zero-initialized accumulator, so a group whose
+              // values are all -0.0 reads +0.0 exactly as Spark's
+              // 0.0 + (-0.0) does (x + 0 is the identity for every
+              // other float8, NULL and NaN included)
+              Some((s"(sum((${quoteIdent(col)})::float8) + '0'::float8)",
                 StructField(s"agg_$i", DoubleType)))
             case d: DecimalType if d.precision + 10 <= 38 =>
               Some((s"sum(${quoteIdent(col)})::numeric(${d.precision + 10},${d.scale})",

@@ -144,6 +144,48 @@ object MongoPushdownPropertySpec extends Properties("MongoPushdown") {
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  property("TopN/limit pushdown == in memory (unique _id, both directions)") =
+    Prop.forAllNoShrink(genDocs, Gen.listOfN(5, for {
+      asc <- Gen.oneOf(true, false)
+      k <- Gen.choose(1, 6)
+      filt <- Gen.option(genTree(2))
+    } yield (asc, k, filt)), Gen.oneOf(1, 3)) { (docs, orders, nParts) =>
+      val srv = new FakeMongoServer(docs)
+      try {
+        val scan = spark.read.format("graft.sources.MongoWireSource")
+          .option("host", "127.0.0.1").option("port", srv.port)
+          .option("database", "db").option("collection", "c")
+          .option("numPartitions", nParts).load()
+        val base = scan.collect().toSeq
+        val inMem = spark.createDataFrame(
+          new java.util.ArrayList(
+            scala.jdk.CollectionConverters.SeqHasAsJava(base).asJava),
+          scan.schema)
+        orders.forall { case (asc, k, filt) =>
+          def run(df: DataFrame): Seq[String] = {
+            val fd = filt.map(df.filter).getOrElse(df)
+            fd.orderBy(if (asc) col("_id").asc else col("_id").desc)
+              .limit(k).collect().map(_.toString).toSeq
+          }
+          val pushed = run(scan)
+          val oracle = run(inMem)
+          // bare limit without sort: content nondeterministic, count isn't
+          val limPushed = filt.map(scan.filter).getOrElse(scan)
+            .limit(k).count()
+          val limOracle = filt.map(inMem.filter).getOrElse(inMem)
+            .limit(k).count()
+          if (pushed == oracle && limPushed == limOracle) true
+          else {
+            System.err.println(
+              s"TOPN PUSHDOWN DIVERGENCE asc=$asc k=$k filter=$filt " +
+                s"nParts=$nParts\n docs=$docs\n pushed=$pushed\n " +
+                s"oracle=$oracle\n lim=$limPushed/$limOracle")
+            false
+          }
+        }
+      } finally srv.close()
+    }
+
   property("DSv2 scan with pushdown == the same predicate in memory") =
     Prop.forAllNoShrink(genDocs, genFilters,
       Gen.oneOf(1, 3)) { (docs, filters, nParts) =>

@@ -130,6 +130,156 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
   private def rowsOf(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  // ---- aggregate shapes ------------------------------------------------
+
+  /** Aggregates from the pushable subset (plus count-distinct, which
+    * the builder declines — the decline must be invisible too). Double
+    * SUM/AVG inputs are dyadic rationals (1.5, 5.0, 10.25, ±0.0,
+    * ±Inf, NaN) so IEEE accumulation is order-independent and the
+    * comparison never trips on a legitimate last-ulp association
+    * difference between the server's and Spark's summation order.
+    * The Boolean marks zero-sign-AMBIGUOUS aggregates: Spark's own
+    * float MIN/MAX keep the first-seen zero representation (verified:
+    * min over [0.0,-0.0] is 0.0, over [-0.0,0.0] is -0.0), so over a
+    * mixed-sign-zero group both answers are Spark-reachable and the
+    * comparison must not fail on the sign — while SUM/AVG are
+    * deterministic (+0.0, zero-initialized accumulators) and compare
+    * strictly; the bare-sum -0.0 divergence this property caught is
+    * fixed by the `+ '0'` rendering in PgWireSource.compileAgg.
+    */
+  private val genAgg: Gen[(Column, Boolean)] = Gen.oneOf(
+    Gen.const((count(lit(1)).as("cnt"), false)),
+    Gen.oneOf("a", "p", "s", "t").map(c =>
+      (count(col(c)).as(s"cnt_$c"), false)),
+    Gen.oneOf("a", "p").map(c => (sum(col(c)).as(s"sum_$c"), false)),
+    Gen.oneOf("a", "p", "s", "t").map(c =>
+      (min(col(c)).as(s"min_$c"), c == "p")),
+    Gen.oneOf("a", "p", "s", "t").map(c =>
+      (max(col(c)).as(s"max_$c"), c == "p")),
+    Gen.oneOf("a", "p").map(c => (avg(col(c)).as(s"avg_$c"), false)),
+    Gen.const((countDistinct(col("a")).as("cd_a"), false))) // declined → Spark
+
+  private val genAggQuery
+      : Gen[(Seq[String], Seq[(Column, Boolean)], Option[Column])] =
+    for {
+      groups <- Gen.oneOf(Seq.empty[String], Seq("s"), Seq("b"),
+        Seq("s", "b"))
+      n <- Gen.choose(1, 3)
+      aggs <- Gen.listOfN(n, genAgg)
+      filt <- Gen.option(genTree(2))
+    } yield (groups, aggs, filt)
+
+  /** Row formatter normalizing -0.0 → 0.0 in the zero-sign-ambiguous
+    * agg columns only (group keys and the other aggs compare strictly).
+    */
+  private def fmtRow(r: org.apache.spark.sql.Row, nGroups: Int,
+      ambiguous: Seq[Boolean]): String =
+    (0 until r.length).map { i =>
+      val v = r.get(i)
+      val norm =
+        if (i >= nGroups && ambiguous(i - nGroups)) v match {
+          case d: java.lang.Double if d.doubleValue() == 0.0 =>
+            java.lang.Double.valueOf(0.0)
+          case x => x
+        } else v
+      String.valueOf(norm)
+    }.mkString("[", ",", "]")
+
+  // ---- the properties --------------------------------------------------
+
+  property("aggregate pushdown (complete and partial) == in memory") = {
+    if (!LivePostgres.available) {
+      System.err.println(
+        "PgPushdownPropertySpec SKIPPED: postgres binaries not installed")
+      Prop.passed
+    } else Prop.forAllNoShrink(genRows, Gen.listOfN(4, genAggQuery),
+      Gen.oneOf(1, 3)) { (rows, queries, nParts) =>
+      seed(rows)
+      val base = spark.read.format("graft.sources.PgWireSource")
+        .option("host", h.host).option("port", h.port)
+        .option("user", h.user).option("database", h.database)
+        .option("table", "graft_t.prop")
+      val scan =
+        (if (nParts > 1)
+          base.option("partitionColumn", "id").option("numPartitions", nParts)
+        else base).load()
+      val full = spark.read.format("graft.sources.PgWireSource")
+        .option("host", h.host).option("port", h.port)
+        .option("user", h.user).option("database", h.database)
+        .option("table", "graft_t.prop").load()
+      val inMem = spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            full.collect().toSeq).asJava),
+        full.schema)
+      queries.forall { case (groups, aggs, filt) =>
+        val cols = aggs.map(_._1)
+        val amb = aggs.map(_._2)
+        def run(df: DataFrame): Seq[String] = {
+          val fd = filt.map(df.filter).getOrElse(df)
+          val ag =
+            if (groups.isEmpty) fd.agg(cols.head, cols.tail: _*)
+            else fd.groupBy(groups.map(col): _*).agg(cols.head, cols.tail: _*)
+          ag.collect().map(fmtRow(_, groups.length, amb)).sorted.toSeq
+        }
+        val pushed = run(scan)
+        val oracle = run(inMem)
+        if (pushed == oracle) true
+        else {
+          System.err.println(
+            s"AGG PUSHDOWN DIVERGENCE groups=$groups aggs=$aggs " +
+              s"filter=$filt nParts=$nParts\n rows=$rows\n " +
+              s"pushed=$pushed\n oracle=$oracle")
+          false
+        }
+      }
+    }
+  }
+
+  property("TopN pushdown (incl. null ordering) == in memory") = {
+    if (!LivePostgres.available) Prop.passed
+    else Prop.forAllNoShrink(genRows, Gen.listOfN(4, for {
+      dir <- Gen.oneOf(Seq[Column => Column](
+        c => c.asc, c => c.desc, c => c.asc_nulls_first,
+        c => c.asc_nulls_last, c => c.desc_nulls_first,
+        c => c.desc_nulls_last))
+      k <- Gen.choose(1, 6)
+    } yield (dir, k)), Gen.oneOf(1, 3)) { (rows, orders, nParts) =>
+      // id is unique (one NULL-keyed row appended), so top-k content
+      // is deterministic and comparable
+      val withNull = rows :+
+        s"(NULL, 0, 0.0, 'nullkey', TRUE, TIMESTAMPTZ '2024-01-01 00:00:00+00')"
+      seed(withNull)
+      val base = spark.read.format("graft.sources.PgWireSource")
+        .option("host", h.host).option("port", h.port)
+        .option("user", h.user).option("database", h.database)
+        .option("table", "graft_t.prop")
+      val scan =
+        (if (nParts > 1)
+          base.option("partitionColumn", "id").option("numPartitions", nParts)
+        else base).load()
+      val full = base.load()
+      val inMem = spark.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            full.collect().toSeq).asJava),
+        full.schema)
+      orders.forall { case (dir, k) =>
+        val pushed = scan.orderBy(dir(col("id"))).limit(k)
+          .collect().map(_.toString).toSeq
+        val oracle = inMem.orderBy(dir(col("id"))).limit(k)
+          .collect().map(_.toString).toSeq
+        if (pushed == oracle) true
+        else {
+          System.err.println(
+            s"TOPN PUSHDOWN DIVERGENCE k=$k nParts=$nParts\n " +
+              s"rows=$withNull\n pushed=$pushed\n oracle=$oracle")
+          false
+        }
+      }
+    }
+  }
+
   property("DSv2 scan with pushdown == the same predicate in memory") = {
     if (!LivePostgres.available) {
       System.err.println(

@@ -160,6 +160,35 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(dis.collect().head.getLong(0) == 100)
   }
 
+  test("live: float SUM pushdown accumulates in double and zero-inits like Spark") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    import org.apache.spark.sql.functions._
+    val c = PgConn(h.host, h.port, h.user, h.database).open()
+    try {
+      val _ = c.query(
+        """CREATE SCHEMA IF NOT EXISTS graft_t;
+           DROP TABLE IF EXISTS graft_t.fsum;
+           CREATE TABLE graft_t.fsum (g INT, f4 REAL, f8 DOUBLE PRECISION);
+           INSERT INTO graft_t.fsum VALUES
+             (1, 1e8, '-0.0'::float8), (1, 1.0, '-0.0'::float8),
+             (2, NULL, '-0.0'::float8)""")
+    } finally c.close()
+    val df = reader.option("table", "graft_t.fsum").load()
+    val got = df.groupBy(col("g"))
+      .agg(sum(col("f4")).as("s4"), sum(col("f8")).as("s8"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got(0)._1 == 1)
+    // PG's sum(real) accumulates in float4 (1.0 absorbs into 1e8);
+    // Spark casts each float to double first — the pushed SQL must too
+    assert(got(0)._2 == (1e8f.toDouble + 1f.toDouble),
+      s"float4 sum accumulated at the wrong width: ${got(0)._2}")
+    // a group of only -0.0 sums to +0.0 in Spark (zero-initialized
+    // accumulator); the `+ '0'` rendering replays that server-side
+    assert(got.forall { case (_, _, s8) =>
+      s8 == 0.0 && !(1.0 / s8 < 0) }, s"sum(-0.0 group) kept the sign: $got")
+  }
+
   test("live: TopN pushdown renders Spark's null ordering explicitly") {
     assume(LivePostgres.available, "postgres server binaries not installed")
     seed()
