@@ -41,7 +41,8 @@ import BsonCodec._
   *    `_id` excluded unless requested);
   *  - filter pushdown renders the supported `sources.Filter` subset to
   *    a find FILTER doc ($eq/$gt/$gte/$lt/$lte/$in/$and/$or/$nor,
-  *    null tests) evaluated BY the server; rejected filters stay in
+  *    null tests, string prefix as an exact bytewise range) evaluated
+  *    BY the server; rejected filters stay in
   *    Spark (the bpchar lesson applied to Mongo: no pushdown on
   *    rendered doc/array columns, no sub-millisecond timestamp
   *    literals, no ill-formed ObjectId hex — accepted ones are exact);
@@ -340,6 +341,30 @@ object MongoWireSource {
     */
   private val rebaseSafeFloor = java.time.Instant.parse("1900-01-01T00:00:00Z")
 
+  /** The least string strictly greater (bytewise UTF-8) than every
+    * string with prefix `p`: the last incrementable code point +1
+    * (U+D7FF steps over the unencodable surrogate block to U+E000),
+    * trailing U+10FFFF code points dropped. None when p is empty or
+    * all U+10FFFF — no finite upper bound exists (the range is then
+    * `$gte` only, which is still exact).
+    */
+  private[sources] def prefixSuccessor(p: String): Option[String] = {
+    val cps = p.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+        sb.appendCodePoint(next)
+        return Some(sb.toString)
+      }
+      i -= 1
+    }
+    None
+  }
+
   private def objectIdLit(s: String): Option[BsonValue] =
     if (s.length == 24 && s.forall(c =>
       (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')))
@@ -409,6 +434,25 @@ object MongoWireSource {
             Some(BDoc(a -> BDoc("$in" -> BArray(lits.flatten))))
           else None
         }
+      // prefix match renders as the exact bytewise range
+      // [p, successor(p)): strings order bytewise-UTF-8 on both sides
+      // (simple collation == Spark's binary order), UTF-8 codepoint
+      // order IS byte order, and no encoding is a prefix of another
+      // (self-synchronization), so `s startsWith p ⟺ p <= s <
+      // successor(p)` exactly; ranges never match missing/null, same
+      // as Spark's null.startsWith(p) = null being dropped. At scale
+      // this turns a prefix filter from a full-collection wire
+      // transfer into an index-range scan. endsWith/contains have no
+      // exact range form and stay in Spark (Mongo $regex semantics
+      // are not bytewise and are not modeled).
+      case StringStartsWith(a, p) if p != null =>
+        kindFor(a).filter(_ == KString).map { _ =>
+          prefixSuccessor(p) match {
+            case Some(u) => BDoc(a -> BDoc(
+              "$gte" -> BString(p), "$lt" -> BString(u)))
+            case None => BDoc(a -> BDoc("$gte" -> BString(p)))
+          }
+        }
       // null tests translate only on non-rendered kinds: missing→null
       // at read aligns with Mongo's {f: null}, but an ARRAY field
       // containing null element-matches {f: null} while its rendered
@@ -461,7 +505,8 @@ object MongoWireSource {
         BDoc("$nor" -> BArray(Vector(c)))))))
     f match {
       case leaf @ (_: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-                   _: LessThan | _: LessThanOrEqual | _: In) =>
+                   _: LessThan | _: LessThanOrEqual | _: In |
+                   _: StringStartsWith) =>
         isFalseLeaf(leaf.references.head, filterToBson(leaf, kinds))
       case EqualNullSafe(a, null) =>
         kinds.get(a).filter(pushableKind)

@@ -123,7 +123,13 @@ object MongoPushdownPropertySpec extends Properties("MongoPushdown") {
       Gen.oneOf(true, false).map(col("b") === _),
       Gen.oneOf("a", "p", "s", "b", "t").map(col(_).isNull),
       Gen.oneOf("a", "p", "s", "b", "t").map(col(_).isNotNull),
-      in("a", inALit), in("s", inSLit))
+      in("a", inALit), in("s", inSLit),
+      // prefix pushdown (bytewise range render) + the stay-in-Spark
+      // suffix/contains shapes
+      Gen.oneOf("", "a", "z", "é", "zz", "é☃")
+        .map(col("s").startsWith(_)),
+      Gen.oneOf("a", "z", "☃").map(col("s").endsWith(_)),
+      Gen.oneOf("", "z", "☃").map(col("s").contains(_)))
   }
 
   private def genTree(depth: Int): Gen[Column] =

@@ -419,6 +419,37 @@ class MongoWireSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally srv.close()
   }
 
+  test("string prefix pushes as the exact bytewise range [p, successor(p))") {
+    val srv = new FakeMongoServer(docs)
+    try {
+      import org.apache.spark.sql.functions._
+      val df = reader(srv).load()
+      srv.clearLog()
+      // pri in {P0, P1, P2}: prefix "P1" → [P1, P2) bytewise
+      val got = df.filter(col("pri").startsWith("P1"))
+        .collect().map(_.getAs[Long]("_id")).sorted.toSeq
+      assert(got == (10 until 70).filter(_ % 3 == 1).map(_.toLong))
+      val f = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson).mkString(" ")
+      assert(f.contains(""""$gte":"P1"""") && f.contains(""""$lt":"P2""""), f)
+      // suffix/contains have no exact range form — they stay in Spark
+      srv.clearLog()
+      assert(df.filter(col("pri").endsWith("2")).count() ==
+        (10 until 70).count(_ % 3 == 2))
+      val f2 = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson).mkString(" ")
+      assert(!f2.contains("$lt") && !f2.contains("$regex"), f2)
+      // successor edge shapes: surrogate-block step-over and the
+      // unbounded all-U+10FFFF prefix
+      assert(MongoWireSource.prefixSuccessor("a\uD7FF").contains("a\uE000"))
+      assert(MongoWireSource.prefixSuccessor(
+        new String(Character.toChars(0x10FFFF))).isEmpty)
+      assert(MongoWireSource.prefixSuccessor(
+        "a" + new String(Character.toChars(0x10FFFF))).contains("b"))
+      assert(MongoWireSource.prefixSuccessor("").isEmpty)
+    } finally srv.close()
+  }
+
   test("an IN-list past the 10k cap stays in Spark") {
     val srv = new FakeMongoServer(docs)
     try {
