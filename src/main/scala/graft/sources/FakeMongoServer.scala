@@ -64,10 +64,12 @@ final class FakeMongoServer(initial: Vector[BDoc]) extends AutoCloseable {
       if (x == y) Some(0) else None // equality only; no doc ordering here
     case (BObjectId(x), BObjectId(y)) => Some(x.compareTo(y))
     case (BString(x), BString(y)) =>
-      // bytewise UTF-8 (Mongo's default simple collation)
-      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      Some(java.util.Arrays.compareUnsigned(xb, yb))
+      // bytewise UTF-8 (Mongo's default simple collation) == code
+      // point order (UTF-8 preserves it); compared code point by code
+      // point so the prefix-range filter path — hundreds of thousands
+      // of evaluations per find at probe scale — never allocates a
+      // byte[] pair per comparison
+      Some(compareCodePoints(x, y))
     case (BBool(x), BBool(y)) => Some(java.lang.Boolean.compare(x, y))
     case (BDateTime(x), BDateTime(y)) => Some(java.lang.Long.compare(x, y))
     // numeric bracket: integral pairs compare directly (the hot path —
@@ -87,6 +89,23 @@ final class FakeMongoServer(initial: Vector[BDoc]) extends AutoCloseable {
         case _ => None
       }
       for (x <- num(a); y <- num(b)) yield x.compareTo(y)
+  }
+
+  /** Code-point comparison — identical to comparing the two strings'
+    * UTF-8 encodings bytewise (UTF-8 preserves code point order), with
+    * zero allocation.
+    */
+  private def compareCodePoints(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
   }
 
   /** Field lookup treating missing as absent (None); BNull stays BNull. */

@@ -69,6 +69,17 @@ object MongoScaleProbe {
           .write.mode("overwrite").format("noop").save(); warm
       }
       println(f"$dir%-22s $warm%10d  ${"dsv2_2col"}%-12s ${4}%5d $s2%8.2f ${(warm / s2).toLong}%10d")
+      // prefix-range pushdown (r18): `priority startsWith "1"` renders
+      // as [1, 2) server-side, so only the matching ~20% of documents
+      // cross the wire and pay decode+convert; rows_s is on the FULL
+      // collection basis — the speedup over dsv2_full is the win
+      import org.apache.spark.sql.functions.col
+      val hit = dsv2(4).filter(col("priority").startsWith("1")).count()
+      val (s3, _) = time {
+        dsv2(4).filter(col("priority").startsWith("1"))
+          .write.mode("overwrite").format("noop").save(); hit
+      }
+      println(f"$dir%-22s $hit%10d  ${"dsv2_prefix"}%-12s ${4}%5d $s3%8.2f ${(warm / s3).toLong}%10d")
     }
     spark.stop()
   }

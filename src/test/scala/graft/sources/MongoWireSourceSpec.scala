@@ -279,6 +279,26 @@ class MongoWireSourceSpec extends AnyFunSuite with SparkTestSession {
       val f = srv.findCommands.flatMap(_.get("filter"))
         .map(BsonCodec.toReferenceJson).mkString(" ")
       assert(f.contains("$in"), f)
+
+      // compile-time + runtime filters COMPOSE into one $and'ed find
+      // filter (the mergedConds contract): the pushed `_id < 120`
+      // ANDs with the join-key IN-set, so the server returns only
+      // the intersection
+      srv.clearLog()
+      val both = big.filter(col("_id") < 120L)
+        .join(broadcast(dim), "_id").select("_id", "txt")
+      assert(both.collect().map(_.getLong(0)).sorted.toSeq ==
+        (100L until 120L by 2).toSeq)
+      val scan2 = findScan(both.queryExecution.executedPlan)
+        .getOrElse(fail("no BatchScanExec in plan"))
+      assert(scan2.metrics("numOutputRows").value == 10L,
+        s"server did not evaluate both filter planes: " +
+          s"${scan2.metrics("numOutputRows").value} docs crossed")
+      val f2 = srv.findCommands.flatMap(_.get("filter"))
+        .map(BsonCodec.toReferenceJson)
+        .filter(s => s.contains("$in") && s.contains("$lt"))
+      assert(f2.nonEmpty && f2.forall(_.contains("$and")),
+        srv.findCommands.map(BsonCodec.toReferenceJson).mkString("; "))
     } finally srv.close()
   }
 
