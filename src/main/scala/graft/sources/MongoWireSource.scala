@@ -727,12 +727,10 @@ final class MongoScan(conn: MongoWireSource.Conn, db: String, coll: String,
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
+  // filterToBson itself enforces the 10k IN cap (shared with the
+  // compile-time path), so no pre-filter here
   override def filter(filters: Array[Filter]): Unit =
     runtimeConds = filters.toSeq
-      .filter {
-        case In(_, vs) => vs.length <= 10000
-        case _ => true
-      }
       .flatMap(MongoWireSource.filterToBson(_, profile.kinds))
 
   override def readSchema(): StructType = out

@@ -222,53 +222,72 @@ object PgWireSource {
     * `NOT (...)` composes exactly — unlike the Mongo plane's `$nor`
     * (see [[MongoWireSource.notToBson]]).
     *
-    * `utf8Strings` is whether the server encoding is UTF-8: string
-    * RANGE comparisons ride `COLLATE "C"` (byte order of the server
-    * encoding), which equals Spark's binary UTF-8 order only then —
-    * the same guard [[PgScanBuilder.stringOrderPushable]] applies to
-    * sort/min-max pushdown. Without it a database collation like
-    * en_US would server-evaluate 'B' < 'a' as TRUE where Spark says
-    * FALSE. Equality/IN/LIKE are bytewise under any deterministic
-    * collation and carry no collate clause.
+    * String-valued comparisons are TYPE-GATED by `textCol` — true only
+    * for columns whose declared PG type is `text`/`character varying`.
+    * Every other string-backed column (uuid, json[b], xml, enums,
+    * arrays, user-defined types — all read as StringType) declines
+    * string comparisons outright: the server would compare in the
+    * TYPE's own semantics, not Spark's textual ones (uuid
+    * parse-equality matches a differently-cased literal, jsonb
+    * equality is structural, enum order is definition order), and a
+    * `COLLATE "C"` clause on a non-collatable type is a server error.
+    * On text columns, `utf8Strings` (server encoding is UTF-8) gates
+    * RANGE comparisons, which ride `COLLATE "C"` (byte order of the
+    * server encoding == Spark's binary UTF-8 order only then — the
+    * same guard the sort/min-max plane applies); equality/IN/LIKE are
+    * bytewise under any deterministic collation and carry no collate
+    * clause. Both flags are REQUIRED parameters on purpose — a caller
+    * that cannot answer them has no business pushing string filters.
     */
-  private[sources] def filterToSql(f: Filter,
-      utf8Strings: Boolean = true): Option[String] = f match {
-    case EqualTo(a, v) => binOp(a, "=", v, utf8Strings)
+  private[sources] def filterToSql(f: Filter, utf8Strings: Boolean,
+      textCol: String => Boolean): Option[String] = f match {
+    case EqualTo(a, v) => binOp(a, "=", v, utf8Strings, textCol)
     // null-safe equality is SQL's IS NOT DISTINCT FROM, exactly
     case EqualNullSafe(a, null) => Some(s"${quoteIdent(a)} IS NULL")
     case EqualNullSafe(a, v) =>
-      valueLit(v).map(lit =>
+      if (isStringValue(v) && !textCol(a)) None
+      else valueLit(v).map(lit =>
         s"${quoteIdent(a)} IS NOT DISTINCT FROM $lit")
-    case GreaterThan(a, v) => binOp(a, ">", v, utf8Strings)
-    case GreaterThanOrEqual(a, v) => binOp(a, ">=", v, utf8Strings)
-    case LessThan(a, v) => binOp(a, "<", v, utf8Strings)
-    case LessThanOrEqual(a, v) => binOp(a, "<=", v, utf8Strings)
+    case GreaterThan(a, v) => binOp(a, ">", v, utf8Strings, textCol)
+    case GreaterThanOrEqual(a, v) => binOp(a, ">=", v, utf8Strings, textCol)
+    case LessThan(a, v) => binOp(a, "<", v, utf8Strings, textCol)
+    case LessThanOrEqual(a, v) => binOp(a, "<=", v, utf8Strings, textCol)
     // the 10k cap mirrors the runtime (DPP) filter path's: a larger
     // literal IN-list bloats the query text past any planning benefit
     // — it stays in Spark instead
     case In(a, vs) if vs.nonEmpty && vs.length <= 10000 =>
-      val lits = vs.toSeq.map(valueLit)
-      if (lits.forall(_.isDefined))
-        Some(s"${quoteIdent(a)} IN (${lits.flatten.mkString(", ")})")
-      else None
+      if (vs.exists(isStringValue) && !textCol(a)) None
+      else {
+        val lits = vs.toSeq.map(valueLit)
+        if (lits.forall(_.isDefined))
+          Some(s"${quoteIdent(a)} IN (${lits.flatten.mkString(", ")})")
+        else None
+      }
     case IsNull(a) => Some(s"${quoteIdent(a)} IS NULL")
     case IsNotNull(a) => Some(s"${quoteIdent(a)} IS NOT NULL")
-    case StringStartsWith(a, v) =>
+    case StringStartsWith(a, v) if textCol(a) =>
       Some(s"${quoteIdent(a)} LIKE ${sqlLit(likeEscape(v) + "%")} ESCAPE '\\'")
-    case StringEndsWith(a, v) =>
+    case StringEndsWith(a, v) if textCol(a) =>
       Some(s"${quoteIdent(a)} LIKE ${sqlLit("%" + likeEscape(v))} ESCAPE '\\'")
-    case StringContains(a, v) =>
+    case StringContains(a, v) if textCol(a) =>
       Some(s"${quoteIdent(a)} LIKE ${sqlLit("%" + likeEscape(v) + "%")} ESCAPE '\\'")
     case And(l, r) =>
-      for (ls <- filterToSql(l, utf8Strings);
-           rs <- filterToSql(r, utf8Strings)) yield s"($ls AND $rs)"
+      for (ls <- filterToSql(l, utf8Strings, textCol);
+           rs <- filterToSql(r, utf8Strings, textCol)) yield s"($ls AND $rs)"
     case Or(l, r) =>
-      for (ls <- filterToSql(l, utf8Strings);
-           rs <- filterToSql(r, utf8Strings)) yield s"($ls OR $rs)"
+      for (ls <- filterToSql(l, utf8Strings, textCol);
+           rs <- filterToSql(r, utf8Strings, textCol)) yield s"($ls OR $rs)"
     case Not(child) =>
-      filterToSql(child, utf8Strings).map(s => s"(NOT $s)")
+      filterToSql(child, utf8Strings, textCol).map(s => s"(NOT $s)")
     case _ => None
   }
+
+  /** The PG types whose server-side string comparison IS Spark's:
+    * plain text and varchar (bpchar is excluded separately — its
+    * blank-padded equality differs).
+    */
+  private[sources] def isTextType(pgType: String): Boolean =
+    pgType == "text" || pgType == "character varying"
 
   private def isStringValue(v: Any): Boolean = v match {
     case _: String | _: UTF8String => true
@@ -276,9 +295,12 @@ object PgWireSource {
   }
 
   private def binOp(attr: String, op: String, v: Any,
-      utf8Strings: Boolean): Option[String] =
-    if (op != "=" && isStringValue(v)) {
-      if (utf8Strings)
+      utf8Strings: Boolean, textCol: String => Boolean): Option[String] =
+    if (isStringValue(v)) {
+      if (!textCol(attr)) None // non-text semantics or collate error
+      else if (op == "=")
+        valueLit(v).map(lit => s"${quoteIdent(attr)} $op $lit")
+      else if (utf8Strings)
         valueLit(v).map(lit =>
           s"${quoteIdent(attr)} COLLATE \"C\" $op $lit")
       else None // non-UTF-8 byte order ≠ Spark's string order
@@ -437,24 +459,37 @@ final class PgScanBuilder(conn: PgWireSource.Conn, table: String,
   private def isBpchar(col: String): Boolean =
     pgTypes.get(col).contains("character")
 
-  /** String ordering pushdown is safe only with COLLATE "C" on a UTF-8
-    * server (byte order there == Spark's binary UTF-8 order); under the
-    * database collation 'a' < 'B' in e.g. en_US while Spark says
-    * 'B' < 'a', which silently corrupts TopN and MIN/MAX.
+  /** Column is true text (text/varchar) — the only StringType-backed
+    * PG types whose server-side comparison is Spark's textual one.
+    * uuid/json[b]/xml/enums/arrays read as StringType too, but the
+    * server compares them in the TYPE's semantics (uuid parse-
+    * equality, structural jsonb equality, definition-order enums) and
+    * rejects COLLATE outright — string filters and ordering on them
+    * stay in Spark (r18, found by review of the COLLATE hardening).
     */
-  private def stringOrderPushable(col: String): Boolean =
-    !isBpchar(col) &&
-      PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8")
+  private def isTextCol(col: String): Boolean =
+    pgTypes.get(col).exists(PgWireSource.isTextType)
 
   private lazy val utf8Server =
     PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8")
 
+  /** String ordering pushdown is safe only on a true text column with
+    * COLLATE "C" on a UTF-8 server (byte order there == Spark's binary
+    * UTF-8 order); under the database collation 'a' < 'B' in e.g.
+    * en_US while Spark says 'B' < 'a', which silently corrupts TopN
+    * and MIN/MAX — and a COLLATE clause on uuid/jsonb/enum is a
+    * server error.
+    */
+  private def stringOrderPushable(col: String): Boolean =
+    isTextCol(col) && utf8Server
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(f =>
-      PgWireSource.filterToSql(f, utf8Server).isDefined &&
+      PgWireSource.filterToSql(f, utf8Server, isTextCol).isDefined &&
         !f.references.exists(isBpchar))
     accepted = ok
-    whereSqls = ok.toSeq.flatMap(PgWireSource.filterToSql(_, utf8Server))
+    whereSqls = ok.toSeq.flatMap(
+      PgWireSource.filterToSql(_, utf8Server, isTextCol))
     rest // unsupported filters stay in Spark
   }
   override def pushedFilters(): Array[Filter] = accepted
@@ -691,23 +726,30 @@ final class PgScan(conn: PgWireSource.Conn, table: String, out: StructType,
     */
   private var runtimeWheres: Seq[String] = Nil
 
+  private def runtimeTextCol(col: String): Boolean =
+    PgWireSource.pgTypesOf(conn, table).get(col)
+      .exists(PgWireSource.isTextType)
+
   override def filterAttributes(): Array[NamedReference] =
     if (agg.isDefined) Array.empty // WHERE injects below the GROUP BY
     else out.fields.collect {
+      // string-typed join keys advertise only on true text columns —
+      // a uuid/jsonb-backed key's IN-set would be declined by the
+      // renderer anyway (type semantics ≠ Spark's textual equality)
       case f if f.dataType != BinaryType &&
           !PgWireSource.pgTypesOf(conn, table).get(f.name)
-            .contains("character") =>
+            .contains("character") &&
+          (f.dataType != org.apache.spark.sql.types.StringType ||
+            runtimeTextCol(f.name)) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
+  // the renderer itself enforces the 10k IN cap and the text-column
+  // gate, so the runtime path needs no pre-filter of its own
   override def filter(filters: Array[Filter]): Unit =
-    runtimeWheres = filters.toSeq
-      .filter {
-        case org.apache.spark.sql.sources.In(_, vs) => vs.length <= 10000
-        case _ => true
-      }
-      .flatMap(PgWireSource.filterToSql(_,
-        PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8")))
+    runtimeWheres = filters.toSeq.flatMap(PgWireSource.filterToSql(_,
+      PgWireSource.serverEncoding(conn).equalsIgnoreCase("UTF8"),
+      runtimeTextCol))
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this

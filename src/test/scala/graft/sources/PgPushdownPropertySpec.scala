@@ -50,11 +50,23 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
     "TIMESTAMPTZ '2024-01-01 00:00:00.000500+00'",
     "TIMESTAMPTZ '0001-01-01 00:00:00+00'"))
 
+  // uuid/jsonb read as StringType but carry NON-textual server
+  // semantics — their string filters must decline (type-gated), which
+  // the property verifies by including them in the row set and the
+  // filter trees
+  private val genU: Gen[String] = opt(Gen.oneOf(
+    "'550e8400-e29b-41d4-a716-446655440000'",
+    "'aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee'",
+    "'00000000-0000-0000-0000-000000000000'"))
+  private val genJ: Gen[String] = opt(Gen.oneOf(
+    """'{"k": 1}'""", """'{"k":  1}'""", """'{"k": 2}'""", "'[1, 2]'"))
+
   private val genRows: Gen[Vector[String]] = for {
     n <- Gen.choose(1, 16)
     rows <- Gen.sequence[Vector[String], String]((0 until n).map { i =>
-      for (a <- genA; p <- genP; s <- genS; b <- genB; t <- genT)
-        yield s"($i, $a, $p, $s, $b, $t)"
+      for (a <- genA; p <- genP; s <- genS; b <- genB; t <- genT;
+           u <- genU; j <- genJ)
+        yield s"($i, $a, $p, $s, $b, $t, $u, $j)"
     }.toVector)
   } yield rows
 
@@ -96,7 +108,22 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
       in("a", inALit), in("s", inSLit),
       Gen.oneOf("a", "z", "x'").map(col("s").startsWith(_)),
       Gen.oneOf("a", "z", "'y").map(col("s").endsWith(_)),
-      Gen.oneOf("", "z", "'").map(col("s").contains(_)))
+      Gen.oneOf("", "z", "'").map(col("s").contains(_)),
+      // uuid/jsonb: type-gated declines must be invisible — note the
+      // UPPERCASE uuid literal (PG parse-equality would match, Spark's
+      // textual equality must not) and the double-space jsonb literal
+      // (structural equality there, textual here)
+      for (op <- cmpOps; l <- Gen.oneOf(
+        "550e8400-e29b-41d4-a716-446655440000",
+        "550E8400-E29B-41D4-A716-446655440000",
+        "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee", "z"))
+        yield op(col("u"), lit(l)),
+      for (op <- Gen.oneOf(Seq[(Column, Column) => Column](
+        _ === _, _ =!= _, _ <=> _)); l <- Gen.oneOf(
+        """{"k": 1}""", """{"k":  1}""", "[1, 2]"))
+        yield op(col("doc"), lit(l)),
+      Gen.oneOf("u", "doc").map(col(_).isNull),
+      Gen.oneOf("u", "doc").map(col(_).isNotNull))
   }
 
   private def genTree(depth: Int): Gen[Column] =
@@ -122,7 +149,7 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
             DROP TABLE IF EXISTS graft_t.prop;
             CREATE TABLE graft_t.prop (
               id BIGINT, a BIGINT, p DOUBLE PRECISION, s TEXT,
-              b BOOLEAN, t TIMESTAMPTZ);
+              b BOOLEAN, t TIMESTAMPTZ, u UUID, doc JSONB);
             INSERT INTO graft_t.prop VALUES ${rows.mkString(", ")}""")
     } finally c.close()
   }
@@ -248,7 +275,8 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
       // id is unique (one NULL-keyed row appended), so top-k content
       // is deterministic and comparable
       val withNull = rows :+
-        s"(NULL, 0, 0.0, 'nullkey', TRUE, TIMESTAMPTZ '2024-01-01 00:00:00+00')"
+        s"(NULL, 0, 0.0, 'nullkey', TRUE, " +
+          "TIMESTAMPTZ '2024-01-01 00:00:00+00', NULL, NULL)"
       seed(withNull)
       val base = spark.read.format("graft.sources.PgWireSource")
         .option("host", h.host).option("port", h.port)
@@ -258,7 +286,14 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
         (if (nParts > 1)
           base.option("partitionColumn", "id").option("numPartitions", nParts)
         else base).load()
-      val full = base.load()
+      // the oracle base read is a FRESH unpartitioned reader —
+      // DataFrameReader.option mutates in place, so reusing `base`
+      // after the partition options would make the oracle the very
+      // partitioned path under test (review-found)
+      val full = spark.read.format("graft.sources.PgWireSource")
+        .option("host", h.host).option("port", h.port)
+        .option("user", h.user).option("database", h.database)
+        .option("table", "graft_t.prop").load()
       val inMem = spark.createDataFrame(
         new java.util.ArrayList(
           scala.jdk.CollectionConverters.SeqHasAsJava(

@@ -392,7 +392,9 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
 
   test("filter rendering: exact subset, unsupported stays in Spark (no server)") {
     import org.apache.spark.sql.sources._
-    import PgWireSource.filterToSql
+    def filterToSql(f: Filter, utf8Strings: Boolean = true,
+        textCol: String => Boolean = _ => true): Option[String] =
+      PgWireSource.filterToSql(f, utf8Strings, textCol)
     assert(filterToSql(EqualTo("a", 5)).contains("\"a\" = 5"))
     assert(filterToSql(In("a", Array("x'y", "z"))).contains(
       """"a" IN ('x''y', 'z')"""))
@@ -415,6 +417,18 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(filterToSql(GreaterThan("t", "abc"), utf8Strings = false).isEmpty)
     assert(filterToSql(EqualTo("t", "abc"), utf8Strings = false).contains(
       """"t" = 'abc'"""))
+    // string comparisons are TYPE-GATED: a non-text StringType column
+    // (uuid/jsonb/enum/…) declines eq/range/IN/LIKE/<=> — the server
+    // would compare in the type's own semantics (or reject COLLATE),
+    // not Spark's textual ones; null tests stay pushable
+    val noText: String => Boolean = _ => false
+    assert(filterToSql(EqualTo("u", "ABC"), textCol = noText).isEmpty)
+    assert(filterToSql(GreaterThan("u", "a"), textCol = noText).isEmpty)
+    assert(filterToSql(In("u", Array("x", "y")), textCol = noText).isEmpty)
+    assert(filterToSql(StringStartsWith("u", "a"), textCol = noText).isEmpty)
+    assert(filterToSql(EqualNullSafe("u", "x"), textCol = noText).isEmpty)
+    assert(filterToSql(IsNull("u"), textCol = noText).contains(
+      "\"u\" IS NULL"))
     // pre-Gregorian/pre-1900 java.sql literals arrive calendar-rebased
     // from Spark's proleptic internal form — declined, never inexact
     assert(filterToSql(EqualTo("ts", java.sql.Timestamp.from(
@@ -433,6 +447,52 @@ class PgWireSourceSpec extends AnyFunSuite with SparkTestSession {
       java.lang.Long.valueOf(i.toLong)))).isEmpty)
     // one unsupported leg poisons the conjunction (exactness contract)
     assert(filterToSql(And(EqualTo("a", 1), EqualTo("b", null))).isEmpty)
+  }
+
+  test("live: uuid/jsonb-backed string columns keep filters and ordering in Spark") {
+    assume(LivePostgres.available, "postgres server binaries not installed")
+    import org.apache.spark.sql.functions._
+    val c = PgConn(h.host, h.port, h.user, h.database).open()
+    try {
+      val _ = c.query(
+        """CREATE SCHEMA IF NOT EXISTS graft_t;
+           DROP TABLE IF EXISTS graft_t.oddstr;
+           CREATE TABLE graft_t.oddstr (id BIGINT, u UUID, doc JSONB);
+           INSERT INTO graft_t.oddstr VALUES
+             (1, '550e8400-e29b-41d4-a716-446655440000', '{"k": 1}'),
+             (2, 'aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee', '{"k":  2}'),
+             (3, NULL, NULL)""")
+    } finally c.close()
+    val df = reader.option("table", "graft_t.oddstr").load()
+    // an UPPERCASE uuid literal: PG's uuid parse-equality would MATCH
+    // row 1; Spark's textual equality must not — the filter stays in
+    // Spark and returns the Spark answer
+    val up = df.filter(col("u") === "550E8400-E29B-41D4-A716-446655440000")
+    // the inferred IsNotNull may push (type-independent); the EQUALITY
+    // must not — it stays a Spark-side Filter
+    val upPlan = up.queryExecution.executedPlan.toString
+    assert(!upPlan.contains("\"u\" ="), upPlan)
+    assert(upPlan.contains("Filter"), upPlan)
+    assert(up.count() == 0)
+    assert(df.filter(col("u") === "550e8400-e29b-41d4-a716-446655440000")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a range filter must not render COLLATE "C" on uuid (server error
+    // 42P22 before this guard) — and still computes correctly in Spark
+    val rng = df.filter(col("u") > "60000000")
+    assert(!rng.queryExecution.executedPlan.toString.contains("COLLATE"))
+    assert(rng.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // jsonb textual filter stays in Spark too (PG jsonb equality is
+    // structural — '{"k":  2}' == '{"k": 2}' there, not in Spark)
+    val js = df.filter(col("doc") === """{"k": 1}""")
+    assert(!js.queryExecution.executedPlan.toString.contains("\"doc\" ="))
+    assert(js.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // TopN on uuid must not push a COLLATE'd sort either
+    val top = df.orderBy(col("u").asc_nulls_last).limit(2)
+    assert(!top.queryExecution.executedPlan.toString.contains("COLLATE"))
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // null tests are type-independent and still push
+    assert(df.filter(col("u").isNull).collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("a silent peer fails the handshake within the deadline (no server)") {
