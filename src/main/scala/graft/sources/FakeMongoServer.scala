@@ -79,16 +79,27 @@ final class FakeMongoServer(initial: Vector[BDoc]) extends AutoCloseable {
     case (BInt32(x), BInt64(y)) => Some(java.lang.Long.compare(x.toLong, y))
     case (BInt64(x), BInt32(y)) => Some(java.lang.Long.compare(x, y.toLong))
     case _ =>
-      // … double-involved pairs compare exactly via BigDecimal
+      // … double-involved pairs follow Mongo's numeric TOTAL order
+      // (r19, ADVICE item — the connector declines KDouble ranges so
+      // this is unexercised by pushdown, but the fake must never
+      // diverge from a real server a spec might swap in): NaN sorts
+      // below all numbers and equals itself, -0.0 == 0.0, infinities
+      // at the ends; finite values compare exactly via BigDecimal
       // (avoids 2^53 truncation surprises on long↔double)
-      def num(v: BsonValue): Option[java.math.BigDecimal] = v match {
-        case BInt32(i) => Some(java.math.BigDecimal.valueOf(i.toLong))
-        case BInt64(i) => Some(java.math.BigDecimal.valueOf(i))
-        case BDouble(d) if !d.isNaN && !d.isInfinite =>
-          Some(new java.math.BigDecimal(d))
+      def rank(v: BsonValue): Option[(Int, java.math.BigDecimal)] = v match {
+        case BInt32(i) => Some((0, java.math.BigDecimal.valueOf(i.toLong)))
+        case BInt64(i) => Some((0, java.math.BigDecimal.valueOf(i)))
+        case BDouble(d) =>
+          if (d.isNaN) Some((-2, null))
+          else if (d == Double.NegativeInfinity) Some((-1, null))
+          else if (d == Double.PositiveInfinity) Some((1, null))
+          else Some((0, new java.math.BigDecimal(d)))
         case _ => None
       }
-      for (x <- num(a); y <- num(b)) yield x.compareTo(y)
+      for ((rx, dx) <- rank(a); (ry, dy) <- rank(b)) yield
+        if (rx != ry) Integer.compare(rx, ry)
+        else if (rx != 0) 0
+        else dx.compareTo(dy)
   }
 
   /** Code-point comparison — identical to comparing the two strings'

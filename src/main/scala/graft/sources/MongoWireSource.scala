@@ -82,7 +82,11 @@ import BsonCodec._
   * rendered columns keep their null tests in Spark). Range operators
   * are type-bracketed server-side and never match missing/null, same
   * as Spark's three-valued comparisons. String order is Mongo's
-  * simple binary collation == Spark's UTF-8 binary order. Doubles
+  * simple binary collation == Spark's UTF-8 binary order — and every
+  * find command PINS `collation: {locale: "simple"}` explicitly, so a
+  * collection-default collation (which an unpinned query would
+  * silently inherit) can never re-interpret pushed filters or sorts.
+  * Doubles
   * order DIFFERENTLY on the two sides (Spark sorts NaN above all
   * values, Mongo below all numbers), so range operators on a KDouble
   * column are declined — the exact mirror of the TopN double decline
@@ -336,10 +340,15 @@ object MongoWireSource {
     }
 
   /** Proleptic-vs-hybrid calendar rebasing is the identity at and
-    * after this instant in every timezone (Spark's parquet/Avro
-    * rebase checks use the same floor).
+    * after Spark's 1900-01-01 boundary — plus a one-day guard band:
+    * the KDateTime case tests the ALREADY-REBASED instant, and in
+    * zones with LMT offsets an original instant slightly before the
+    * boundary can rebase to one at/above it (wrong by the sub-hour
+    * rebase delta). LMT deltas are bounded well under a day, so
+    * declining everything before 1900-01-02 closes the band (r19,
+    * ADVICE item; same fix on the PG plane).
     */
-  private val rebaseSafeFloor = java.time.Instant.parse("1900-01-01T00:00:00Z")
+  private val rebaseSafeFloor = java.time.Instant.parse("1900-01-02T00:00:00Z")
 
   /** The least string strictly greater (bytewise UTF-8) than every
     * string with prefix `p`: the last incrementable code point +1
@@ -394,6 +403,14 @@ object MongoWireSource {
     * to [[notToBson]] — `NOT(pred)` keeps a row iff `pred IS FALSE`,
     * which is NOT `$nor` (Mongo's `$nor: [{a: 5}]` matches a document
     * lacking `a`; Spark drops it).
+    *
+    * Contract boundary: pushdown narrows BEFORE the loud-or-exact
+    * homogeneity check runs — on a contract-violating (heterogeneous)
+    * collection a pushed filter can server-side exclude a wrong-typed
+    * document (e.g. `NOT(a=5)` with `a: [5]` — Mongo element-match
+    * drops it silently) that the unpushed read would have failed on
+    * LOUDLY. The exactness argument above assumes the declared
+    * homogeneous kinds it is given.
     */
   private[sources] def filterToBson(f: Filter,
       kinds: Map[String, FieldKind]): Option[BDoc] = {

@@ -72,6 +72,28 @@ class MongoWireSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally srv.close()
   }
 
+  test("every find command pins collation {locale: simple}") {
+    // a find that names no collation inherits the COLLECTION default
+    // (a real mongod created with e.g. {locale:"en", strength:2} would
+    // evaluate pushed filters/sorts case-insensitively), so the client
+    // must pin the simple binary collation on every find it issues —
+    // schema probe, sliced scans, filtered and sorted reads alike
+    val srv = new FakeMongoServer(docs)
+    try {
+      import org.apache.spark.sql.functions._
+      val df = reader(srv).load() // schema probe issues finds too
+      assert(df.filter(col("pri") === "P1").count() == 20)
+      assert(df.orderBy("_id").limit(3).collect().length == 3)
+      val finds = srv.findCommands
+      assert(finds.nonEmpty)
+      finds.foreach { cmd =>
+        val coll = cmd.get("collation").collect { case d: BDoc => d }
+        assert(coll.exists(_.get("locale").contains(BString("simple"))),
+          s"find without pinned simple collation: ${BsonCodec.toReferenceJson(cmd)}")
+      }
+    } finally srv.close()
+  }
+
   test("projection pushdown: the find command carries the inclusion doc") {
     val srv = new FakeMongoServer(docs)
     try {

@@ -61,12 +61,19 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
   private val genJ: Gen[String] = opt(Gen.oneOf(
     """'{"k": 1}'""", """'{"k":  1}'""", """'{"k": 2}'""", "'[1, 2]'"))
 
+  // case-colliding values for the ci-collated column: under the
+  // nondeterministic ICU collation 'alpha' = 'ALPHA' server-side,
+  // while Spark compares bytes — the r19 collation gate must make the
+  // difference invisible by keeping those filters in Spark
+  private val genC: Gen[String] = opt(Gen.oneOf(
+    "'alpha'", "'ALPHA'", "'Alpha'", "'beta'", "''"))
+
   private val genRows: Gen[Vector[String]] = for {
     n <- Gen.choose(1, 16)
     rows <- Gen.sequence[Vector[String], String]((0 until n).map { i =>
       for (a <- genA; p <- genP; s <- genS; b <- genB; t <- genT;
-           u <- genU; j <- genJ)
-        yield s"($i, $a, $p, $s, $b, $t, $u, $j)"
+           u <- genU; j <- genJ; cs <- genC)
+        yield s"($i, $a, $p, $s, $b, $t, $u, $j, $cs)"
     }.toVector)
   } yield rows
 
@@ -123,7 +130,17 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
         """{"k": 1}""", """{"k":  1}""", "[1, 2]"))
         yield op(col("doc"), lit(l)),
       Gen.oneOf("u", "doc").map(col(_).isNull),
-      Gen.oneOf("u", "doc").map(col(_).isNotNull))
+      Gen.oneOf("u", "doc").map(col(_).isNotNull),
+      // ci-collated text: =/IN/<=>/LIKE-shapes must stay in Spark
+      // (collation-gated), ranges ride COLLATE "C" and may push —
+      // either way the answer must equal the in-memory one
+      cmp("cs", Gen.oneOf("alpha", "ALPHA", "Alpha", "beta", "")
+        .map(lit(_))),
+      in("cs", Gen.oneOf("alpha", "ALPHA", "beta", "")),
+      Gen.oneOf("al", "AL", "be").map(col("cs").startsWith(_)),
+      Gen.oneOf("ha", "HA", "ta").map(col("cs").endsWith(_)),
+      Gen.oneOf("lph", "LPH", "").map(col("cs").contains(_)),
+      Gen.const(col("cs").isNull), Gen.const(col("cs").isNotNull))
   }
 
   private def genTree(depth: Int): Gen[Column] =
@@ -141,7 +158,27 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
 
   // ---- the property ---------------------------------------------------
 
+  /** The nondeterministic ICU collation the `cs` column carries —
+    * created once; on a server built without ICU the column falls back
+    * to plain TEXT (the property still runs, just without exercising
+    * the collation gate).
+    */
+  private lazy val ciCollation: Boolean = {
+    val c = PgConn(h.host, h.port, h.user, h.database).open()
+    try {
+      val _ = c.query(
+        """CREATE SCHEMA IF NOT EXISTS graft_t;
+           CREATE COLLATION IF NOT EXISTS graft_t.prop_ci (
+             provider = icu, locale = 'und-u-ks-level2',
+             deterministic = false)""")
+      true
+    } catch { case _: Throwable => false }
+    finally c.close()
+  }
+
   private def seed(rows: Vector[String]): Unit = {
+    val csType =
+      if (ciCollation) "TEXT COLLATE graft_t.prop_ci" else "TEXT"
     val c = PgConn(h.host, h.port, h.user, h.database).open()
     try {
       val _ = c.query(
@@ -149,7 +186,7 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
             DROP TABLE IF EXISTS graft_t.prop;
             CREATE TABLE graft_t.prop (
               id BIGINT, a BIGINT, p DOUBLE PRECISION, s TEXT,
-              b BOOLEAN, t TIMESTAMPTZ, u UUID, doc JSONB);
+              b BOOLEAN, t TIMESTAMPTZ, u UUID, doc JSONB, cs $csType);
             INSERT INTO graft_t.prop VALUES ${rows.mkString(", ")}""")
     } finally c.close()
   }
@@ -179,9 +216,11 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
     Gen.oneOf("a", "p", "s", "t").map(c =>
       (count(col(c)).as(s"cnt_$c"), false)),
     Gen.oneOf("a", "p").map(c => (sum(col(c)).as(s"sum_$c"), false)),
-    Gen.oneOf("a", "p", "s", "t").map(c =>
+    // cs: string MIN/MAX on the ci column still push — COLLATE "C"
+    // overrides the column collation, byte order == Spark's
+    Gen.oneOf("a", "p", "s", "t", "cs").map(c =>
       (min(col(c)).as(s"min_$c"), c == "p")),
-    Gen.oneOf("a", "p", "s", "t").map(c =>
+    Gen.oneOf("a", "p", "s", "t", "cs").map(c =>
       (max(col(c)).as(s"max_$c"), c == "p")),
     Gen.oneOf("a", "p").map(c => (avg(col(c)).as(s"avg_$c"), false)),
     Gen.const((countDistinct(col("a")).as("cd_a"), false))) // declined → Spark
@@ -190,7 +229,8 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
       : Gen[(Seq[String], Seq[(Column, Boolean)], Option[Column])] =
     for {
       groups <- Gen.oneOf(Seq.empty[String], Seq("s"), Seq("b"),
-        Seq("s", "b"))
+        Seq("s", "b"), Seq("cs")) // cs: GROUP BY collation-gate decline
+        // must be invisible (server would merge 'alpha'/'ALPHA')
       n <- Gen.choose(1, 3)
       aggs <- Gen.listOfN(n, genAgg)
       filt <- Gen.option(genTree(2))
@@ -276,7 +316,7 @@ object PgPushdownPropertySpec extends Properties("PgPushdown") {
       // is deterministic and comparable
       val withNull = rows :+
         s"(NULL, 0, 0.0, 'nullkey', TRUE, " +
-          "TIMESTAMPTZ '2024-01-01 00:00:00+00', NULL, NULL)"
+          "TIMESTAMPTZ '2024-01-01 00:00:00+00', NULL, NULL, NULL)"
       seed(withNull)
       val base = spark.read.format("graft.sources.PgWireSource")
         .option("host", h.host).option("port", h.port)
