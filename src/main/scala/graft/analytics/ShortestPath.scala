@@ -48,10 +48,15 @@ object ShortestPath {
       // caches the frontier and cuts its lineage; `visited` is then a
       // union of already-materialized frontiers, so its plan stays
       // flat without ever being checkpointed itself
-      val next = frontier.alias("f")
+      // frontier/visited are node-bounded and shrink/stay small by
+      // construction — broadcast both (guide §3.1) so the edge
+      // relation, the big side at corpus scale, is never shuffled per
+      // round; the statless checkpointed intermediates otherwise plan
+      // as SortMergeJoin (two exchanges + sorts each round)
+      val next = broadcast(frontier).alias("f")
         .join(edges.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(broadcast(visited), Seq("node"), "left_anti")
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
@@ -75,12 +80,20 @@ object ShortestPath {
     while (r < rounds) {
       // alias both sides each round: dist derives from edges after the
       // first relaxation, so unqualified refs would be ambiguous
-      val relaxed = dist.alias("d")
+      val relaxed = broadcast(dist).alias("d")
         .join(edges.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").as("node"),
           (col("d.dist") + col("e.w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
+        // eager per-round cut (r19): round r references dist_{r-1}
+        // TWICE (the union and the relaxation), so the unrolled plan
+        // re-derived every earlier round — and the caller's edge
+        // build under it — 2^rounds times (q189's plan scanned the
+        // fact tables 56 times for 3 rounds). One node-sized
+        // materialization per round makes the work linear in rounds,
+        // the same shape [[reachable]] already uses.
+        .localCheckpoint()
       r += 1
     }
     dist

@@ -91,19 +91,29 @@ object TokenGraph {
       edges.join(outw, "w1")
         .select(col("w1"), col("w2"), col("c"), col("outw")))
 
+    // Join-strategy note (r19, guide §3.1): every per-round join pairs
+    // the EDGE relation (the big side at corpus scale — up to vocab²)
+    // with a score/incoming relation bounded by the VOCABULARY (one row
+    // per node). The score side is hinted broadcast so the edge
+    // relation is never shuffled per round — without the hint the
+    // statless intermediate planned as SortMergeJoin, paying two
+    // exchanges + sorts per round (same sizing rule as q299's
+    // BROADCAST(w): right while one-row-per-node fits a broadcast;
+    // for graphs whose NODE set outgrows a broadcast, drop the hint).
     var pr = nodes.crossJoin(broadcast(nCount))
       .select(col("w"), expr("1000000L div n_nodes").as("pr"))
     for (_ <- 1 to iters) {
-      val incoming = weighted.join(pr, weighted("w1") === pr("w"))
+      val incoming = weighted.join(broadcast(pr), weighted("w1") === pr("w"))
         .select(col("w2"), expr("(pr * c) div outw").as("contrib"))
         .groupBy(col("w2"))
         .agg(sum(col("contrib")).as("inc"))
       pr =
         if (redistributeSinks) {
-          val sinkMass = pr.join(outw, pr("w") === outw("w1"), "left_anti")
+          val sinkMass = pr.join(broadcast(outw),
+              pr("w") === outw("w1"), "left_anti")
             .agg(coalesce(sum(col("pr")), lit(0L)).as("sink_pr"))
           nodes.crossJoin(broadcast(nCount)).crossJoin(broadcast(sinkMass))
-            .join(incoming, nodes("w") === incoming("w2"), "left")
+            .join(broadcast(incoming), nodes("w") === incoming("w2"), "left")
             .select(
               col("w"),
               expr("""150000L div n_nodes
@@ -111,15 +121,16 @@ object TokenGraph {
                        div 1000000L""").as("pr"))
         } else
           nodes.crossJoin(broadcast(nCount))
-            .join(incoming, nodes("w") === incoming("w2"), "left")
+            .join(broadcast(incoming), nodes("w") === incoming("w2"), "left")
             .select(
               col("w"),
               expr("150000L div n_nodes + (850000L * coalesce(inc, 0L)) div 1000000L")
                 .as("pr"))
       if (cutLineage) pr = pr.localCheckpoint()
     }
-    nodes.join(outw, nodes("w") === outw("w1"), "left")
-      .join(pr.withColumnRenamed("w", "w_pr"), nodes("w") === col("w_pr"))
+    nodes.join(broadcast(outw), nodes("w") === outw("w1"), "left")
+      .join(broadcast(pr.withColumnRenamed("w", "w_pr")),
+        nodes("w") === col("w_pr"))
       .select(
         nodes("w").as("token"),
         coalesce(col("outw"), lit(0L)).as("out_w"),
@@ -167,11 +178,14 @@ object TokenGraph {
     var h = 1
     var exhausted = frontier.isEmpty
     while (h <= maxHops && !exhausted) {
+      // §3.1: frontier and visited are node-bounded (vocab-sized) —
+      // broadcast them so the adjacency (the big side at corpus scale)
+      // is never shuffled per hop
       val next = CacheScope.persist(
-        adj.join(frontier, adj("u") === frontier("token"))
+        adj.join(broadcast(frontier), adj("u") === frontier("token"))
           .select(adj("v").as("token"))
           .distinct()
-          .join(visited, Seq("token"), "left_anti")
+          .join(broadcast(visited), Seq("token"), "left_anti")
           .select(col("token"), lit(h).as("dist")))
       if (next.isEmpty) exhausted = true
       else {
@@ -223,16 +237,19 @@ object TokenGraph {
     val edges = CacheScope.persist(
       edgeList.select(col("w1"), col("w2")).distinct())
     val e6 = "CAST((CAST(s AS DECIMAL(38,0)) * 1000000) div m AS BIGINT)"
+    // same §3.1 sizing rule as pagerankE6: the hub/auth score relation
+    // is one row per node — broadcast it so the (potentially vocab²)
+    // edge relation is never shuffled per round
     var hub = edges.select(col("w1").as("w")).distinct()
       .withColumn("v", lit(1000000L))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val as = edges.join(hub, edges("w1") === hub("w"))
+      val as = edges.join(broadcast(hub), edges("w1") === hub("w"))
         .groupBy(edges("w2")).agg(sum(col("v")).cast("long").as("s"))
       auth = as.crossJoin(broadcast(as.agg(max(col("s")).as("m"))))
         .select(col("w2").as("w"), expr(e6).as("v"))
       if (cutLineage) auth = auth.localCheckpoint()
-      val hs = edges.join(auth, edges("w2") === auth("w"))
+      val hs = edges.join(broadcast(auth), edges("w2") === auth("w"))
         .groupBy(edges("w1")).agg(sum(col("v")).cast("long").as("s"))
       hub = hs.crossJoin(broadcast(hs.agg(max(col("s")).as("m"))))
         .select(col("w1").as("w"), expr(e6).as("v"))

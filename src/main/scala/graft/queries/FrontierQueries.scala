@@ -453,14 +453,17 @@ object FrontierQueries {
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)
         val su = Tables.supplier(s, dir)
-        val edges = li
+        // persist the (nations²-bounded) edge relation: every
+        // relaxation round joins it, and without the cut each round
+        // re-derived the 4-table fact join (the q205 fix, r19 here)
+        val edges = graft.CacheScope.persist(li
           .join(o, li("l_orderkey") === o("o_orderkey"))
           .join(broadcast(c), o("o_custkey") === c("c_custkey"))
           .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
           .groupBy(
             col("c_nationkey").cast("long").as("src"),
             col("s_nationkey").cast("long").as("dst"))
-          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+          .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("w")))
         graft.analytics.ShortestPath.boundedMinPlus(edges, 0L, 3)
           .orderBy("node")
       },

@@ -627,8 +627,13 @@ object OpsQueries {
         val terms = docs
           .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("doc_len"),
             explode(split(col("text"), " ")).as("term"))
-        val tf = terms.groupBy("doc_id", "doc_len", "term")
-          .agg(count(lit(1)).as("tf"))
+        // tf feeds BOTH the doc-freq aggregate and the join probe side;
+        // unpersisted, the explode + two-phase aggregate executed twice
+        // (plan audit r19: nodes 1–6 and 7–13 were the same subtree) —
+        // persist computes the (doc,term) shuffle once
+        val tf = graft.CacheScope.persist(
+          terms.groupBy("doc_id", "doc_len", "term")
+            .agg(count(lit(1)).as("tf")))
         val df = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
         val scored = tf.join(broadcast(df), "term")
           .crossJoin(broadcast(nDocs))

@@ -78,9 +78,12 @@ object RetrievalQueries {
           emb.filter(!col("vec_id").isin(qids: _*)),
           "vec_id", "embedding", k = 20)
           .select(col("query_id"), col("candidate_id"), col("rank"))
-        val tok = docs.select(col("doc_id"),
-          explode(array_distinct(
-            filter(split(col("text"), " "), x => x =!= ""))).as("t"))
+        // tok feeds THREE consumers (doc-freq, query side, candidate
+        // side) — persist so the split+distinct+explode runs once
+        val tok = graft.CacheScope.persist(
+          docs.select(col("doc_id"),
+            explode(array_distinct(
+              filter(split(col("text"), " "), x => x =!= ""))).as("t")))
         val dfRel = tok.groupBy("t")
           .agg(count(lit(1)).cast("long").as("df"))
         val nDocs = docs.agg(count(lit(1)).cast("long").as("n_docs"))
@@ -92,7 +95,10 @@ object RetrievalQueries {
           .select(col("doc_id").as("query_id"), col("t"))
         val ctok = tok.filter(!col("doc_id").isin(qids: _*))
           .select(col("doc_id").as("candidate_id"), col("t"))
-        val lex = qtok.join(ctok, "t").join(idf, "t")
+        // §3.1: the query side (|queries| docs' tokens) and the idf
+        // vocabulary are both small by construction — broadcast them so
+        // the corpus-sized candidate token relation never shuffles
+        val lex = ctok.join(broadcast(qtok), "t").join(broadcast(idf), "t")
           .groupBy("query_id", "candidate_id")
           .agg(sum("idf_ppm").cast("long").as("score"))
           .withColumn("rank", row_number().over(

@@ -34,6 +34,21 @@ class ShortestPathSpec extends AnyFunSuite with SparkTestSession {
     assert(run(e, 6) === d3)
   }
 
+  test("per-round cut keeps the unrolled plan linear, not 2^rounds") {
+    // round r references dist_{r-1} twice (union + relaxation); without
+    // the eager per-round localCheckpoint the returned plan re-derived
+    // every earlier round — and the caller's edge build under it —
+    // 2^rounds times (q189 scanned its fact tables 56 times). The
+    // returned relation must be the round-3 materialization: a
+    // checkpoint scan, no joins left in its plan.
+    val e = edges((0L, 1L, 1L), (1L, 2L, 1L))
+    val d = ShortestPath.boundedMinPlus(e, 0L, 3)
+    val plan = d.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+  }
+
   test("zero rounds returns only the source") {
     val e = edges((0L, 1L, 1L))
     assert(run(e, 0) === Map(0L -> 0L))
