@@ -50,6 +50,14 @@ object NgramLm {
     * documents with at least one bigram.
     */
   def scoreDocs(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    // r19 §2.4 note: persisting `big` (it feeds c2, c1, and the probe
+    // side) and broadcast-hinting c2/c1 were both MEASURED here and
+    // regressed or tied (persist 1.65→3.05 s, bcast-only ≈ tie, bench
+    // protocol): the bigram relation is occurrence-sized, so the cache
+    // write+read costs more than re-running the codegen'd split+explode
+    // from the column-pruned scan, and a bigram-TYPE-count broadcast is
+    // not driver-safe at corpus scale anyway. Left as shuffle joins —
+    // the shape that also holds at 100 TB.
     val big = bigrams(docs, idCol, textCol)
     val c2 = big.groupBy("a", "b").agg(count(lit(1)).cast("long").as("c2"))
     val c1 = big.groupBy("a").agg(count(lit(1)).cast("long").as("c1"))

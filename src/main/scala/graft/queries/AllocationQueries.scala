@@ -34,10 +34,23 @@ object AllocationQueries {
     "q219_stratified_quota" -> QuerySpec(
       (s, dir) => {
         Tables.documents(s, dir).createOrReplaceTempView("g_q219_documents")
+        // The strata-count aggregate is the root of every consumer
+        // chain here (tot, shares, seats, ranked, quota — and quota is
+        // itself consumed twice); inlined, that was 9 corpus scans
+        // (§2.4 shared-subtree rule). Persist the strata-sized counts
+        // once; everything downstream re-derives off tens of cached
+        // rows, and the corpus is scanned exactly twice (counts build
+        // + draw). NOTE the persisted plan is deliberately CTE-free: a
+        // WITH inside a persisted view's plan defeats CacheManager
+        // subtree matching once the outer query (itself a WITH) embeds
+        // it — measured on this exact gate (plan kept 18 scans, zero
+        // InMemoryTableScan, until the CTE was removed).
+        graft.CacheScope.persist(s.sql("""
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS n_h
+          FROM g_q219_documents GROUP BY 1, 2"""))
+          .createOrReplaceTempView("g_q219_counts")
         s.sql("""
-          WITH counts AS (SELECT source, lang,
-                                 CAST(count(*) AS BIGINT) AS n_h
-                          FROM g_q219_documents GROUP BY 1, 2),
+          WITH counts AS (SELECT source, lang, n_h FROM g_q219_counts),
           tot AS (SELECT CAST(sum(n_h) AS BIGINT) AS n FROM counts),
           shares AS (SELECT source, lang, n_h,
                             (100 * n_h) div n AS base,

@@ -227,13 +227,21 @@ object FitEvalQueries {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .createOrReplaceTempView("g_q255_joined")
+        // pts feeds THREE consumers (both sides of the pair self-join
+        // and the correlated n_months count); inlined, the fact join +
+        // monthly rollup ran three times — 12 source scans (§2.4
+        // shared-subtree rule). Persist the tiny (region × month)
+        // rollup once; the self-join and count read the cache.
+        graft.CacheScope.persist(s.sql("""
+          SELECT r_name,
+                 (year(o_orderdate) - 1995) * 12
+                   + month(o_orderdate) - 1 AS m,
+                 CAST(sum(CAST(round(o_totalprice * 100)
+                               AS BIGINT)) AS BIGINT) AS y
+          FROM g_q255_joined GROUP BY 1, 2"""))
+          .createOrReplaceTempView("g_q255_pts")
         s.sql("""
-          WITH pts AS (SELECT r_name,
-                              (year(o_orderdate) - 1995) * 12
-                                + month(o_orderdate) - 1 AS m,
-                              CAST(sum(CAST(round(o_totalprice * 100)
-                                            AS BIGINT)) AS BIGINT) AS y
-                       FROM g_q255_joined GROUP BY 1, 2),
+          WITH pts AS (SELECT r_name, m, y FROM g_q255_pts),
           pr AS (SELECT a.r_name, a.m AS m1, b.m AS m2,
                         CASE WHEN b.y >= a.y THEN 1 ELSE -1 END
                           * CAST((CAST(abs(b.y - a.y) AS DECIMAL(38,0))

@@ -825,10 +825,19 @@ object LlmQueries {
               "r3_repetitive")
             .when(col("doc_id") =!= col("keeper"), "r4_duplicate")
             .otherwise("kept"))
-        val total = reasons.agg(count(lit(1)).cast("long").as("n_total"))
+        // n_total ≡ Σ n_docs over the grouped relation, so derive it
+        // from the aggregate itself (an unpartitioned window over ≤ 5
+        // reason rows) instead of a second full pass over the shingle+
+        // window subtree — §2.4: the base plan executed twice for one
+        // grand total. Same values by definition.
         reasons.groupBy("reason")
           .agg(count(lit(1)).cast("long").as("n_docs"))
-          .crossJoin(broadcast(total))
+          .withColumn("n_total",
+            sum(col("n_docs")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy()
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                  org.apache.spark.sql.expressions.Window.unboundedFollowing)))
           .select(col("reason"), col("n_docs"),
             expr("(n_docs * 1000000) div n_total").as("share_ppm"))
           .orderBy("reason")

@@ -283,12 +283,16 @@ object SketchQueries {
       (s, dir) => {
         val kmv = udaf(new graft.functions.KmvSketchAgg(64))
         val docs = Tables.documents(s, dir)
-        val a = docs.filter(col("n_chars") % 2 === 0)
+        // a and b each feed THREE consumers (own sketch, exact union,
+        // exact intersection) — unpersisted that is six documents scans
+        // with the md5 hash recomputed per consumer (§2.4 shared-subtree
+        // rule). Persist the two narrow (hv, doc_id) projections once.
+        val a = graft.CacheScope.persist(docs.filter(col("n_chars") % 2 === 0)
           .select(expr("md5_prefix60(CAST(doc_id AS STRING))").as("hv"),
-            col("doc_id"))
-        val b = docs.filter(col("doc_id") % 3 > 0)
+            col("doc_id")))
+        val b = graft.CacheScope.persist(docs.filter(col("doc_id") % 3 > 0)
           .select(expr("md5_prefix60(CAST(doc_id AS STRING))").as("hv"),
-            col("doc_id"))
+            col("doc_id")))
         val ska = a.agg(kmv(col("hv")).as("ska"))
         val skb = b.agg(kmv(col("hv")).as("skb"))
         val exU = a.select("doc_id").union(b.select("doc_id"))

@@ -405,6 +405,16 @@ object StatQueries {
     "q190_ppjoin" -> QuerySpec(
       (s, dir) => {
         Tables.documents(s, dir).createOrReplaceTempView("g_q190_documents")
+        // r19 §2.4 note: persisting tok (it feeds sz, freq, ord, and
+        // both common-count sides — 5 inline re-derivations, 10 scans
+        // in the static plan) was MEASURED here and REGRESSED 2.3×
+        // (2.71→6.25 s, bench protocol): the distinct token set is
+        // token-scale, each consumer re-derivation is a column-pruned
+        // scan + codegen explode that runs fully parallel, and the
+        // cached rows cost more to write+read than to recompute.
+        // Left inline — at 100 TB the call is the same (recompute beats
+        // caching a corpus-sized intermediate; only strata/vocab-sized
+        // subtrees earn a persist, cf. q219/q255/q226).
         s.sql("""
           WITH tok AS (SELECT DISTINCT doc_id, t FROM
                          (SELECT doc_id, explode(split(text, ' ')) AS t

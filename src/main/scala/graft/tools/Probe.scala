@@ -4,6 +4,15 @@ package graft.tools
   * Times through the noop sink like Bench — `.count()` lets Catalyst
   * prune the very transforms a profiling run wants to see (the
   * round-14 lesson); the row count is taken separately, untimed.
+  *
+  * r19: mirrors Bench's per-query protocol exactly — each query runs
+  * inside ONE CacheScope holding an untimed warmup pass (which
+  * materializes operator-internal persists, exactly as the bench of
+  * record does) followed by two timed passes (plus a third, median
+  * reported, when min-of-2 is under 3 s). Without the scope+warmup,
+  * a probe of a persisting query times the CACHE BUILD and leaks the
+  * cache into every later probe in the JVM — the numbers stop
+  * predicting Bench.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -19,11 +28,21 @@ object Probe {
         println(s"[probe] dir -> $dir")
       } else {
         val fn = graft.SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.mode("overwrite").format("noop").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        val n = fn(spark, dir).count()
-        println(f"[probe] $name: $n rows in $dt%.2f s (noop-sink timed)")
+        graft.CacheScope.scoped {
+          def onePass(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir).write.mode("overwrite").format("noop").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          onePass() // warmup: codegen + operator-internal cache builds
+          val two = Seq(onePass(), onePass())
+          val dt =
+            if (two.min >= 3.0) two.min
+            else (two :+ onePass()).sorted.apply(1)
+          val n = fn(spark, dir).count()
+          println(f"[probe] $name: $n rows in $dt%.2f s (bench protocol: " +
+            f"warm, ${if (two.min >= 3.0) "min-of-2" else "median-of-3"})")
+        }
       }
     }
     spark.stop()
