@@ -88,6 +88,12 @@ object BottomKSample {
     val cum = DistributedOrder
       .withRunningSum(vals, Seq(col("__v")), col("__c"), "__excl")
       .withColumn("__cum", col("__excl") + col("__c"))
+    // r19 note: deriving n as Σ __c over `vals` (hoping AQE exchange
+    // reuse would share the vals shuffle with `cum`) was measured and
+    // does NOT reuse — n feeds a broadcast subquery, which plans in
+    // its own adaptive context (exec-mode plan audit: 0 ReusedExchange)
+    // — so that formulation just swaps a cheap count scan for a full
+    // groupBy pass. Kept as the direct count.
     val n = df.agg(count(lit(1)).cast("long").as("__n"))
     val targets = qs.foldLeft(Option.empty[DataFrame]) { (acc, q) =>
       val one = df.sparkSession.range(1).select(lit(q.toLong).as("q_pct"))

@@ -345,16 +345,23 @@ object Dedup {
     var edges = canon(
       pairs.select(col(id1).as("src"), col(id2).as("dst")))
       .localCheckpoint(true)
+    // r19: carry each round's cardinality forward instead of re-counting
+    // the PREVIOUS round's checkpoint every round — the convergence test
+    // was 3 jobs/round (next.count, edges.count, exceptAll), now 2, with
+    // identical semantics (the carried count IS last round's next.count).
+    var edgeCount = edges.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val next = canon(smallStar(largeStar(edges))).localCheckpoint(true)
+      val nextCount = next.count()
       // Both sides are DISTINCT sets, so equal-count + empty one-sided
       // difference ⇔ set equality. At cluster scale swap the exceptAll
       // for a (count, xor-of-hash) checksum to avoid the extra join.
-      converged = next.count() == edges.count() &&
+      converged = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     // Fixpoint edge set is the star: src = member, dst = component min.
@@ -408,9 +415,16 @@ object Dedup {
       .join(broadcast(labels), Seq(idCol))
     val rank = row_number().over(
       Window.partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol).asc))
-    val losers = scored.withColumn("__rn", rank)
-      .filter(col("__rn") > 1)
-      .select(col(idCol))
+    // Persist the (duplicates-bounded, broadcast-small) loser set: when
+    // `corpus` is a union, Catalyst pushes the left-anti join below the
+    // union and re-derives the entire losers build — corpus-scan ⋈
+    // labels ⋈ window — once PER LEG (q52's 3-leg corpus planned 12
+    // source scans, r19 plan audit). Cached, the build runs once and
+    // each leg broadcasts the same blocks (§2.4).
+    val losers = graft.CacheScope.persist(
+      scored.withColumn("__rn", rank)
+        .filter(col("__rn") > 1)
+        .select(col(idCol)))
     corpus.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 

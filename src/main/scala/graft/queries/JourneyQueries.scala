@@ -84,14 +84,21 @@ object JourneyQueries {
     "q247_sketch_quantiles" -> QuerySpec(
       (s, dir) => {
         val qs = Seq(25, 50, 75, 90, 99)
-        val data = CacheScope.persist(
-          Tables.lineitem(s, dir).select(
-            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
-            concat_ws("|", col("l_orderkey").cast("string"),
-              col("l_linenumber").cast("string")).as("key")))
+        // r19: was CacheScope.persist'd — dropped. The row-key string
+        // (only the TakeOrdered sample leg reads it) rode the cache into
+        // the exact-quantile and count legs, so a lineitem-sized
+        // (v, key) relation was built and re-read three times where the
+        // exact leg needs one BIGINT column and the count leg none;
+        // three pruned parquet scans are cheaper than the cache build +
+        // reads (the q190/q241 finding: only small shared subtrees earn
+        // a persist).
+        val data = Tables.lineitem(s, dir).select(
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          concat_ws("|", col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string")).as("key"))
         val samp = BottomKSample.sample(data, col("key"), 256)
         val est = BottomKSample.sampleQuantiles(samp, col("v"), 256, qs)
-        val ex = BottomKSample.exactQuantiles(data, col("v"), qs)
+        val ex = BottomKSample.exactQuantiles(data.select("v"), col("v"), qs)
         val n = data.agg(count(lit(1)).cast("long").as("n_rows"))
         est.join(ex, "q_pct").crossJoin(broadcast(n))
           .select(col("q_pct"), col("est").as("est_cents"),

@@ -612,9 +612,13 @@ object LlmQueries {
         val corpus = nearDupCorpus(s, dir)
         val verified = lshPipeline(s, dir, saltFactor = 1)
           .select("id1", "id2").transform(graft.CacheScope.persist)
+        // §3.1: cluster labels live only on docs in a verified pair —
+        // duplicates-bounded, broadcast-safe at any scale (the same
+        // sizing rule as keepBestPerCluster/dropNearDuplicates); the
+        // corpus side then never shuffles for the label pickup.
         val labels = corpus.join(
-          Dedup.connectedComponents(verified, "id1", "id2")
-            .select(col("id").as("doc_id"), col("cluster_id")),
+          broadcast(Dedup.connectedComponents(verified, "id1", "id2")
+            .select(col("id").as("doc_id"), col("cluster_id"))),
           Seq("doc_id"), "left")
         def side(c: org.apache.spark.sql.Column) =
           hash60(concat(lit("split|"), c.cast("string"))) % 10 < 8
@@ -623,10 +627,15 @@ object LlmQueries {
           side(coalesce(col("cluster_id"), col("doc_id")))
             .as("cluster_train"))
           .transform(graft.CacheScope.persist)
-        val cx = verified
+        // §3.1: both crossing-pair joins pair the corpus-sized `sided`
+        // relation against pair-bounded ones — broadcast the verified
+        // pairs into the first join and its (pair-sized) result into
+        // the second, so `sided` streams from cache without a shuffle
+        // on either side (was 2 SortMergeJoins, 4 exchanges).
+        val cx = broadcast(broadcast(verified)
           .join(sided.select(col("doc_id").as("id1"),
             col("naive_train").as("n1"), col("cluster_train").as("c1")),
-            "id1")
+            "id1"))
           .join(sided.select(col("doc_id").as("id2"),
             col("naive_train").as("n2"), col("cluster_train").as("c2")),
             "id2")

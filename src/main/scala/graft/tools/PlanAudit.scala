@@ -104,12 +104,19 @@ object PlanAudit {
     val spark = GraftSession.get("graft-plan-audit")
     val wanted = args.toSet
     val dupsMode = sys.env.get("SPARK_GRAFT_PLAN_AUDIT").contains("dups")
+    // exec mode (r19): run the query through the noop sink FIRST, then
+    // print — AdaptiveSparkPlan renders isFinalPlan=true with the
+    // runtime join strategies, AQE-coalesced partitioning, and
+    // ReusedExchange nodes that the static initial plan cannot show.
+    val execMode = sys.env.get("SPARK_GRAFT_PLAN_AUDIT").contains("exec")
     var flagged = 0
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted.contains(name) }
       .foreach { case (name, fn) =>
         try {
-          val qe = fn(spark, sfDir).queryExecution
+          val df = fn(spark, sfDir)
+          if (execMode) df.write.mode("overwrite").format("noop").save()
+          val qe = df.queryExecution
           if (dupsMode) {
             val dups = repeatedExpensiveCalls(qe.optimizedPlan.toString)
             if (dups.nonEmpty) {

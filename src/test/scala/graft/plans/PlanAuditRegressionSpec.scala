@@ -37,9 +37,10 @@ class PlanAuditRegressionSpec extends AnyFunSuite with SparkTestSession {
     "q241_ngram_lm_score" -> "per-order n-gram legs each re-derive the split; bounded x2 per leg",
     "q253_minhash_estimate" -> "zip_with agreement leg rendered in both sum and count (x2, array-typed)",
     "q254_drop_reasons" -> "pushdown copies split below its aliasing Project (x2)",
-    "q40_repetition" -> "pushdown copies split below its aliasing Project (x2)",
-    "q52_keep_best_neardup" -> "3-way self-join of the shingle relation; x3 is one per join leg",
-    "q65_tfidf_topterms" -> "tf and df legs each derive the split; x2 bounded by leg count")
+    "q40_repetition" -> "pushdown copies split below its aliasing Project (x2)")
+  // r19: q52 and q65 left this list — their formerly-duplicated shingle/
+  // tf legs now read a CacheScope-persisted relation, so the renderings
+  // sit inside InMemoryRelation subtrees the sweep correctly skips.
 
   test("no gate renders an expensive expression more than once (optimized plan)") {
     val sfDir = "/root/testdata/sf0.001"
