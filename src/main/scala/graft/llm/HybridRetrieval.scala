@@ -33,21 +33,31 @@ object HybridRetrieval {
   def rrfFuse(legs: Seq[(String, DataFrame)], k0: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
     require(k0 >= 0, s"k0 must be non-negative: $k0")
-    val keyed = legs.map { case (name, df) =>
-      name -> df.select(
-        col("query_id"), col("candidate_id"),
-        col("rank").cast("long").as(s"rank_$name"))
+    // One union + one grouped aggregate, not distinct-keys + a LEFT
+    // JOIN per leg (r19 §2.2): each leg is a ranked list — at most one
+    // row per (query_id, candidate_id) — so padding every leg to the
+    // full rank-column set with nulls and taking max per key is
+    // result-identical to the join spine (max over {rank, null} is the
+    // rank; a leg that missed the candidate stays null → 0 below), and
+    // the whole fusion costs ONE shuffle on the candidate key instead
+    // of 1 + |legs| (the q242 plan's last remaining SMJ pair).
+    val names = legs.map(_._1)
+    val padded = legs.map { case (name, df) =>
+      df.select(
+        Seq(col("query_id"), col("candidate_id")) ++ names.map { n =>
+          (if (n == name) col("rank").cast("long")
+           else lit(null).cast("long")).as(s"rank_$n")
+        }: _*)
     }
-    val keys = keyed.map(_._2.select("query_id", "candidate_id"))
-      .reduce(_ unionByName _).distinct()
-    val joined = keyed.foldLeft(keys) { case (acc, (name, df)) =>
-      acc.join(df, Seq("query_id", "candidate_id"), "left")
-    }
-    val contribution = keyed.map { case (name, _) =>
+    val aggCols = names.map(n => max(col(s"rank_$n")).as(s"rank_$n"))
+    val fused = padded.reduce(_ unionByName _)
+      .groupBy("query_id", "candidate_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val contribution = names.map { name =>
       coalesce(expr(s"1000000 div ($k0 + rank_$name)"), lit(0L))
     }.reduce(_ + _)
-    keyed.foldLeft(joined.withColumn("rrf_ppm", contribution.cast("long"))) {
-      case (acc, (name, _)) =>
+    names.foldLeft(fused.withColumn("rrf_ppm", contribution.cast("long"))) {
+      case (acc, name) =>
         acc.withColumn(s"rank_$name",
           coalesce(col(s"rank_$name"), lit(0L)))
     }

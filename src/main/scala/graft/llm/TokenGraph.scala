@@ -255,8 +255,19 @@ object TokenGraph {
         .select(col("w1").as("w"), expr(e6).as("v"))
       if (cutLineage) hub = hub.localCheckpoint()
     }
-    auth.withColumnRenamed("v", "auth_e6")
-      .join(hub.withColumnRenamed("v", "hub_e6"), Seq("w"), "full_outer")
+    // Final combine as union + groupBy, not FULL OUTER join: both sides
+    // are uniquely keyed on w (groupBy outputs), so the two are
+    // result-identical — max over {score, null} is the score, an
+    // absent side stays null → coalesce 0 — but the aggregate costs ONE
+    // exchange with map-side partials where the full-outer SortMergeJoin
+    // cost two exchanges plus two sorts (full outer cannot broadcast;
+    // r19 §3, the q244 plan's last remaining SMJ pair).
+    auth.select(col("w"), col("v").as("auth_e6"),
+        lit(null).cast("long").as("hub_e6"))
+      .unionByName(hub.select(col("w"),
+        lit(null).cast("long").as("auth_e6"), col("v").as("hub_e6")))
+      .groupBy("w")
+      .agg(max(col("auth_e6")).as("auth_e6"), max(col("hub_e6")).as("hub_e6"))
       .select(col("w").as("token"),
         coalesce(col("auth_e6"), lit(0L)).as("auth_e6"),
         coalesce(col("hub_e6"), lit(0L)).as("hub_e6"))
