@@ -41,27 +41,42 @@ object ShortestPath {
     import spark.implicits._
     var visited = Seq(source).toDF("node").localCheckpoint()
     var frontier = visited
+    // Running counts: the convergence probe below is folded into the
+    // materializing count, so frontier/visited sizes are driver-known
+    // for free and the broadcast hints can be size-gated.
+    var frontierRows = 1L
+    var visitedRows = 1L
     var r = 0
     var done = false
     while (r < maxRounds && !done) {
-      // ONE materialization per round: the eager localCheckpoint both
-      // caches the frontier and cuts its lineage; `visited` is then a
-      // union of already-materialized frontiers, so its plan stays
-      // flat without ever being checkpointed itself
+      // ONE job per round (r20): the localCheckpoint is LAZY and the
+      // count() both materializes it (persisting the blocks, cutting
+      // lineage) and IS the convergence probe — the old eager
+      // checkpoint + isEmpty paid two job launches per round for the
+      // same materialization. `visited` stays a union of materialized
+      // frontiers, so its plan stays flat without being checkpointed.
+      //
       // frontier/visited are node-bounded and shrink/stay small by
       // construction — broadcast both (guide §3.1) so the edge
       // relation, the big side at corpus scale, is never shuffled per
       // round; the statless checkpointed intermediates otherwise plan
-      // as SortMergeJoin (two exchanges + sorts each round)
-      val next = broadcast(frontier).alias("f")
+      // as SortMergeJoin (two exchanges + sorts each round). The hints
+      // are SIZE-GATED on the running counts (r19 verdict #3): visited
+      // grows monotonically, and past BroadcastGate's ceiling the join
+      // falls back to a shuffle instead of an OOM.
+      val next = graft.BroadcastGate.ifUnder(frontier, frontierRows).alias("f")
         .join(edges.alias("e"), col("f.node") === col("e.src"))
         .select(col("e.dst").as("node")).distinct()
-        .join(broadcast(visited), Seq("node"), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .join(graft.BroadcastGate.ifUnder(visited, visitedRows),
+          Seq("node"), "left_anti")
+        .localCheckpoint(false)
+      val n = next.count()
+      if (n == 0) done = true
       else {
         visited = visited.unionByName(next)
         frontier = next
+        frontierRows = n
+        visitedRows += n
       }
       r += 1
     }
@@ -76,24 +91,31 @@ object ShortestPath {
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = Seq((source, 0L)).toDF("node", "dist")
+    var distRows = 1L
     var r = 0
     while (r < rounds) {
       // alias both sides each round: dist derives from edges after the
-      // first relaxation, so unqualified refs would be ambiguous
-      val relaxed = broadcast(dist).alias("d")
+      // first relaxation, so unqualified refs would be ambiguous.
+      // The dist side is node-bounded; its broadcast hint is size-gated
+      // on the count the per-round cut already measures (r19 verdict
+      // #3 — reachable sets can outgrow a broadcast).
+      val relaxed = graft.BroadcastGate.ifUnder(dist, distRows).alias("d")
         .join(edges.alias("e"), col("d.node") === col("e.src"))
         .select(col("e.dst").as("node"),
           (col("d.dist") + col("e.w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min("dist").as("dist"))
-        // eager per-round cut (r19): round r references dist_{r-1}
-        // TWICE (the union and the relaxation), so the unrolled plan
+        // per-round cut (r19): round r references dist_{r-1} TWICE
+        // (the union and the relaxation), so the unrolled plan
         // re-derived every earlier round — and the caller's edge
         // build under it — 2^rounds times (q189's plan scanned the
         // fact tables 56 times for 3 rounds). One node-sized
         // materialization per round makes the work linear in rounds,
-        // the same shape [[reachable]] already uses.
-        .localCheckpoint()
+        // the same shape [[reachable]] uses. Lazy mark + count (r20):
+        // an eager localCheckpoint is itself a count job, so the
+        // explicit count costs nothing and yields the size bound.
+        .localCheckpoint(false)
+      distRows = dist.count()
       r += 1
     }
     dist

@@ -239,7 +239,19 @@ object Dedup {
       pairs: DataFrame,
       id1: String,
       id2: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsWithCount(pairs, id1, id2, maxIter)._1
+
+  /** [[connectedComponents]] plus the label relation's EXACT row count
+    * (one row per node on an edge), which the convergence loop already
+    * materializes — callers gating a broadcast hint on the label size
+    * ([[graft.BroadcastGate]]) get the bound with zero extra jobs.
+    */
+  def connectedComponentsWithCount(
+      pairs: DataFrame,
+      id1: String,
+      id2: String,
+      maxIter: Int = 20): (DataFrame, Long) = {
     val edges = graft.CacheScope.persist(
       pairs.select(col(id1).as("src"), col(id2).as("dst"))
         .unionByName(pairs.select(col(id2).as("src"), col(id1).as("dst"))))
@@ -252,14 +264,20 @@ object Dedup {
     //
     // Round-0 seed: min(self, direct neighbors) straight off the edge
     // list — one aggregation buys the first propagation round (labels
-    // after round k cover the (k+1)-hop neighborhood). The convergence
-    // test rides the SAME materialization: `next` carries the previous
-    // label through the checkpoint, so "did anything move" is a count
-    // over the just-cached blocks — no second join job per round.
+    // after round k cover the (k+1)-hop neighborhood).
+    //
+    // Checkpoints are LAZY + an explicit count (r20): an eager
+    // localCheckpoint is itself a count job over the internal RDD, so
+    // eager-then-count paid two full job launches per round for one
+    // materialization. The lazy mark persists the blocks during the
+    // count that the loop needs anyway — the convergence probe and the
+    // materialization are ONE job per round (the label row count rides
+    // round 0's; "did anything move" rides each round's).
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    val nodeCount = labels.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -269,13 +287,13 @@ object Dedup {
       val next = labels.unionByName(neighborLabels)
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .join(labels.select(col("id"), col("cluster_id").as("__prev")), "id")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.filter(col("cluster_id") =!= col("__prev")).count()
       labels = next.drop("__prev")
       converged = changed == 0
       iter += 1
     }
-    labels
+    (labels, nodeCount)
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
@@ -342,9 +360,12 @@ object Dedup {
         .distinct()
     }
 
+    // Lazy checkpoint + count (r20, same fold as connectedComponents):
+    // the count the loop needs materializes the checkpoint in ONE job
+    // instead of eager-checkpoint-then-count's two.
     var edges = canon(
       pairs.select(col(id1).as("src"), col(id2).as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // r19: carry each round's cardinality forward instead of re-counting
     // the PREVIOUS round's checkpoint every round — the convergence test
     // was 3 jobs/round (next.count, edges.count, exceptAll), now 2, with
@@ -353,7 +374,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = canon(smallStar(largeStar(edges))).localCheckpoint(true)
+      val next = canon(smallStar(largeStar(edges))).localCheckpoint(false)
       val nextCount = next.count()
       // Both sides are DISTINCT sets, so equal-count + empty one-sided
       // difference ⇔ set equality. At cluster scale swap the exceptAll
@@ -373,10 +394,13 @@ object Dedup {
 
   /** The end-to-end near-dup DROP: cluster the verified pairs, keep
     * each cluster's smallest id, anti-join the rest out of the corpus.
-    * Documents on no edge pass through untouched (no shuffle applies to
-    * them beyond the anti-join's broadcast — the non-canonical id set
-    * is duplicates-only, orders of magnitude smaller than the corpus,
-    * so at 100 TB this is a broadcast anti-join over the scan).
+    * Documents on no edge pass through untouched. The loser set is
+    * duplicates-bounded — usually orders of magnitude smaller than the
+    * corpus, so the anti-join broadcasts over the scan — but a heavily
+    * duplicated corpus makes it corpus-fraction-sized (r19 verdict #3),
+    * so the hint is size-gated on the label count the clustering loop
+    * already measured: past [[graft.BroadcastGate]]'s ceiling the
+    * anti-join falls back to a shuffle join instead of an OOM.
     */
   def dropNearDuplicates(
       corpus: DataFrame,
@@ -384,10 +408,13 @@ object Dedup {
       verifiedPairs: DataFrame,
       id1: String = "id1",
       id2: String = "id2"): DataFrame = {
-    val losers = connectedComponents(verifiedPairs, id1, id2)
+    val (labels, labelCount) =
+      connectedComponentsWithCount(verifiedPairs, id1, id2)
+    val losers = labels
       .filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    corpus.join(broadcast(losers), Seq(idCol), "left_anti")
+    corpus.join(graft.BroadcastGate.ifUnder(losers, labelCount),
+      Seq(idCol), "left_anti")
   }
 
   /** Canonical selection: like [[dropNearDuplicates]] but the kept
@@ -397,10 +424,22 @@ object Dedup {
     * actually want (keep the longest/cleanest variant, drop the rest).
     *
     * Plan shape mirrors dropNearDuplicates: cluster labels live only on
-    * docs that appear in a verified pair (a small set by construction),
-    * so the corpus is never shuffled — labels broadcast-join onto the
-    * corpus to pick up scores, the per-cluster arg-max runs on that
-    * small labeled relation, and the losers broadcast-anti-join out.
+    * docs that appear in a verified pair (duplicates-bounded), so on a
+    * typical corpus labels broadcast-join onto the corpus to pick up
+    * scores, the per-cluster arg-max runs on that small labeled
+    * relation, and the losers broadcast-anti-join out. Both hints are
+    * size-gated on the label count the clustering loop already measured
+    * ([[graft.BroadcastGate]]): a heavily duplicated corpus makes the
+    * label/loser sets corpus-fraction-sized, and past the ceiling the
+    * joins fall back to shuffle joins instead of OOMing the driver.
+    *
+    * CACHE LIFETIME: the internal loser set is persisted; run inside
+    * `graft.CacheScope.scoped { ... }` (as Bench/Verify/Probe do) so it
+    * is released when the query's actions finish. Outside a scope the
+    * persist degrades to caller-unreleasable (the handle is internal) —
+    * library callers holding results long-term should wrap their own
+    * scope. Same contract on [[dropNearDuplicates]], whose clustering
+    * loop persists its edge relation the same way.
     */
   def keepBestPerCluster(
       corpus: DataFrame,
@@ -409,23 +448,25 @@ object Dedup {
       verifiedPairs: DataFrame,
       id1: String = "id1",
       id2: String = "id2"): DataFrame = {
-    val labels = connectedComponents(verifiedPairs, id1, id2)
-      .select(col("id").as(idCol), col("cluster_id"))
+    val (labelsRaw, labelCount) =
+      connectedComponentsWithCount(verifiedPairs, id1, id2)
+    val labels = labelsRaw.select(col("id").as(idCol), col("cluster_id"))
     val scored = corpus.select(col(idCol), col(scoreCol))
-      .join(broadcast(labels), Seq(idCol))
+      .join(graft.BroadcastGate.ifUnder(labels, labelCount), Seq(idCol))
     val rank = row_number().over(
       Window.partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol).asc))
-    // Persist the (duplicates-bounded, broadcast-small) loser set: when
-    // `corpus` is a union, Catalyst pushes the left-anti join below the
-    // union and re-derives the entire losers build — corpus-scan ⋈
-    // labels ⋈ window — once PER LEG (q52's 3-leg corpus planned 12
-    // source scans, r19 plan audit). Cached, the build runs once and
-    // each leg broadcasts the same blocks (§2.4).
+    // Persist the duplicates-bounded loser set: when `corpus` is a
+    // union, Catalyst pushes the left-anti join below the union and
+    // re-derives the entire losers build — corpus-scan ⋈ labels ⋈
+    // window — once PER LEG (q52's 3-leg corpus planned 12 source
+    // scans, r19 plan audit). Cached, the build runs once and each leg
+    // reads the same blocks (§2.4).
     val losers = graft.CacheScope.persist(
       scored.withColumn("__rn", rank)
         .filter(col("__rn") > 1)
         .select(col(idCol)))
-    corpus.join(broadcast(losers), Seq(idCol), "left_anti")
+    corpus.join(graft.BroadcastGate.ifUnder(losers, labelCount),
+      Seq(idCol), "left_anti")
   }
 
   /** SimHash (default 32-bit): per token-occurrence hash, sum ±1 per bit

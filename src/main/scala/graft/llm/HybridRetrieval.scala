@@ -29,10 +29,20 @@ object HybridRetrieval {
     * query. Returns (query_id, candidate_id, rrf_ppm, rank_<name>…)
     * with 0 in `rank_<name>` when the leg did not return the
     * candidate.
+    *
+    * CONTRACT (enforced below): leg names must be distinct — they
+    * become output column names — and each leg must be a RANKED LIST,
+    * at most one row per (query_id, candidate_id). Callers producing
+    * legs with `row_number` satisfy this by construction; a leg with
+    * duplicate keys would have its duplicates collapsed by the
+    * union+groupBy formulation (max rank per key) where the old
+    * left-join spine fanned them out.
     */
   def rrfFuse(legs: Seq[(String, DataFrame)], k0: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
     require(k0 >= 0, s"k0 must be non-negative: $k0")
+    require(legs.map(_._1).distinct.size == legs.size,
+      s"rrfFuse leg names must be distinct: ${legs.map(_._1).mkString(", ")}")
     // One union + one grouped aggregate, not distinct-keys + a LEFT
     // JOIN per leg (r19 §2.2): each leg is a ranked list — at most one
     // row per (query_id, candidate_id) — so padding every leg to the

@@ -175,22 +175,36 @@ object TokenGraph {
       .select(col("token"), lit(0).as("dist"))
     var visited = CacheScope.persist(seed)
     var frontier = visited
+    // Running row counts: the per-hop probe is a count() (same single
+    // job the old isEmpty paid, and it fully materializes the persisted
+    // frontier), so the frontier/visited sizes are driver-known for
+    // free and the broadcast hints below can be size-gated.
+    var frontierRows = 1L // seed is ≤ 1 row
+    var visitedRows = 1L
     var h = 1
     var exhausted = frontier.isEmpty
     while (h <= maxHops && !exhausted) {
-      // §3.1: frontier and visited are node-bounded (vocab-sized) —
-      // broadcast them so the adjacency (the big side at corpus scale)
-      // is never shuffled per hop
+      // §3.1: frontier and visited are node-bounded — broadcast them so
+      // the adjacency (the big side at corpus scale) is never shuffled
+      // per hop. SIZE-GATED (r19 verdict #3): `visited` grows
+      // monotonically with hops and on a high-diameter graph outgrows a
+      // broadcast — past BroadcastGate's ceiling the hint drops and the
+      // join falls back to a shuffle instead of an OOM.
       val next = CacheScope.persist(
-        adj.join(broadcast(frontier), adj("u") === frontier("token"))
+        adj.join(graft.BroadcastGate.ifUnder(frontier, frontierRows),
+            adj("u") === frontier("token"))
           .select(adj("v").as("token"))
           .distinct()
-          .join(broadcast(visited), Seq("token"), "left_anti")
+          .join(graft.BroadcastGate.ifUnder(visited, visitedRows),
+            Seq("token"), "left_anti")
           .select(col("token"), lit(h).as("dist")))
-      if (next.isEmpty) exhausted = true
+      val n = next.count()
+      if (n == 0) exhausted = true
       else {
         visited = CacheScope.persist(visited.unionAll(next))
         frontier = next
+        frontierRows = n
+        visitedRows += n
       }
       h += 1
     }

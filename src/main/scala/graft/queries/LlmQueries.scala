@@ -613,12 +613,18 @@ object LlmQueries {
         val verified = lshPipeline(s, dir, saltFactor = 1)
           .select("id1", "id2").transform(graft.CacheScope.persist)
         // §3.1: cluster labels live only on docs in a verified pair —
-        // duplicates-bounded, broadcast-safe at any scale (the same
-        // sizing rule as keepBestPerCluster/dropNearDuplicates); the
-        // corpus side then never shuffles for the label pickup.
+        // duplicates-bounded, so usually broadcast-small; the corpus
+        // side then never shuffles for the label pickup. SIZE-GATED on
+        // the label count the clustering loop already measured (r19
+        // verdict #3: a heavily-duplicated corpus makes the label set
+        // corpus-fraction-sized — past BroadcastGate's ceiling this
+        // falls back to a shuffle join instead of an OOM).
+        val (ccLabels, ccLabelCount) =
+          Dedup.connectedComponentsWithCount(verified, "id1", "id2")
         val labels = corpus.join(
-          broadcast(Dedup.connectedComponents(verified, "id1", "id2")
-            .select(col("id").as("doc_id"), col("cluster_id"))),
+          graft.BroadcastGate.ifUnder(
+            ccLabels.select(col("id").as("doc_id"), col("cluster_id")),
+            ccLabelCount),
           Seq("doc_id"), "left")
         def side(c: org.apache.spark.sql.Column) =
           hash60(concat(lit("split|"), c.cast("string"))) % 10 < 8

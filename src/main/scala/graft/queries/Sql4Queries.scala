@@ -75,7 +75,9 @@ object Sql4Queries {
         // (Concurrency contract lives on SqlConfScope: single-threaded
         // runner, or clone the session first.)
         SqlConfScope.withShufflePartitions(s, 8) {
-          CacheScope.persist(out).count(); ()
+          SqlConfScope.withConf(s, "spark.sql.adaptive.enabled", "false") {
+            CacheScope.persist(out).count(); ()
+          }
         }
         out
       },

@@ -113,7 +113,13 @@ object PlanAudit {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted.isEmpty || wanted.contains(name) }
       .foreach { case (name, fn) =>
-        try {
+        try graft.CacheScope.scoped {
+          // scoped like Bench/Verify/Probe (r19 advice): exec mode
+          // materializes operator-internal persists; without the scope
+          // they accumulate across the audit JVM and earlier queries'
+          // cached subtrees substitute InMemoryRelation into later
+          // queries' plans, making exec-mode plans unrepresentative of
+          // standalone runs.
           val df = fn(spark, sfDir)
           if (execMode) df.write.mode("overwrite").format("noop").save()
           val qe = df.queryExecution

@@ -35,13 +35,20 @@ object Probe {
             (System.nanoTime() - t0) / 1e9
           }
           onePass() // warmup: codegen + operator-internal cache builds
+          // Spark-job count of ONE timed pass (r20): driver-loop folds
+          // (convergence probe riding the materializing count) change
+          // job counts by construction but drown in ±60% wall-clock
+          // noise — the job count is the noise-free receipt.
+          val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
           val two = Seq(onePass(), onePass())
+          val jobsPerPass =
+            (spark.sparkContext.statusTracker.getJobIdsForGroup(null).length - jobsBefore) / 2
           val dt =
             if (two.min >= 3.0) two.min
             else (two :+ onePass()).sorted.apply(1)
           val n = fn(spark, dir).count()
-          println(f"[probe] $name: $n rows in $dt%.2f s (bench protocol: " +
-            f"warm, ${if (two.min >= 3.0) "min-of-2" else "median-of-3"})")
+          println(f"[probe] $name: $n rows in $dt%.2f s, $jobsPerPass jobs/pass " +
+            f"(bench protocol: warm, ${if (two.min >= 3.0) "min-of-2" else "median-of-3"})")
         }
       }
     }
