@@ -79,7 +79,15 @@ object TokenGraph {
       text: Column,
       iters: Int,
       redistributeSinks: Boolean = false): DataFrame = {
-    val cutLineage = iters > LineageCutAfter
+    // Cut per-round lineage past the depth threshold — AND always for
+    // the redistribute-sinks variant (r20): that branch references the
+    // previous round's `pr` TWICE per round (sink-mass anti-join +
+    // incoming join), so an uncut unrolled plan re-derives every
+    // earlier round ~2^rounds times — the boundedMinPlus disease
+    // (q128's two-round plan carried 4 copies of round 1). The default
+    // branch references `pr` once per round, so its shallow plans stay
+    // uncut and byte-identical to the r19 receipts (q111).
+    val cutLineage = iters > LineageCutAfter || redistributeSinks
     val edges = CacheScope.persist(bigramEdges(docs, text))
     val nodes = CacheScope.persist(
       edges.select(col("w1").as("w"))
@@ -126,7 +134,10 @@ object TokenGraph {
               col("w"),
               expr("150000L div n_nodes + (850000L * coalesce(inc, 0L)) div 1000000L")
                 .as("pr"))
-      if (cutLineage) pr = pr.localCheckpoint()
+      // lazy mark (r20): the Dataset-level truncation kills the
+      // re-derivation; the blocks materialize inside the next round's
+      // broadcast-build job instead of a separate count job per round
+      if (cutLineage) pr = pr.localCheckpoint(false)
     }
     nodes.join(broadcast(outw), nodes("w") === outw("w1"), "left")
       .join(broadcast(pr.withColumnRenamed("w", "w_pr")),
@@ -236,38 +247,57 @@ object TokenGraph {
     *
     * Scale shape: the persisted distinct-edge relation is joined twice
     * per round against vocabulary-sized score relations; each round is
-    * two equi-joins + two aggregates + two scalar-max broadcasts.
-    * Beyond [[LineageCutAfter]] rounds the score relations are
-    * localCheckpoint'ed, as in PageRank. Returns (token, auth_e6,
-    * hub_e6): 0 marks a node absent from that role's domain (no
-    * in-edges / no out-edges).
+    * two equi-joins + two aggregates + two scalar-max broadcasts, with
+    * each half-round's sum aggregate localCheckpoint'ed (it is
+    * referenced twice — values and max — so the cut both truncates
+    * lineage at every depth and stops the double derivation; see the
+    * in-body note). Returns (token, auth_e6, hub_e6): 0 marks a node
+    * absent from that role's domain (no in-edges / no out-edges).
     */
   def hitsE6(
       spark: SparkSession,
       edgeList: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val cutLineage = iters > LineageCutAfter
     val edges = CacheScope.persist(
       edgeList.select(col("w1"), col("w2")).distinct())
     val e6 = "CAST((CAST(s AS DECIMAL(38,0)) * 1000000) div m AS BIGINT)"
     // same §3.1 sizing rule as pagerankE6: the hub/auth score relation
     // is one row per node — broadcast it so the (potentially vocab²)
-    // edge relation is never shuffled per round
+    // edge relation is never shuffled per round.
+    //
+    // Lineage cut placement (r20): each half-round references its sum
+    // aggregate TWICE (the values and their max), so the cut must land
+    // on `as`/`hs` — the twice-referenced subtree — not on the derived
+    // auth/hub. Cut on auth/hub (r19 shape, only past LineageCutAfter)
+    // the aggregate re-derived once per reference (2× work per
+    // half-round at q244's depth 6), and below the threshold nothing
+    // cut at all, so the unrolled plan re-derived every earlier round
+    // ~4^iters times — the boundedMinPlus disease: hitsE6(iters=3) on
+    // a 5-node graph measured 52.8 s, iters=2 21.2 s, pure
+    // plan-analysis blowup. One node-sized eager materialization per
+    // half-round makes the work linear in rounds at every depth; the
+    // derived auth/hub are cheap single-projection reads of the
+    // checkpointed blocks and need no cut of their own.
     var hub = edges.select(col("w1").as("w")).distinct()
       .withColumn("v", lit(1000000L))
     var auth: DataFrame = null
+    // Checkpoints are LAZY: the Dataset-level lineage truncation (what
+    // kills the 4^iters re-derivation) happens at the mark, and the
+    // blocks materialize inside the max-aggregate broadcast-build job
+    // that consumes each relation first — an eager mark would pay a
+    // separate count job per half-round for the same materialization.
     for (_ <- 1 to iters) {
       val as = edges.join(broadcast(hub), edges("w1") === hub("w"))
         .groupBy(edges("w2")).agg(sum(col("v")).cast("long").as("s"))
+        .localCheckpoint(false)
       auth = as.crossJoin(broadcast(as.agg(max(col("s")).as("m"))))
         .select(col("w2").as("w"), expr(e6).as("v"))
-      if (cutLineage) auth = auth.localCheckpoint()
       val hs = edges.join(broadcast(auth), edges("w2") === auth("w"))
         .groupBy(edges("w1")).agg(sum(col("v")).cast("long").as("s"))
+        .localCheckpoint(false)
       hub = hs.crossJoin(broadcast(hs.agg(max(col("s")).as("m"))))
         .select(col("w1").as("w"), expr(e6).as("v"))
-      if (cutLineage) hub = hub.localCheckpoint()
     }
     // Final combine as union + groupBy, not FULL OUTER join: both sides
     // are uniquely keyed on w (groupBy outputs), so the two are

@@ -191,10 +191,16 @@ object SignalQueries {
         // drop the scope — width is the lever only when the per-round
         // relation is driver-small.
         SqlConfScope.withShufflePartitions(s, 8) {
-          val out = TokenGraph.hitsE6(s, backbone, iters = 6)
-            .orderBy(desc("auth_e6"), col("token"))
-          CacheScope.persist(out).count()
-          out
+          // AQE off inside the bracket (r20, the q205/q299 pattern):
+          // per-stage materialization jobs are pure driver overhead on
+          // vocabulary-sized per-round exchanges (71 jobs/pass with
+          // AQE). Drop with the width scope at cluster scale.
+          SqlConfScope.withConf(s, "spark.sql.adaptive.enabled", "false") {
+            val out = TokenGraph.hitsE6(s, backbone, iters = 6)
+              .orderBy(desc("auth_e6"), col("token"))
+            CacheScope.persist(out).count()
+            out
+          }
         }
       },
       hitsOracle(6)))

@@ -23,6 +23,13 @@ import graft.SparkTestSession
   */
 object AllocationPropertySpec extends Properties("AllocationProperties") {
 
+  // 4 workers (r20): each case builds its own DataFrames and collects —
+  // no shared state; concurrent driver threads back-fill the idle
+  // scheduler gaps (guide §2.6). Same case counts.
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withWorkers(4)
+
   private lazy val spark = SparkTestSession.session
   import spark.implicits._
 

@@ -12,6 +12,15 @@ import graft.SparkTestSession
   */
 object GraphPropertySpec extends Properties("GraphProperties") {
 
+  // 4 ScalaCheck workers (r20): each case is an independent CC run over
+  // its own DataFrames — concurrent Spark jobs from driver threads are
+  // the guide's §2.6 back-fill pattern, and the per-case CacheScope
+  // below is thread-local. Same minSuccessfulTests, ~4× less wall-clock
+  // (this suite was 275 s of the driver's test budget, 201 sequential
+  // convergence loops of mostly idle driver round-trips).
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withWorkers(4)
+
   private lazy val spark = SparkTestSession.session
 
   private val graphGen: Gen[List[(Long, Long)]] = for {
@@ -40,11 +49,16 @@ object GraphPropertySpec extends Properties("GraphProperties") {
 
   property("labels equal the component minimum (vs union-find)") =
     forAll(graphGen) { edges =>
-      import spark.implicits._
-      val pairs = edges.toDF("id1", "id2")
-      val got = Dedup.connectedComponents(pairs, "id1", "id2")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == unionFind(edges)
+      // scoped: CC persists its edge relation internally; unscoped, 100
+      // cases leak 100 cache entries into the shared session (and every
+      // later suite's CacheManager lookups)
+      graft.CacheScope.scoped {
+        import spark.implicits._
+        val pairs = edges.toDF("id1", "id2")
+        val got = Dedup.connectedComponents(pairs, "id1", "id2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
     }
 
   // The O(log n) star-contraction variant must agree with union-find
@@ -53,17 +67,20 @@ object GraphPropertySpec extends Properties("GraphProperties") {
   // diameter but contraction's is logarithmic.
   property("large-star/small-star labels equal the component minimum") =
     forAll(graphGen) { edges =>
-      import spark.implicits._
-      val pairs = edges.toDF("id1", "id2")
-      val got = Dedup.connectedComponentsStars(pairs, "id1", "id2")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      got == unionFind(edges)
+      graft.CacheScope.scoped {
+        import spark.implicits._
+        val pairs = edges.toDF("id1", "id2")
+        val got = Dedup.connectedComponentsStars(pairs, "id1", "id2")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == unionFind(edges)
+      }
     }
 
-  property("star contraction resolves a 30-node chain") = {
-    import spark.implicits._
-    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id1", "id2")
-    Dedup.connectedComponentsStars(chain, "id1", "id2")
-      .collect().forall(r => r.getLong(1) == 0L)
-  }
+  property("star contraction resolves a 30-node chain") =
+    graft.CacheScope.scoped {
+      import spark.implicits._
+      val chain = (0L until 29L).map(i => (i, i + 1)).toDF("id1", "id2")
+      Dedup.connectedComponentsStars(chain, "id1", "id2")
+        .collect().forall(r => r.getLong(1) == 0L)
+    }
 }

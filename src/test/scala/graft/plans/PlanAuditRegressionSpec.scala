@@ -44,28 +44,54 @@ class PlanAuditRegressionSpec extends AnyFunSuite with SparkTestSession {
 
   test("no gate renders an expensive expression more than once (optimized plan)") {
     val sfDir = "/root/testdata/sf0.001"
-    val offenders = scala.collection.mutable.LinkedHashMap[String, Seq[(String, Int)]]()
-    val failed = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      CacheScope.scoped {
-        try {
-          val dups = PlanAudit.repeatedExpensiveCalls(
-            fn(spark, sfDir).queryExecution.optimizedPlan.toString)
-          if (dups.nonEmpty && !triaged.contains(name)) offenders(name) = dups
-        } catch {
-          // A gate that cannot even PLAN must fail here too — silent
-          // skips would hollow the sweep out one broken gate at a time.
-          case e: Throwable => failed += s"$name: ${e.getMessage}"
-        }
-      }
-    }
-    assert(failed.isEmpty, s"gates failed to plan:\n  ${failed.mkString("\n  ")}")
+    // 4-way parallel sweep (r20): planning 313 gates is driver-side
+    // Catalyst work plus each gate's construction-time side jobs —
+    // sequential it was 135 s of the driver's test budget, mostly one
+    // idle core. Each worker plans on its OWN cloned session (own
+    // SQLConf + temp-view namespace), so gate-internal SqlConfScope
+    // brackets and temp views cannot race across threads; CacheScope
+    // is thread-local already. Same 313-gate assertion surface.
+    val offenders =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]()
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // The live-PG gates share ONE scratch Postgres cluster and their
+    // construction runs real DDL (CREATE SCHEMA IF NOT EXISTS is not
+    // concurrent-safe in PG — duplicate pg_namespace key); serialize
+    // exactly those under one mutex, everything else fans out freely.
+    val livePgLock = new Object
+    val livePg = Set("q312_pg_live_roundtrip", "q313_pg_dsv2_write", "q315_wire_e2e")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val s = spark.newSession()
+            CacheScope.scoped {
+              try {
+                def plan() = PlanAudit.repeatedExpensiveCalls(
+                  fn(s, sfDir).queryExecution.optimizedPlan.toString)
+                val dups =
+                  if (livePg(name)) livePgLock.synchronized(plan()) else plan()
+                if (dups.nonEmpty && !triaged.contains(name)) offenders.put(name, dups)
+              } catch {
+                // A gate that cannot even PLAN must fail here too — silent
+                // skips would hollow the sweep out one broken gate at a time.
+                case e: Throwable => failed.add(s"$name: ${e.getMessage}")
+              }
+            }
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    assert(failed.isEmpty,
+      s"gates failed to plan:\n  ${failed.asScala.toSeq.sorted.mkString("\n  ")}")
     assert(
       offenders.isEmpty,
       "non-triaged gates render an expensive expression more than once " +
         "(stage it under an alias in its own Project, or triage it in " +
         "PlanAuditRegressionSpec with a reason):\n" +
-        offenders.map { case (n, ds) =>
+        offenders.asScala.toSeq.sortBy(_._1).map { case (n, ds) =>
           s"  $n:\n" + ds.map { case (c, k) => s"    x$k ${c.take(140)}" }.mkString("\n")
         }.mkString("\n"))
   }

@@ -36,8 +36,11 @@ object MongoPushdownPropertySpec extends Properties("MongoPushdown") {
   // ~7 filter trees × (2 collects + 1 base read) Spark jobs per case:
   // 30 cases ≈ 210 differential comparisons, the depth the r17
   // verdict asked for (100+), at a test-suite-friendly runtime.
+  // 4 workers (r20): each case runs against its OWN FakeMongoServer on
+  // its own OS-assigned port — no shared state; same 30-case surface,
+  // ~4× less wall-clock (was ~120 s of the driver's test budget).
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(30)
+    p.withMinSuccessfulTests(30).withWorkers(4)
 
   // ---- document sets ------------------------------------------------
 

@@ -41,10 +41,15 @@ import graft.SparkTestSession
   */
 object UpsertCrashPropertySpec extends Properties("UpsertCrashRecovery") {
 
+  // 4 workers (r20): cases are independent — each gets its own temp
+  // dir AND its own cloned SparkSession (below), so nothing shared
+  // mutates. Same 100-case surface, ~4× less wall-clock (this suite
+  // was ~240 s of the driver's test budget, mostly idle driver
+  // round-trips a concurrent case back-fills, guide §2.6).
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(100).withWorkers(1)
+    p.withMinSuccessfulTests(100).withWorkers(4)
 
-  private lazy val spark = SparkTestSession.session
+  private lazy val sharedSpark = SparkTestSession.session
 
   private final case class R(k: Long, v: Long, seq: Long, op: String)
   private final class SimulatedCrash extends RuntimeException("kill")
@@ -131,10 +136,14 @@ object UpsertCrashPropertySpec extends Properties("UpsertCrashRecovery") {
 
   property("random crash interleavings recover to the LWW fold at every version") =
     forAll(caseGen) { case (batches, crashes) =>
+      // per-case cloned session: same SparkContext, own SQLConf — the
+      // narrow shuffle width is case-local instead of a set/restore on
+      // the shared session (which would race across workers and could
+      // leak the narrowed width into later suites)
+      val spark = sharedSpark.newSession()
       import spark.implicits._
       val root = Files.createTempDirectory("graft-crashfuzz")
       val dir = root.resolve("snap").toString
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         // Simulated engine: commit markers are an in-order prefix
@@ -190,9 +199,6 @@ object UpsertCrashPropertySpec extends Properties("UpsertCrashRecovery") {
         (converged :| s"run did not converge: committed=$committedUpTo/${batches.size} versions=$versions (crashes=$crashes)") &&
           (restartInvariantOk :| s"a surviving manifest referenced a missing directory (crashes=$crashes)") &&
           (versionsExact :| s"some version's snapshot diverged from the LWW prefix fold (crashes=$crashes)")
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        deleteRecursively(root)
-      }
+      } finally deleteRecursively(root)
     }
 }

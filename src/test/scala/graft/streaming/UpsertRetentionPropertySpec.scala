@@ -37,10 +37,13 @@ import graft.SparkTestSession
   */
 object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
 
+  // 4 workers (r20): cases are independent — own temp dir, own cloned
+  // session (below). Same 40-case surface, ~4× less wall-clock (this
+  // suite was ~110 s of the driver's test budget; guide §2.6).
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(40).withWorkers(1)
+    p.withMinSuccessfulTests(40).withWorkers(4)
 
-  private lazy val spark = SparkTestSession.session
+  private lazy val sharedSpark = SparkTestSession.session
 
   private final case class R(k: Long, v: Long, seq: Long, op: String)
 
@@ -100,10 +103,12 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
 
   property("random merge/vacuum/pin/read interleavings keep exactly the modeled versions readable and exact") =
     forAll(caseGen) { ops =>
+      // per-case cloned session: the narrow width is case-local, no
+      // shared-session set/restore to race across workers
+      val spark = sharedSpark.newSession()
       import spark.implicits._
       val root = Files.createTempDirectory("graft-retentionfuzz")
       val dir = root.resolve("snap").toString
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         var state = StreamingUpsert.Manifest(SortedMap.empty, Long.MinValue, -1L)
@@ -227,9 +232,6 @@ object UpsertRetentionPropertySpec extends Properties("UpsertRetention") {
           check("after terminal vacuum")
         }
         ok :| failure
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-        deleteRecursively(root)
-      }
+      } finally deleteRecursively(root)
     }
 }
