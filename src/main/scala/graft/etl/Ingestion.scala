@@ -84,13 +84,25 @@ object Ingestion {
     * single split vs 1.6 s fanned out to 32). No-op whenever the input
     * already carries at least the session's parallelism — at production
     * scale inputs arrive in many splits and nothing is inserted; the
-    * exchange, when it does fire, is round-robin over the raw rows and
-    * always below the first wide stage. `Pipeline.run` applies this to
+    * exchange, when it does fire, hash-partitions on a CONTENT hash of
+    * the full row (r20) rather than round-robin: keyless
+    * `repartition(n)` first locally sorts every map partition
+    * (`spark.sql.execution.sortBeforeRepartition`, required so task
+    * retries reproduce the same assignment — guide §2.5) — measured
+    * 0.49 s vs 0.31 s for the hash spread on the single-split fixture,
+    * and the hash of the row content is deterministic under retry BY
+    * CONSTRUCTION, so it needs no such sort. Distribution caveat: rows
+    * duplicated many times co-locate; the ingestion plane's documents
+    * carry unique ids, and a 64-bit hash over 32–1024 partitions
+    * spreads unique rows uniformly. `Pipeline.run` applies this to
     * every collection before the transform plane.
     */
   def fanOutForCpu(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target,
+      org.apache.spark.sql.functions.xxhash64(
+        df.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
   }
 
   /** K6 — filtered-input re-write (reference `ui/run_pipeline.py:56-61`,

@@ -37,9 +37,22 @@ object SchemaInference {
     "%d-%m-%Y %H:%M:%S",
     "%m/%d/%Y %I:%M %p")
 
+  /** First-match parse via [[graft.functions.MultiFormatTimestamp]]
+    * (r20): the `coalesce(try_to_timestamp × N)` chain this replaces
+    * threw a caught DateTimeParseException per non-matching format per
+    * string value — on the inference plane that is several exception
+    * constructions per document attribute, the dominant per-value cost
+    * (q12 measured 1.35 s vs 0.53 s for its scan+explode base). The
+    * native expression runs the same Spark `TimestampFormatter`s
+    * through the exception-free `parseOptional` path plus a per-format
+    * quick-reject, and is differentially pinned against the old chain
+    * in VariantExprsSpec. Only nullness is consumed here, so the two
+    * are label-equivalent by the spec's value-for-value equality.
+    */
   private def firstMatch(s: Column, formats: Seq[String]): Column =
-    coalesce(formats.map(f =>
-      try_to_timestamp(s, lit(StrptimeFormats.toParsePattern(f)))): _*)
+    GraftExpressionBridge.column(graft.functions.MultiFormatTimestamp(
+      GraftExpressionBridge.expression(s),
+      formats.map(StrptimeFormats.toParsePattern))).getField("ts")
 
   /** Cheap structural pre-filters in front of the `try_to_timestamp`
     * ladders. Every configured datetime format contains a literal `:`
